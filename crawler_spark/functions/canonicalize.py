@@ -1,0 +1,182 @@
+"""URL canonicalization (SURVEY.md §2.8 F1).
+
+Reference anchors: null-safe ``url.resolve`` wrapping (met-museum.js:8-11,
+record.js:44-46) and query-param stripping (versailles.js:156-187 strips
+``width``/``height``/``bg`` from IIIF thumb URLs). Generalized here to full
+RFC-3986 syntax-based normalization:
+
+* scheme + host lowercased,
+* default ports stripped (http:80, https:443),
+* dot-segments removed (RFC 3986 §5.2.4),
+* percent-encodings of unreserved characters decoded, others uppercased,
+* empty path → "/",
+* fragment dropped (never part of the fetchable resource),
+* configurable query-param drop-list (cache busters / resize params),
+* query left in original order otherwise (reference servers are
+  order-sensitive; sorting would change fetch identity).
+
+The pure function is property-tested (idempotence) in
+``tests/test_canonicalize.py``; the Spark-facing entry points are an
+Arrow-vectorized pandas UDF plus ``F.xxhash64`` for the 64-bit key
+(JVM-side, no Python in the hash path).
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urljoin, urlsplit
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+_UNRESERVED = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_DEFAULT_PORT = {"http": "80", "https": "443"}
+_PCT_RE = re.compile(r"%([0-9a-fA-F]{2})")
+
+
+def _norm_pct(s: str) -> str:
+    """Decode %XX of unreserved chars; uppercase the hex of the rest."""
+
+    def repl(m: re.Match[str]) -> str:
+        ch = chr(int(m.group(1), 16))
+        if ch in _UNRESERVED:
+            return ch
+        return "%" + m.group(1).upper()
+
+    return _PCT_RE.sub(repl, s)
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments."""
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if out and out[-1] != "":
+                out.pop()
+                if not out:
+                    out = [""]
+            continue
+        out.append(seg)
+    # preserve trailing slash behaviour of ./.. segments
+    if path.endswith(("/.", "/..")) and (not out or out[-1] != ""):
+        out.append("")
+    norm = "/".join(out)
+    if path.startswith("/") and not norm.startswith("/"):
+        norm = "/" + norm
+    return norm
+
+
+def canonicalize_url(
+    url: str | None,
+    base: str | None = None,
+    drop_params: frozenset[str] = frozenset(),
+) -> str | None:
+    """Pure RFC-3986 syntax-based normalization; None-safe (record.js:44-46).
+
+    Idempotent: ``canonicalize_url(canonicalize_url(u)) == canonicalize_url(u)``.
+    """
+    if url is None:
+        return None
+    url = url.strip()
+    if not url:
+        return None
+    if base:
+        url = urljoin(base, url)
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if scheme not in ("http", "https"):
+        return None  # non-fetchable (mailto:, javascript:, data:)
+    host = parts.hostname or ""
+    if not host:
+        return None
+    host = host.lower().rstrip(".")
+    port = parts.port
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORT.get(scheme):
+        netloc = f"{host}:{port}"
+    path = _norm_pct(_remove_dot_segments(parts.path)) or "/"
+    query = _norm_pct(parts.query)
+    if query and drop_params:
+        kept = [
+            kv
+            for kv in query.split("&")
+            if kv and kv.split("=", 1)[0] not in drop_params
+        ]
+        query = "&".join(kept)
+    out = f"{scheme}://{netloc}{path}"
+    if query:
+        out += f"?{query}"
+    return out
+
+
+def host_of(url: str | None) -> str | None:
+    """Registrable host of an (already canonical) URL; None-safe."""
+    if not url:
+        return None
+    try:
+        return urlsplit(url).hostname
+    except ValueError:
+        return None
+
+
+def canonicalize_urls_udf(drop_params: frozenset[str] = frozenset()):
+    """Arrow-vectorized canonicalizer: (url, base) -> canonical url.
+
+    One pandas UDF call handles a whole Arrow batch — no per-row Python
+    dispatch (input_hint requirement).
+    """
+
+    @pandas_udf(StringType())
+    def _canon(url: pd.Series, base: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                canonicalize_url(u, b, drop_params)
+                for u, b in zip(url, base)
+            ],
+            dtype="object",
+        )
+
+    return _canon
+
+
+def url_host(url: Column) -> Column:
+    """Host column. Pure Spark SQL (stays in whole-stage codegen):
+    ``parse_url`` handles scheme://host[:port]/..."""
+    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    return host
+
+
+def url_hash(url: Column) -> Column:
+    """64-bit URL key — JVM-side xxhash64 (north_star: 'xxhash64')."""
+    return F.xxhash64(url)
+
+
+def with_canonical_url(
+    df,
+    url_col: str = "url",
+    base_col: str | None = None,
+    drop_params: frozenset[str] = frozenset(),
+    out_col: str = "url",
+):
+    """Add canonical url + url_hash + host columns.
+
+    The canonicalizer is the only Python here; host + hash are JVM
+    expressions so the downstream join keys never leave codegen.
+    """
+    canon = canonicalize_urls_udf(drop_params)
+    base = F.col(base_col) if base_col else F.lit(None).cast("string")
+    df = df.withColumn(out_col, canon(F.col(url_col), base))
+    df = df.where(F.col(out_col).isNotNull())
+    df = df.withColumn("url_hash", url_hash(F.col(out_col)))
+    df = df.withColumn("host", url_host(F.col(out_col)))
+    return df

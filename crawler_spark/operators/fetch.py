@@ -1,0 +1,80 @@
+"""Fetch stage (SURVEY.md §2.3 J2, §2.9).
+
+Fixture mode (tests / recorded corpora): fetching IS a join — the popped
+batch equi-joins the ``pages`` table on url. Catalyst picks broadcast vs
+sort-merge; at 100 TB the pages side is the big one, so the (much smaller)
+round batch broadcasts and the scan prunes to the joined keys.
+
+Live mode would replace the join with a host-grouped ``mapInPandas`` HTTP
+worker (keepAlive session per host, 60 s timeout, 10 retries with exponential
+backoff, 50 MB cap — base.js:38-56); the sandbox has no network, so that
+worker is a clearly-marked stub with the same signature. Retry/backoff is
+modelled batch-iteratively: failed URLs re-enqueue with ``attempts+1`` and are
+dropped after ``max_attempts`` (the watermark analog, §2.9).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_ATTEMPTS = 10  # base.js:46-56 (axios-retry retries: 10)
+
+
+def fixture_fetch(batch: DataFrame, pages: DataFrame) -> DataFrame:
+    """J2: popped batch ⋈ pages on url → body column; miss ⇒ status 404.
+
+    The batch side is small (one round) → broadcast it; the pages scan then
+    only materializes matching rows (AQE converts to broadcast-hash join and
+    prunes with a runtime filter).
+    """
+    p = pages.select(
+        F.col("url").alias("__page_url"),
+        F.col("html").alias("body"),
+        F.col("warc_ts"),
+    )
+    joined = batch.join(p, batch["url"] == F.col("__page_url"), "left")
+    return (
+        joined.withColumn(
+            "status", F.when(F.col("body").isNotNull(), 200).otherwise(404)
+        )
+        .withColumn("bytes", F.coalesce(F.length("body"), F.lit(0)).cast("long"))
+        .drop("__page_url")
+    )
+
+
+def split_retries(fetched: DataFrame, max_attempts: int = MAX_ATTEMPTS):
+    """(ok, retry, dead) — failed rows re-enqueue with attempts+1 until the
+    retry budget (watermark) expires; the reference logs-and-continues
+    (per-record try/catch, les-arts-decoratifs.js:34-40)."""
+    ok = fetched.where(F.col("status") == 200)
+    failed = fetched.where(F.col("status") != 200)
+    retry = (
+        failed.where(F.col("attempts") + 1 < max_attempts)
+        .withColumn("attempts", F.col("attempts") + 1)
+    )
+    dead = failed.where(F.col("attempts") + 1 >= max_attempts)
+    return ok, retry, dead
+
+
+def live_fetch_batch(
+    it: Iterator[pd.DataFrame],
+    timeout_s: float = 60.0,
+    max_bytes: int = 50 * 1024 * 1024,
+    crawl_delay_ms: int = 0,
+) -> Iterator[pd.DataFrame]:
+    """Live-HTTP mapInPandas worker — STUB (sandbox has no network).
+
+    Contract (for a real deployment): input partitions are salted-by-host and
+    sorted (host, order) so this worker owns each host's run contiguously and
+    can hold one keepAlive session + cookie jar per host (the S6 ASP.NET /
+    Floracci sessions, imatex.js:38-115, mtmad.js:19-78) and sleep
+    ``crawl_delay_ms`` between same-host requests. Output schema matches
+    ``fixture_fetch``.
+    """
+    raise NotImplementedError(
+        "live HTTP fetch is environment-gated; use fixture_fetch in tests"
+    )

@@ -1,0 +1,114 @@
+"""Politeness: robots filtering, per-host budgets, salted host repartition.
+
+The reference's politeness model is its strict sequentiality — one request in
+flight, ever (base.js:100-112). Generalized (north_star): a per-host
+``budget_per_round`` (max URLs popped per host per round — W1, SURVEY.md
+§2.5), robots.txt disallow prefixes, and a **salted repartition-by-host**
+(SURVEY.md §4.3.1) so one hot domain cannot serialize the whole fetch stage
+while per-host ordering within a partition still lets a single worker enforce
+crawl-delay for the hosts it owns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+def pop_order() -> list:
+    """Deterministic pop priority (W1): shallow first, then score desc (OPIC
+    cash), then the parity tuple so ties break identically on any cluster
+    size. (Function, not constant: Column exprs need an active session.)"""
+    return [
+        F.col("depth").asc(),
+        F.col("score").desc(),
+        F.col("seed_idx").asc(),
+        F.col("page_no").asc(),
+        F.col("in_page_idx").asc(),
+        F.col("dfs_rank").asc(),
+        F.col("url_hash").asc(),
+    ]
+
+
+def apply_robots(frontier: DataFrame, politeness: DataFrame) -> DataFrame:
+    """Drop frontier rows whose path matches a disallow prefix.
+
+    ``politeness`` is per-host config (a few thousand rows at most) →
+    broadcast; the check is a JVM ``exists(startswith)`` over the prefix
+    array — no Python.
+    """
+    rules = politeness.select(
+        F.col("host").alias("__p_host"), F.col("disallow").alias("__disallow")
+    )
+    joined = frontier.join(
+        F.broadcast(rules), frontier["host"] == F.col("__p_host"), "left"
+    )
+    path = F.regexp_replace(F.col("url"), r"^[a-z]+://[^/]+", "")
+    blocked = F.exists(
+        F.coalesce(F.col("__disallow"), F.array()),
+        lambda p: path.startswith(p),
+    )
+    return joined.where(~blocked).drop("__p_host", "__disallow")
+
+
+def pop_batch(
+    frontier: DataFrame,
+    politeness: DataFrame | None = None,
+    default_budget: int = 100,
+    global_batch: int | None = None,
+) -> DataFrame:
+    """W1: per-host top-k by priority, then optional global cap.
+
+    One shuffle (the window partitionBy host); the global cap is a TakeOrdered
+    — both AQE-friendly. The reference's sequential loop is the degenerate
+    budget=1, one-host case.
+    """
+    w = Window.partitionBy("host").orderBy(*pop_order())
+    ranked = frontier.withColumn("__rn", F.row_number().over(w))
+    if politeness is not None:
+        budgets = politeness.select(
+            F.col("host").alias("__p_host"),
+            F.col("budget_per_round").alias("__budget"),
+        )
+        ranked = ranked.join(
+            F.broadcast(budgets), ranked["host"] == F.col("__p_host"), "left"
+        ).drop("__p_host")
+        ranked = ranked.where(
+            F.col("__rn") <= F.coalesce(F.col("__budget"), F.lit(default_budget))
+        ).drop("__budget")
+    else:
+        ranked = ranked.where(F.col("__rn") <= F.lit(default_budget))
+    ranked = ranked.drop("__rn")
+    if global_batch is not None:
+        w_all = Window.orderBy(*pop_order())
+        ranked = (
+            ranked.withColumn("__grn", F.row_number().over(w_all))
+            .where(F.col("__grn") <= global_batch)
+            .drop("__grn")
+        )
+    return ranked
+
+
+def salted_host_repartition(
+    batch: DataFrame, target_per_task: int = 200, num_partitions: int | None = None
+) -> DataFrame:
+    """§4.3.1 salted repartition-by-host.
+
+    Key = (host, xxhash64(url) % S) with S sized from the round's per-host
+    counts, so a hot host (50% of URLs) spreads over ~count/target_per_task
+    tasks while small hosts stay on one. ``sortWithinPartitions(host, …)``
+    lets the worker that owns a host's run enforce crawl-delay serially.
+    """
+    counts = batch.groupBy("host").count()
+    salted = batch.join(F.broadcast(counts), "host", "left")
+    salt_buckets = F.greatest(
+        F.lit(1), F.ceil(F.col("count") / F.lit(target_per_task))
+    )
+    salted = salted.withColumn(
+        "__salt", F.pmod(F.xxhash64("url"), salt_buckets).cast("int")
+    ).drop("count")
+    out = salted.repartition(
+        *( [num_partitions] if num_partitions else [] ), F.col("host"), F.col("__salt")
+    )
+    return out.sortWithinPartitions(
+        "host", "depth", "seed_idx", "page_no", "in_page_idx", "dfs_rank"
+    ).drop("__salt")

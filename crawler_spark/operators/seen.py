@@ -1,0 +1,293 @@
+"""URL-seen set (SURVEY.md §2.3 J1, §4.3.2) — the load-bearing dedup.
+
+Reference anchor: ``recordExists`` filesystem check (base.js:164-167) with
+``--force`` bypass (base.js:165). At 10^10-URL scale the exact seen table is
+too big to join every candidate against cheaply, so the design is:
+
+1. a **partitioned Bloom filter** sidecar (one bitset per
+   ``url_hash % P`` bucket, built with a grouped Arrow UDF) answers
+   "definitely new" with zero shuffle over the big table;
+2. candidates the Bloom *might* have seen (a tiny fraction) go through the
+   **exact left-anti join** against the seen table — false positives can
+   never violate URL-seen parity;
+3. deletable entries (``--force`` / images-checker re-crawls, J3) live in a
+   **cuckoo filter** spill (Fan et al., CoNEXT 2014 — Bloom cannot delete).
+
+Bits are derived from the already-computed ``xxhash64(url)`` with two
+splitmix64-style remixes → k indexes (standard double hashing,
+Kirsch-Mitzenmacher), all vectorized in numpy over Arrow batches.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & _MASK
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _MASK
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _MASK
+    return x ^ (x >> np.uint64(31))
+
+
+def _h1_h2(hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    u = hashes.astype(np.int64).view(np.uint64)
+    h1 = _splitmix64(u)
+    h2 = _splitmix64(h1) | np.uint64(1)  # odd → full-period double hashing
+    return h1, h2
+
+
+class BloomFilter:
+    """Numpy-bitset Bloom filter keyed by int64 url_hash values."""
+
+    def __init__(self, n_bits: int, n_hashes: int, bits: np.ndarray | None = None):
+        self.n_bits = n_bits
+        self.n_hashes = n_hashes
+        self.bits = (
+            bits if bits is not None else np.zeros((n_bits + 7) // 8, dtype=np.uint8)
+        )
+
+    @classmethod
+    def sized_for(cls, n_items: int, fpp: float = 0.01) -> "BloomFilter":
+        n_items = max(n_items, 1)
+        m = max(64, int(-n_items * math.log(fpp) / (math.log(2) ** 2)))
+        k = max(1, round(m / n_items * math.log(2)))
+        return cls(m, min(k, 16))
+
+    def add_many(self, hashes: np.ndarray) -> None:
+        if len(hashes) == 0:
+            return
+        h1, h2 = _h1_h2(np.asarray(hashes))
+        m = np.uint64(self.n_bits)
+        for i in range(self.n_hashes):
+            idx = (h1 + np.uint64(i) * h2) % m
+            np.bitwise_or.at(
+                self.bits, (idx >> np.uint64(3)).astype(np.int64),
+                np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8),
+            )
+
+    def maybe_contains(self, hashes: np.ndarray) -> np.ndarray:
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        h1, h2 = _h1_h2(np.asarray(hashes))
+        m = np.uint64(self.n_bits)
+        out = np.ones(len(h1), dtype=bool)
+        for i in range(self.n_hashes):
+            idx = (h1 + np.uint64(i) * h2) % m
+            byte = self.bits[(idx >> np.uint64(3)).astype(np.int64)]
+            bit = (byte >> (idx & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
+            out &= bit.astype(bool)
+        return out
+
+    def to_bytes(self) -> bytes:
+        return self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, n_bits: int, n_hashes: int) -> "BloomFilter":
+        return cls(n_bits, n_hashes, np.frombuffer(data, dtype=np.uint8).copy())
+
+
+class CuckooFilter:
+    """Small cuckoo filter for the *deletable* seen subset (SURVEY.md §4.3.2).
+
+    4-slot buckets, 16-bit fingerprints, partial-key cuckoo hashing
+    (Fan et al. 2014). Supports delete — needed for ``--force`` and the
+    images-checker re-crawl (J3), which Bloom cannot express.
+    """
+
+    SLOTS = 4
+    MAX_KICKS = 500
+
+    def __init__(self, n_buckets: int):
+        self.n_buckets = max(2, 1 << (n_buckets - 1).bit_length())
+        self.table = np.zeros((self.n_buckets, self.SLOTS), dtype=np.uint16)
+
+    def _fp_and_buckets(self, h: int) -> tuple[int, int, int]:
+        u = np.uint64(np.int64(h).view(np.uint64) if not isinstance(h, np.uint64) else h)
+        mixed = int(_splitmix64(np.array([u], dtype=np.uint64))[0])
+        fp = (mixed & 0xFFFF) or 1
+        i1 = (mixed >> 16) % self.n_buckets
+        fp_mix = int(_splitmix64(np.array([np.uint64(fp)], dtype=np.uint64))[0])
+        i2 = (i1 ^ fp_mix) % self.n_buckets
+        return fp, i1, i2
+
+    def _insert_at(self, i: int, fp: int) -> bool:
+        row = self.table[i]
+        for s in range(self.SLOTS):
+            if row[s] == 0:
+                row[s] = fp
+                return True
+        return False
+
+    def add(self, h: int) -> bool:
+        fp, i1, i2 = self._fp_and_buckets(h)
+        if self._insert_at(i1, fp) or self._insert_at(i2, fp):
+            return True
+        i = i1
+        rng = np.random.default_rng(fp)  # deterministic kicks
+        for _ in range(self.MAX_KICKS):
+            s = int(rng.integers(self.SLOTS))
+            fp, self.table[i][s] = int(self.table[i][s]), fp
+            fp_mix = int(_splitmix64(np.array([np.uint64(fp)], dtype=np.uint64))[0])
+            i = (i ^ fp_mix) % self.n_buckets
+            if self._insert_at(i, fp):
+                return True
+        return False  # table full — caller rebuilds bigger
+
+    def contains(self, h: int) -> bool:
+        fp, i1, i2 = self._fp_and_buckets(h)
+        return fp in self.table[i1] or fp in self.table[i2]
+
+    def delete(self, h: int) -> bool:
+        fp, i1, i2 = self._fp_and_buckets(h)
+        for i in (i1, i2):
+            row = self.table[i]
+            for s in range(self.SLOTS):
+                if row[s] == fp:
+                    row[s] = 0
+                    return True
+        return False
+
+
+# ---------------------------------------------------------------------------
+# Spark-side seen set
+
+
+class SeenSet:
+    """Exact seen table + partitioned Bloom sidecar.
+
+    ``filter_unseen`` is the J1 anti-join: Bloom pre-filter (broadcast bitsets,
+    numpy-vectorized over Arrow batches) routes "maybe seen" candidates — a
+    tiny fraction — to the exact left-anti join; "definitely new" candidates
+    skip the join entirely. On a 1000-executor cluster the Bloom rows are a
+    few hundred MB broadcast once per round, versus shuffling the 10^10-row
+    seen table every round.
+    """
+
+    def __init__(self, n_partitions: int = 16, fpp: float = 0.01):
+        self.n_partitions = n_partitions
+        self.fpp = fpp
+        self.blooms: dict[int, BloomFilter] = {}
+
+    # -- build / update ----------------------------------------------------
+    def build_blooms(self, seen: DataFrame, expected_per_part: int = 100_000) -> None:
+        """(Re)build per-partition blooms from the exact seen table.
+
+        Grouped Arrow aggregation: each ``url_hash % P`` bucket builds its
+        bitset on the executor that holds it; only the bitsets come back.
+        """
+        P = self.n_partitions
+        fpp = self.fpp
+
+        def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+            pid = int(pdf["pid"].iloc[0])
+            bf = BloomFilter.sized_for(max(len(pdf), expected_per_part), fpp)
+            bf.add_many(pdf["url_hash"].to_numpy(dtype=np.int64))
+            return pd.DataFrame(
+                {
+                    "partition_id": [pid],
+                    "bits": [bf.to_bytes()],
+                    "n_bits": [bf.n_bits],
+                    "n_hashes": [bf.n_hashes],
+                    "n_items": [len(pdf)],
+                }
+            )
+
+        rows = (
+            seen.select("url_hash")
+            .withColumn("pid", F.pmod(F.col("url_hash"), F.lit(P)).cast("int"))
+            .groupBy("pid")
+            .applyInPandas(
+                _build,
+                "partition_id int, bits binary, n_bits long, n_hashes int, n_items long",
+            )
+            .collect()
+        )
+        self.blooms = {
+            r["partition_id"]: BloomFilter.from_bytes(
+                bytes(r["bits"]), r["n_bits"], r["n_hashes"]
+            )
+            for r in rows
+        }
+
+    def add_local(self, hashes: np.ndarray) -> None:
+        """Fold a (small) round delta into the driver-held blooms."""
+        if len(hashes) == 0:
+            return
+        hashes = np.asarray(hashes, dtype=np.int64)
+        pids = np.mod(hashes, self.n_partitions)
+        for pid in np.unique(pids):
+            bf = self.blooms.get(int(pid))
+            if bf is None:
+                bf = BloomFilter.sized_for(100_000, self.fpp)
+                self.blooms[int(pid)] = bf
+            bf.add_many(hashes[pids == pid])
+
+    # -- query ---------------------------------------------------------------
+    def filter_unseen(
+        self, candidates: DataFrame, seen: DataFrame, hash_col: str = "url_hash"
+    ) -> DataFrame:
+        """Rows of ``candidates`` whose hash is NOT in the seen set (exact)."""
+        spark = candidates.sparkSession
+        if not self.blooms:
+            # no sidecar yet → plain exact anti-join (small-scale path)
+            return candidates.join(
+                seen.select(F.col("url_hash").alias("__seen_h")),
+                F.col(hash_col) == F.col("__seen_h"),
+                "left_anti",
+            )
+
+        payload = {
+            pid: (bf.to_bytes(), bf.n_bits, bf.n_hashes)
+            for pid, bf in self.blooms.items()
+        }
+        bc = spark.sparkContext.broadcast(payload)
+        P = self.n_partitions
+
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("boolean")
+        def _maybe_seen(h: pd.Series) -> pd.Series:
+            filters = {
+                pid: BloomFilter.from_bytes(b, nb, nh)
+                for pid, (b, nb, nh) in bc.value.items()
+            }
+            arr = h.to_numpy(dtype=np.int64)
+            pids = np.mod(arr, P)
+            out = np.zeros(len(arr), dtype=bool)
+            for pid in np.unique(pids):
+                bf = filters.get(int(pid))
+                if bf is None:
+                    continue
+                m = pids == pid
+                out[m] = bf.maybe_contains(arr[m])
+            return pd.Series(out)
+
+        flagged = candidates.withColumn("__maybe", _maybe_seen(F.col(hash_col)))
+        fresh = flagged.where(~F.col("__maybe")).drop("__maybe")
+        suspect = flagged.where(F.col("__maybe")).drop("__maybe")
+        # exact confirm on the (tiny) suspect set — parity guarantee
+        confirmed_new = suspect.join(
+            seen.select(F.col("url_hash").alias("__seen_h")),
+            F.col(hash_col) == F.col("__seen_h"),
+            "left_anti",
+        )
+        return fresh.unionByName(confirmed_new)
+
+
+def exact_antijoin_unseen(
+    candidates: DataFrame, seen: DataFrame, hash_col: str = "url_hash"
+) -> DataFrame:
+    """Plain J1 for small scale / parity tests."""
+    return candidates.join(
+        seen.select(F.col("url_hash").alias("__seen_h")),
+        F.col(hash_col) == F.col("__seen_h"),
+        "left_anti",
+    )

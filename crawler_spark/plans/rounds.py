@@ -1,0 +1,432 @@
+"""The batch-iterative crawl loop (SURVEY.md §3.1 Spark re-expression).
+
+One round is one Spark DAG:
+
+    frontier ─(robots)─(W1 per-host budget pop)─(salted host repartition)
+             ─(J2 fixture-fetch join)─(extract links/records, Arrow UDFs)
+             ─(new links → canonical → J1 seen anti-join)─(frontier union)
+             ─(checkpoint commit)
+
+The reference's sequential page loop (base.js:67-113) is the degenerate
+1-host / budget-1 case; its deterministic visit order is preserved not by
+executing sequentially but by carrying the ordering tuple
+``(seed_idx, page_no, in_page_idx, dfs_rank)`` on every row and assigning
+related-record ranks per connector policy (after/before parent write —
+met-museum.js:241-253 vs joconde.js:180-200). Parity = sort by tuple.
+
+Scale notes (the parts that must survive 1000 executors / 10^10 URLs):
+
+* the frontier union dedup is a per-key window over ``url_hash`` — a single
+  hash-partitioned shuffle, no global ordering anywhere;
+* the seen set is only ever touched by (a) Bloom-prefiltered anti-join reads
+  and (b) per-round delta appends — never rewritten;
+* the pages scan is joined against a broadcast of the (bounded) round batch,
+  so each round reads only the fetched keys' row groups;
+* all per-row logic (HTML parse, canonicalize) is Arrow-batched.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawler_spark import schemas
+from crawler_spark.functions.canonicalize import url_hash, url_host
+from crawler_spark.operators import opic as opic_mod
+from crawler_spark.operators.extract import (
+    LINKS_OUT_SCHEMA,
+    RECORD_OUT_SCHEMA,
+    extract_links_batch,
+    extract_records_batch,
+)
+from crawler_spark.operators.fetch import fixture_fetch, split_retries
+from crawler_spark.operators.frontier import (
+    add_candidates,
+    remove_popped,
+    seeds_to_frontier,
+)
+from crawler_spark.operators.politeness import (
+    apply_robots,
+    pop_batch,
+    salted_host_repartition,
+)
+from crawler_spark.operators.seen import SeenSet
+from crawler_spark.plans.checkpoint import Checkpointer
+
+
+@dataclass
+class EngineConfig:
+    ckpt_dir: str
+    default_budget: int = 1000
+    global_batch: int | None = None
+    max_rounds: int = 10_000
+    use_bloom: bool = False
+    bloom_partitions: int = 16
+    bloom_rebuild_every: int = 8
+    use_opic: bool = False
+    opic_initial_cash: float = 1.0
+    target_per_task: int = 200
+    max_attempts: int = 10
+    extra: dict = dc_field(default_factory=dict)
+
+
+@dataclass
+class CrawlResult:
+    records: DataFrame
+    webtext: DataFrame
+    url_seen: DataFrame
+    fetch_log: DataFrame
+    rounds: int
+    metrics: list[dict]
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        seeds: DataFrame,
+        politeness: DataFrame | None = None,
+        cfg: EngineConfig | None = None,
+    ):
+        self.spark = spark
+        self.pages = pages
+        self.seeds = seeds
+        self.politeness = politeness
+        self.cfg = cfg or EngineConfig(ckpt_dir="/tmp/crawler_spark_ckpt")
+        self.ckpt = Checkpointer(self.cfg.ckpt_dir)
+        self.seen_filter = SeenSet(self.cfg.bloom_partitions)
+        # per-connector paging/related config — a handful of rows, broadcastable
+        self.seed_cfg = seeds.select(
+            "connector_id",
+            "paging_style",
+            "limit",
+            "start_page",
+            "max_offset",
+            "related_policy",
+        ).dropDuplicates(["connector_id"])
+
+    # ------------------------------------------------------------------
+    def _empty(self, schema) -> DataFrame:
+        return self.spark.createDataFrame([], schema)
+
+    def _candidate_schema_cols(self):
+        return [f.name for f in schemas.FRONTIER.fields]
+
+    def run(self, resume: bool = True) -> CrawlResult:
+        spark, cfg = self.spark, self.cfg
+        self.ckpt.cleanup_partial()
+        latest = self.ckpt.latest_round() if resume else None
+        metrics_log: list[dict] = []
+
+        if latest is not None:
+            frontier = self.ckpt.load(spark, latest, "frontier")
+            round_no = latest + 1
+        else:
+            frontier = seeds_to_frontier(self.seeds)
+            round_no = 0
+
+        def seen_df() -> DataFrame:
+            d = self.ckpt.load_all_deltas(spark, "seen_delta")
+            return d if d is not None else self._empty(schemas.URL_SEEN)
+
+        while round_no < cfg.max_rounds:
+            seen = seen_df()
+            popped = pop_batch(
+                apply_robots(frontier, self.politeness)
+                if self.politeness is not None
+                else frontier,
+                self.politeness,
+                cfg.default_budget,
+                cfg.global_batch,
+            )
+            popped = salted_host_repartition(popped, cfg.target_per_task).persist()
+            n_popped = popped.count()
+            if n_popped == 0:
+                popped.unpersist()
+                break
+
+            remaining = remove_popped(frontier, popped)
+            fetched = fixture_fetch(popped, self.pages).persist()
+            ok, retry, dead = split_retries(fetched, cfg.max_attempts)
+
+            searches = ok.where(F.col("kind") == "search")
+            details = ok.where(F.col("kind") != "search")
+
+            # ---- search pages → record links + next pages (S1/A1/O3)
+            link_rows = searches.select("url", "body").mapInPandas(
+                extract_links_batch, LINKS_OUT_SCHEMA
+            )
+            smeta = searches.select(
+                F.col("url").alias("parent_url"),
+                "connector_id",
+                "seed_idx",
+                "page_no",
+                "depth",
+                "score",
+            )
+            links = (
+                link_rows.join(smeta, link_rows["url"] == smeta["parent_url"])
+                .drop("url")
+                .persist()
+            )
+
+            record_cands = (
+                links.where(F.col("out_url").isNotNull())
+                .select(
+                    F.col("out_url").alias("url"),
+                    url_hash(F.col("out_url")).alias("url_hash"),
+                    url_host(F.col("out_url")).alias("host"),
+                    (F.col("depth") + 1).cast("int").alias("depth"),
+                    F.lit(0.0).alias("score"),
+                    F.col("seed_idx"),
+                    F.col("page_no"),
+                    F.col("out_idx").alias("in_page_idx"),
+                    F.lit(0).alias("dfs_rank"),
+                    F.lit(round_no + 1).alias("round_added"),
+                    F.lit(0).alias("attempts"),
+                    F.lit("record").alias("kind"),
+                    F.col("connector_id"),
+                )
+            )
+
+            # pagination arithmetic (A1): one row per search page
+            per_page = links.groupBy(
+                "parent_url", "connector_id", "seed_idx", "page_no", "depth"
+            ).agg(
+                F.count("out_url").alias("n_links"),
+                F.first("total_count", ignorenulls=True).alias("total_count"),
+            )
+            per_page = per_page.join(
+                F.broadcast(self.seed_cfg), "connector_id", "left"
+            )
+            total_pages = F.ceil(F.col("total_count") / F.col("limit"))
+            has_next = F.when(
+                F.col("paging_style") == "page",
+                (F.col("total_count").isNotNull())
+                & (F.col("page_no") + 1 < F.col("start_page") + total_pages),
+            ).otherwise(  # unknown_total: loop until empty (artic.js:59-78)
+                (F.col("n_links") > 0)
+                & (
+                    F.col("max_offset").isNull()
+                    | (
+                        (F.col("page_no") + 1 - F.col("start_page"))
+                        * F.col("limit")
+                        < F.col("max_offset")
+                    )
+                )
+            )
+            next_url = F.regexp_replace(
+                F.col("parent_url"),
+                r"page=\d+",
+                F.concat(F.lit("page="), (F.col("page_no") + 1).cast("string")),
+            )
+            next_pages = (
+                per_page.where(has_next)
+                .select(
+                    next_url.alias("url"),
+                    url_hash(next_url).alias("url_hash"),
+                    url_host(next_url).alias("host"),
+                    F.col("depth").cast("int").alias("depth"),
+                    F.lit(0.0).alias("score"),
+                    F.col("seed_idx"),
+                    (F.col("page_no") + 1).cast("int").alias("page_no"),
+                    F.lit(-1).alias("in_page_idx"),
+                    F.lit(0).alias("dfs_rank"),
+                    F.lit(round_no + 1).alias("round_added"),
+                    F.lit(0).alias("attempts"),
+                    F.lit("search").alias("kind"),
+                    F.col("connector_id"),
+                )
+            )
+
+            # ---- detail pages → records + webtext + related links
+            rec_rows = details.select("url", "body").mapInPandas(
+                extract_records_batch, RECORD_OUT_SCHEMA
+            )
+            dmeta = details.select(
+                "url",
+                "connector_id",
+                "seed_idx",
+                "page_no",
+                "in_page_idx",
+                "dfs_rank",
+                "depth",
+                "kind",
+                "score",
+            )
+            recs = (
+                rec_rows.join(dmeta, "url")
+                .join(
+                    F.broadcast(
+                        self.seed_cfg.select("connector_id", "related_policy")
+                    ),
+                    "connector_id",
+                    "left",
+                )
+                .persist()
+            )
+
+            expandable = (F.col("kind") == "record") & (
+                F.col("related_policy").isin("after_parent_write", "before_parent_write")
+            )
+            # joconde write-before-parent: parent's write rank trails its
+            # related children (SURVEY.md §7.3.2)
+            parent_rank = F.when(
+                expandable & (F.col("related_policy") == "before_parent_write"),
+                F.size("related_urls"),
+            ).otherwise(F.col("dfs_rank"))
+
+            records_out = recs.where(F.col("keep")).select(
+                "connector_id",
+                F.col("record_id").alias("id"),
+                "url",
+                "fields",
+                F.transform(
+                    "image_urls",
+                    lambda u: F.struct(
+                        F.lit(None).cast("string").alias("id"),
+                        u.alias("url"),
+                        F.lit(None).cast("string").alias("title"),
+                        F.lit(None).cast("string").alias("description"),
+                        F.lit(None).cast("string").alias("author"),
+                        F.lit(None).cast("string").alias("license"),
+                        F.lit(None).cast("string").alias("text"),
+                        F.lit(None).cast("string").alias("localFilename"),
+                        F.lit(False).alias("hasError"),
+                    ),
+                ).alias("images"),
+                "seed_idx",
+                "page_no",
+                "in_page_idx",
+                parent_rank.cast("int").alias("dfs_rank"),
+            )
+            webtext_out = recs.where(F.col("keep")).select("url", "text")
+
+            child_rank = F.when(
+                F.col("related_policy") == "before_parent_write", F.col("pos")
+            ).otherwise(F.col("dfs_rank") + 1 + F.col("pos"))
+            related_cands = (
+                recs.where(expandable & (F.size("related_urls") > 0))
+                .select(
+                    "connector_id",
+                    "seed_idx",
+                    "page_no",
+                    "in_page_idx",
+                    "dfs_rank",
+                    "depth",
+                    "related_policy",
+                    F.posexplode("related_urls").alias("pos", "rel_url"),
+                )
+                .select(
+                    F.col("rel_url").alias("url"),
+                    url_hash(F.col("rel_url")).alias("url_hash"),
+                    url_host(F.col("rel_url")).alias("host"),
+                    (F.col("depth") + 1).cast("int").alias("depth"),
+                    F.lit(0.0).alias("score"),
+                    F.col("seed_idx"),
+                    F.col("page_no"),
+                    F.col("in_page_idx"),
+                    child_rank.cast("int").alias("dfs_rank"),
+                    F.lit(round_no + 1).alias("round_added"),
+                    F.lit(0).alias("attempts"),
+                    F.lit("related").alias("kind"),
+                    F.col("connector_id"),
+                )
+            )
+
+            # ---- J1: new candidates minus seen minus this round's fetches
+            cands = record_cands.unionByName(next_pages).unionByName(related_cands)
+            seen_plus = seen.unionByName(ok.select("url_hash"))
+            if cfg.use_bloom:
+                fresh = self.seen_filter.filter_unseen(cands, seen_plus)
+            else:
+                fresh = cands.join(
+                    seen_plus.select(F.col("url_hash").alias("__h")),
+                    cands["url_hash"] == F.col("__h"),
+                    "left_anti",
+                )
+
+            # OPIC cash: fetched pages distribute score over out-links (A7)
+            if cfg.use_opic:
+                parents = links.groupBy(F.col("parent_url").alias("url")).agg(
+                    F.collect_list("out_url").alias("out_urls"),
+                    F.first("score").alias("cash"),
+                )
+                parents = parents.withColumn(
+                    "cash", F.col("cash") + F.lit(cfg.opic_initial_cash)
+                )
+                cash_in = opic_mod.distribute_cash(parents, "out_urls", "cash")
+                fresh = opic_mod.apply_cash(fresh, cash_in)
+
+            retry_rows = retry.select(*self._candidate_schema_cols())
+            frontier_next = add_candidates(
+                remaining, fresh.unionByName(retry_rows)
+            )
+
+            fetch_log = fetched.select(
+                F.lit(round_no).alias("round"),
+                "url",
+                "status",
+                F.lit(None).cast("string").alias("error"),
+                F.col("bytes"),
+                F.lit(None).cast("double").alias("duration_ms"),
+                F.spark_partition_id().alias("partition_id"),
+            )
+
+            # ---- commit round snapshot (frontier full, rest deltas)
+            n_ok = ok.count()
+            n_records = records_out.count()
+            metrics = {
+                "popped": n_popped,
+                "fetched_ok": n_ok,
+                "records_written": n_records,
+            }
+            self.ckpt.commit_round(
+                round_no,
+                {
+                    "frontier": frontier_next,
+                    "seen_delta": ok.select("url_hash"),
+                    "records_delta": records_out,
+                    "webtext_delta": webtext_out,
+                    "fetch_log_delta": fetch_log,
+                },
+                metrics,
+            )
+            metrics_log.append({"round": round_no, **metrics})
+
+            if cfg.use_bloom:
+                delta = [
+                    r["url_hash"] for r in ok.select("url_hash").collect()
+                ]
+                if (
+                    round_no % cfg.bloom_rebuild_every == 0
+                    or not self.seen_filter.blooms
+                ):
+                    self.seen_filter.build_blooms(seen_df())
+                else:
+                    self.seen_filter.add_local(np.array(delta, dtype=np.int64))
+
+            popped.unpersist()
+            fetched.unpersist()
+            links.unpersist()
+            recs.unpersist()
+            # re-read from checkpoint: cuts lineage + is the resume point
+            frontier = self.ckpt.load(spark, round_no, "frontier")
+            round_no += 1
+
+        def _delta(name: str, schema) -> DataFrame:
+            d = self.ckpt.load_all_deltas(spark, name)
+            return d if d is not None else self._empty(schema)
+
+        return CrawlResult(
+            records=_delta("records_delta", schemas.RECORDS),
+            webtext=_delta("webtext_delta", schemas.WEBTEXT),
+            url_seen=_delta("seen_delta", schemas.URL_SEEN),
+            fetch_log=_delta("fetch_log_delta", schemas.FETCH_LOG),
+            rounds=round_no,
+            metrics=metrics_log,
+        )

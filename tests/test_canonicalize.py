@@ -1,0 +1,78 @@
+"""Property + example tests for URL canonicalization (SURVEY.md §2.8 F1)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from crawler_spark.functions.canonicalize import canonicalize_url, host_of
+
+
+def test_examples():
+    assert (
+        canonicalize_url("HTTP://Example.COM:80/a/../b/./c?x=1#frag")
+        == "http://example.com/b/c?x=1"
+    )
+    assert canonicalize_url("https://h.io:443/") == "https://h.io/"
+    assert canonicalize_url("https://h.io:8443/p") == "https://h.io:8443/p"
+    assert canonicalize_url("http://h.io") == "http://h.io/"
+    assert canonicalize_url("http://h.io/%7Euser/%2fx") == "http://h.io/~user/%2Fx"
+    # relative resolution (met-museum.js:8-11 url.resolve semantics)
+    assert (
+        canonicalize_url("/record/9", base="http://h.io/search?page=2")
+        == "http://h.io/record/9"
+    )
+    assert canonicalize_url("../up", base="http://h.io/a/b/c") == "http://h.io/a/up"
+    # non-fetchable schemes dropped
+    assert canonicalize_url("mailto:x@y.z") is None
+    assert canonicalize_url("javascript:void(0)") is None
+    assert canonicalize_url(None) is None
+    assert canonicalize_url("   ") is None
+
+
+def test_drop_params():
+    # versailles.js:156-187 strips width/height/bg resize params
+    out = canonicalize_url(
+        "http://h.io/iiif/img.jpg?width=100&id=7&height=50",
+        drop_params=frozenset({"width", "height", "bg"}),
+    )
+    assert out == "http://h.io/iiif/img.jpg?id=7"
+
+
+url_strategy = st.builds(
+    lambda scheme, host, port, path, q: f"{scheme}://{host}{port}/{path}"
+    + (f"?{q}" if q else ""),
+    st.sampled_from(["http", "https", "HTTP", "Http"]),
+    st.from_regex(r"[a-zA-Z0-9][a-zA-Z0-9.-]{0,20}[a-zA-Z0-9]", fullmatch=True),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.from_regex(r"[a-zA-Z0-9_./%~-]{0,30}", fullmatch=True),
+    st.from_regex(r"[a-zA-Z0-9=&_%-]{0,20}", fullmatch=True),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(url_strategy)
+def test_idempotent(url):
+    once = canonicalize_url(url)
+    if once is not None:
+        assert canonicalize_url(once) == once
+        assert host_of(once) == host_of(once.upper().lower())
+
+
+def test_spark_path(spark):
+    """Vectorized UDF + JVM host/hash agree with the pure function."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.functions.canonicalize import with_canonical_url
+
+    urls = [
+        "HTTP://Example.COM:80/a/../b?x=1#f",
+        "https://h0.Example.test/record/3",
+        "mailto:skip@me",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    rows = with_canonical_url(df).orderBy("url").collect()
+    expected = sorted(u for u in (canonicalize_url(x) for x in urls) if u)
+    assert [r["url"] for r in rows] == expected
+    for r in rows:
+        host = r["url"].split("://")[1].split("/")[0].split(":")[0]
+        assert r["host"] == host
+        assert isinstance(r["url_hash"], int)

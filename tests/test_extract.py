@@ -1,0 +1,99 @@
+"""Extraction semantics: cheerio-equivalent text(), br→newline, field merge,
+image dedup (SURVEY.md §2.8 F3/F4, §2.4 A3, §2.7 U2)."""
+
+from crawler_spark.operators.extract import (
+    SYNTH,
+    extract_detail,
+    extract_search,
+    parse_html,
+    select,
+)
+
+
+def test_text_concat_no_added_whitespace():
+    # cheerio .text() = concatenation of descendant text nodes, verbatim
+    root = parse_html("<div>a<span>b</span>c</div>")
+    assert root.text() == "abc"
+
+
+def test_br_to_newline_only_when_asked():
+    root = parse_html("<td>x<br>y</td>")
+    td = select(root, "td")[0]
+    assert td.text() == "xy"
+    assert td.text(br_as_newline=True) == "x\ny"
+
+
+def test_entities_decoded():
+    root = parse_html("<p>a &amp; b &lt;c&gt;</p>")
+    assert select(root, "p")[0].text() == "a & b <c>"
+
+
+def test_selector_subset():
+    html = (
+        '<div class="a"><p id="p1">one</p></div>'
+        '<div class="b"><p>two</p></div>'
+    )
+    root = parse_html(html)
+    assert [n.text() for n in select(root, "div.a p")] == ["one"]
+    assert select(root, "#p1")[0].text() == "one"
+    assert len(select(root, "p")) == 2
+
+
+DETAIL = """
+<html><body>
+<h1 class="title">  My Record </h1>
+<table class="fields">
+<tr class="field"><td class="label"> Material </td><td class="value">silk</td></tr>
+<tr class="field"><td class="label">Material</td><td class="value">velvet</td></tr>
+<tr class="field"><td class="label">Description</td><td class="value">  one<br>two </td></tr>
+<tr class="field"><td class="label">Empty</td><td class="value">   </td></tr>
+</table>
+<div class="images"><img src="/i/1.jpg"><img src="/i/2.jpg"><img src="/i/1.jpg"></div>
+<div class="related"><a href="/record/r1">rel</a></div>
+</body></html>
+"""
+
+
+def test_detail_semantics():
+    rec = extract_detail(DETAIL, "http://h.io/record/5", SYNTH)
+    assert rec["title"] == "My Record"
+    # addField merge: repeated label appends values (record.js:22-37)
+    assert rec["fields"][0] == ("Material", ["silk", "velvet"])
+    # br→newline + trim (les-arts-decoratifs.js:122, mtmad.js:153-163)
+    assert rec["fields"][1] == ("Description", ["one\ntwo"])
+    # empty value dropped (record.js:14-21)
+    assert all(label != "Empty" for label, _ in rec["fields"])
+    # image url dedup preserving first-seen order (record.js:47-50)
+    assert rec["images"] == ["http://h.io/i/1.jpg", "http://h.io/i/2.jpg"]
+    assert rec["related"] == ["http://h.io/record/r1"]
+    assert rec["text"] == (
+        "My Record\nMaterial\tsilk\nMaterial\tvelvet\nDescription\tone\ntwo"
+    )
+
+
+def test_search_page():
+    html = (
+        '<div id="count">42 results</div>'
+        '<ul class="results"><li class="result"><a href="/record/1">x</a></li>'
+        '<li class="result"><a href="/record/2">y</a></li></ul>'
+    )
+    total, urls = extract_search(html, "http://h.io/search?page=1", SYNTH)
+    assert total == 42
+    assert urls == ["http://h.io/record/1", "http://h.io/record/2"]
+
+
+def test_sitegen_golden_text_matches_parser():
+    """The generator's golden text (composed from raw values, no parser) must
+    equal what the extraction UDF parses from the HTML — the byte-parity gate
+    in miniature."""
+    from crawler_spark.sources.sitegen import SiteSpec, generate_site
+
+    site = generate_site(SiteSpec(n_hosts=3, details_per_host=12, limit=5))
+    n_checked = 0
+    for row in site["pages"].itertuples():
+        if "/record/" not in row.url:
+            continue
+        rec = extract_detail(row.html, row.url, SYNTH)
+        assert rec["text"] == row.text, row.url
+        n_checked += 1
+    assert n_checked > 30
