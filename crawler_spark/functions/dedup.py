@@ -1,0 +1,258 @@
+"""Deduplication family for web-scale corpora (exact, n-gram Jaccard,
+MinHash+LSH, SimHash, embedding near-dup).
+
+Design for 100 TB: every variant is **blocked** — candidates are generated
+inside small buckets (hash bands / blocking keys), never by a global cross
+join. Exact + n-gram-Jaccard have DuckDB oracles; MinHash/SimHash use
+engine-side hashing (xxhash64) and are verified by property tests plus a
+rows-only driver check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.textstats import normalized
+
+# ---------------------------------------------------------------------------
+# exact
+
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical (normalized) texts: one row per duplicated
+    content hash. Single hash-partitioned aggregation — the 100 TB plan is a
+    two-level agg (partial map-side) that Catalyst already does."""
+    return (
+        df.groupBy(normalized(F.col(text_col)).alias("norm_text"))
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the min-id row per distinct normalized text."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(normalized(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# character n-gram shingles + Jaccard
+
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct character n-grams (shingles), JVM-side."""
+    t = normalized(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.substring(t, i, F.lit(n)))
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard within blocking buckets.
+
+    The self-join is *within block keys only* (equi-join on the block), so
+    at scale the shuffle is one hash partition per block — no cross join.
+    """
+    base = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id"),
+        char_ngrams(F.col(text_col), n).alias("grams"),
+    )
+    a = base.select(
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+        F.col("id").alias("id_a"),
+        F.col("grams").alias("grams_a"),
+    )
+    b = base.select(
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+        F.col("id").alias("id_b"),
+        F.col("grams").alias("grams_b"),
+    )
+    pairs = a.join(b, [f"__b_{c}" for c in block_cols]).where(
+        F.col("id_a") < F.col("id_b")
+    )
+    sim = jaccard(F.col("grams_a"), F.col("grams_b"))
+    return pairs.select(
+        "id_a", "id_b", F.round(sim, 6).alias("jaccard_sim")
+    ).where(F.col("jaccard_sim") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (banding) — the scale path for unknown-block near-dup
+
+
+def minhash_signature(text: Column, n_hashes: int = 64, shingle_n: int = 5) -> Column:
+    """MinHash signature as array<bigint>: per hash seed i, the min over
+    shingles of xxhash64(shingle, i). All JVM built-ins (xxhash64 accepts a
+    seed column via concat trick: hash of (i, shingle))."""
+    grams = char_ngrams(text, shingle_n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(grams, lambda g: F.xxhash64(i.cast("string"), g))
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """shingle → minhash → band → bucket-join → exact-Jaccard verify.
+
+    rows-per-band = n_hashes/bands; two docs collide if any band matches
+    exactly. Candidates from bucket equi-joins only (no cross join); each
+    candidate pair is then verified with exact n-gram Jaccard so the output
+    is deterministic (LSH affects recall, never precision).
+    """
+    rows_per_band = n_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        minhash_signature(F.col(text_col), n_hashes, shingle_n).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        "text",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.slice(
+                            F.col("sig"), b * rows_per_band + 1, rows_per_band
+                        ).cast("array<string>"),
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.select(
+        "band", "bucket", F.col("id").alias("id_a"), F.col("text").alias("text_a")
+    )
+    right = banded.select(
+        "band", "bucket", F.col("id").alias("id_b"), F.col("text").alias("text_b")
+    )
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "text_a", "text_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = jaccard(
+        char_ngrams(F.col("text_a"), shingle_n),
+        char_ngrams(F.col("text_b"), shingle_n),
+    )
+    return cand.select(
+        "id_a", "id_b", F.round(sim, 6).alias("jaccard_sim")
+    ).where(F.col("jaccard_sim") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash64(text: Column, shingle_n: int = 3) -> Column:
+    """64-bit SimHash over character shingles, fully JVM-side.
+
+    For each bit b: sum over shingles of (+1 if bit set else -1); bit in the
+    result iff the sum is positive. Expressed as an aggregate over the
+    shingle array with a 64-slot counter vector."""
+    grams = char_ngrams(text, shingle_n)
+    # counts[b] = sum over grams of ((hash >> b) & 1) ; n = size(grams)
+    # (shift amounts must be Python ints for shiftleft/shiftright)
+    counts = F.aggregate(
+        grams,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, g: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.shiftright(F.xxhash64(g), b).bitwiseAND(F.lit(1))
+                    for b in range(64)
+                ]
+            ),
+            lambda a, x: a + x,
+        ),
+    )
+    n = F.size(grams)
+    bits = F.array(
+        *[
+            F.when(
+                F.element_at(counts, b + 1) * 2 > n,
+                F.shiftleft(F.lit(1).cast("long"), b),
+            ).otherwise(F.lit(0).cast("long"))
+            for b in range(64)
+        ]
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseXOR(x))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup candidates by SimHash banding (4×16-bit chunks: any equal
+    chunk → candidate; Hamming ≤ max verified exactly)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
+    )
+    chunks = sh.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sh"), c * 16).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    l = chunks.select("chunk_idx", "chunk", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    r = chunks.select("chunk_idx", "chunk", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    cand = (
+        l.join(r, ["chunk_idx", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)

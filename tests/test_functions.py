@@ -1,0 +1,167 @@
+"""Training-data pipeline functions: textstats, dedup, similarity, multimodal."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox and the lazy dog of the farm", "en"),
+        (2, "le chat et la souris dans le jardin de la maison", "fr"),
+        (3, "el perro y los gatos de la casa un dia", "es"),
+        (4, "the quick brown fox and the lazy dog of the farm", "en"),  # dup of 1
+        (5, "the quick brown fox and the lazy dog of the barn", "en"),  # near-dup
+        (6, "zzz qqq", "und"),
+        (7, "", "und"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_token_count(spark, docs):
+    from crawler_spark.functions.textstats import token_count
+
+    got = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", token_count(F.col("text")).alias("n")).collect()
+    }
+    assert got[1] == 11 and got[6] == 2 and got[7] == 0
+
+
+def test_langid(spark, docs):
+    from crawler_spark.functions.textstats import langid
+
+    got = {
+        r["doc_id"]: r["l"]
+        for r in docs.select("doc_id", langid(F.col("text")).alias("l")).collect()
+    }
+    assert got[1] == "en" and got[2] == "fr" and got[3] == "es" and got[6] == "und"
+
+
+def test_fingerprint_normalization(spark):
+    from crawler_spark.functions.textstats import fingerprint_md5
+
+    df = spark.createDataFrame(
+        [("Hello  World",), ("hello world",), ("other",)], ["text"]
+    )
+    fps = [r["fp"] for r in df.select(fingerprint_md5(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_exact_dedup(spark, docs):
+    from crawler_spark.functions.dedup import exact_dedup, exact_duplicate_groups
+
+    groups = exact_duplicate_groups(docs).collect()
+    assert len(groups) == 1 and groups[0]["n_dups"] == 2 and groups[0]["keep_id"] == 1
+    kept = {r["doc_id"] for r in exact_dedup(docs).collect()}
+    assert kept == {1, 2, 3, 5, 6, 7}
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    from crawler_spark.functions.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        docs.withColumn("blk", F.lit(1)), ["blk"], threshold=0.5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard_sim"] for r in pairs}
+    assert got[(1, 4)] == 1.0  # exact dup
+    assert (1, 5) in got and got[(1, 5)] > 0.7  # near dup
+    assert (1, 2) not in got
+
+
+def test_minhash_lsh_finds_neardups(spark, docs):
+    from crawler_spark.functions.dedup import minhash_lsh_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 4) in pairs and (1, 5) in pairs
+    assert all(a < b for a, b in pairs)
+
+
+def test_simhash_near_pairs(spark, docs):
+    from crawler_spark.functions.dedup import simhash64, simhash_near_pairs
+
+    sh = {
+        r["doc_id"]: r["sh"]
+        for r in docs.where("doc_id in (1,4,5)")
+        .select("doc_id", simhash64(F.col("text")).alias("sh"))
+        .collect()
+    }
+    assert sh[1] == sh[4]  # identical text, identical simhash
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(docs, max_hamming=10).collect()
+    }
+    assert pairs[(1, 4)] == 0
+    assert (1, 5) in pairs
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((8, 16)).astype(np.float32)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v], i % 2))
+    # vec 100 = near-copy of vec 0
+    rows.append((100, [float(x) for x in base[0] + 0.001], 0))
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_brute_force_topk(spark, vecs):
+    from crawler_spark.functions.similarity import brute_force_topk
+
+    top = brute_force_topk(vecs.where("vec_id = 0"), vecs, k=2).collect()
+    assert top[0]["neighbor_id"] == 100 and top[0]["cos_sim"] > 0.999
+    assert len(top) == 2 and top[0]["rank"] == 1
+
+
+def test_lsh_topk_finds_obvious_neighbor(spark, vecs):
+    from crawler_spark.functions.similarity import lsh_topk
+
+    rows = lsh_topk(vecs, k=2, n_planes=4, dim=16).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    # the near-copy pair must share all LSH buckets → found
+    assert 100 in by_q.get(0, [])
+
+
+def test_embedding_neardup(spark, vecs):
+    from crawler_spark.functions.similarity import embedding_neardup_pairs
+
+    pairs = embedding_neardup_pairs(vecs, threshold=0.99, block_col="label").collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 100)}
+
+
+def test_multimodal_sniff_and_decode(spark):
+    from crawler_spark.functions.multimodal import (
+        decode_images,
+        image_type_valid,
+        sniff_content_type,
+    )
+
+    jpeg = b"\xff\xd8\xff\xe0" + b"x" * 20
+    png = b"\x89PNG\r\n\x1a\n" + b"y" * 20
+    bad = b"not an image"
+    assert sniff_content_type(jpeg) == "image/jpeg"
+    assert sniff_content_type(png) == "image/png"
+    assert sniff_content_type(bad) is None
+
+    df = spark.createDataFrame(
+        [("u1", bytearray(jpeg)), ("u2", bytearray(png)), ("u3", bytearray(bad))],
+        "url string, bytes binary",
+    )
+    valid = {
+        r["url"]: r["ok"]
+        for r in df.select("url", image_type_valid(F.col("bytes")).alias("ok")).collect()
+    }
+    assert valid == {"u1": True, "u2": True, "u3": False}
+
+    decoded = {r["url"]: r for r in decode_images(df).collect()}
+    assert decoded["u1"]["content_type"] == "image/jpeg"
+    assert decoded["u1"]["width"] > 0 and len(decoded["u1"]["features"]) == 8
+    assert decoded["u3"]["content_type"] is None and decoded["u3"]["width"] is None
