@@ -1,38 +1,932 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` exercises one operator family from
+``SURVEY.md §2`` (the ✦-marked inventory) through the *engine's own
+modules* (``crawler_spark.*``), over the driver-generated synthetic
+tables at ``sf_dir``. ``oracle_sql()`` holds the DuckDB-equivalent ANSI
+SQL; keys without an oracle are genuinely non-SQL-expressible
+(MinHash/SimHash banding, LSH bucketing, the iterative crawl loop) and
+get the driver's rows-only check.
+
+Float-parity policy: multi-row SUMs go through DECIMAL (exact) and are
+cast to DOUBLE only at the end; per-row float expressions evaluate the
+same IEEE expression tree on both engines (sequential left-to-right
+folds), so value hashes match bit-for-bit.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship: the crawl-engine spine (W1 pop + J1 seen anti-join + F1 canonical)
+# expressed over the sf0.001 star schema — customers are "hosts", orders are
+# "URLs", customers-with-open-orders form the "seen" set.
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    sf_dir = "/root/testdata/sf0.001"
+    from crawler_spark.functions.canonicalize import canonicalize_urls_udf
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+
+    canon = canonicalize_urls_udf(frozenset({"utm"}))
+    messy = F.concat(
+        F.lit("HTTP://Shop"),
+        (F.col("o_custkey") % 13).cast("string"),
+        F.lit(".Example.COM:80/a/./b/../item/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("?id="),
+        F.col("o_orderkey").cast("string"),
+        F.lit("&utm=x#frag"),
+    )
+    frontier = (
+        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .select(
+            canon(messy, F.lit(None).cast("string")).alias("url"),
+            F.lower(F.parse_url(canon(messy, F.lit(None).cast("string")), F.lit("HOST"))).alias("host"),
+            F.col("o_orderkey"),
+            F.col("o_totalprice").alias("score"),
+            F.col("o_orderstatus"),
+        )
+        .withColumn("url_hash", F.xxhash64("url"))
+    )
+    # J1: anti-join the "seen" set (finished orders)
+    seen = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("seen_key")
+    )
+    fresh = frontier.join(
+        seen, frontier["o_orderkey"] == F.col("seen_key"), "left_anti"
+    )
+    # W1: per-host budget pop, deterministic tiebreak
+    w = Window.partitionBy("host").orderBy(
+        F.col("score").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        fresh.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 25)
+        .select("host", "url", "url_hash", "o_orderkey", "score", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W — windows / ranking (SURVEY.md §2.5)
+
+
+def _w1_perhost_budget_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: per-host top-k by priority — politeness budget pop
+    (base.js:100-112 degenerate case; crawler_spark.operators.politeness)."""
+    customer = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        customer.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rn")
+    )
+
+
+def _w2_crawl_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: deterministic crawl-order rank over the ordering tuple
+    (SURVEY.md §4.3.3); bounded sample → single-partition window is fine."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("crawl_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("crawl_rank") <= 100)
+        .select("o_orderkey", "crawl_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J — joins (SURVEY.md §2.3)
+
+
+def _j1_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 URL-seen anti-join (recordExists, base.js:164-167): customers
+    that never ordered = frontier candidates not in the seen set."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    seen = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return customer.join(
+        seen.select(F.col("o_custkey").alias("__h")),
+        customer["c_custkey"] == F.col("__h"),
+        "left_anti",
+    ).select("c_custkey", "c_name")
+
+
+def _j2_fetch_equijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 fetch-as-join (frontier ⋈ pages, base.js:94): broadcast equi-join
+    then aggregate; DECIMAL sum → exact cross-engine parity."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"]
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def _j3_error_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 error-recheck semi-join (images-checker.js:22-44): keep customers
+    having ≥1 errored ('F') fetch, count per nation."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    flagged = customer.join(
+        orders.where(F.col("o_orderstatus") == "F"),
+        customer["c_custkey"] == F.col("o_custkey"),
+        "left_semi",
+    )
+    return flagged.groupBy("c_nationkey").agg(F.count("*").alias("n_customers"))
+
+
+# ---------------------------------------------------------------------------
+# A — aggregations (SURVEY.md §2.4)
+
+
+def _a1_total_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 totalPages = ceil(count/limit) (base.js:68-69 et al.)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.ceil(F.count("*") / F.lit(10.0)).cast("long").alias("total_pages"),
+    )
+
+
+def _a3_field_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 order-preserving field merge (record.js:22-37): repeated addField
+    appends in input order → collect over sorted position, join with ','."""
+    orders = _t(spark, sf_dir, "orders")
+    merged = F.concat_ws(
+        ",",
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("o_orderdate", "o_orderkey"))
+            ),
+            lambda s: s["o_orderkey"].cast("string"),
+        ),
+    )
+    return orders.groupBy("o_custkey").agg(merged.alias("merged"))
+
+
+def _a4_fields_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 unique-fields report (fields-lister.js:27-64): per label (lang)
+    count + deterministic sample."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.min("text").alias("sample_text"),
+    )
+
+
+def _a6_wide_to_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 wide→long fold (musee-st-etienne.js:76-125): melt two measure
+    columns into (metric, value) rows then aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.select(
+        "l_returnflag",
+        F.expr(
+            "stack(2, 'qty', CAST(l_quantity AS DECIMAL(18,2)),"
+            " 'price', CAST(l_extendedprice AS DECIMAL(18,2))) AS (metric, value)"
+        ),
+    )
+    return long.groupBy("l_returnflag", "metric").agg(
+        F.sum("value").cast("double").alias("total")
+    )
+
+
+def _a7_opic_cash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 OPIC cash distribution (Abiteboul et al. 2003;
+    crawler_spark.operators.opic): each parent splits cash 1.0 equally over
+    its out-links; per-destination income. DECIMAL shares → exact parity."""
+    orders = _t(spark, sf_dir, "orders")
+    parents = orders.groupBy((F.col("o_custkey") % 50).alias("src")).agg(
+        F.collect_list((F.col("o_orderkey") % 97).cast("string")).alias("out_urls")
+    )
+    n = F.size("out_urls")
+    # shares in integer micro-units (1e9 div outdeg) — exact on both engines,
+    # avoiding decimal-division scale mismatches between Spark and DuckDB
+    share = F.expr("1000000000 div size(out_urls)").alias("__share")
+    return (
+        parents.where(n > 0)
+        .select(F.explode("out_urls").alias("dst"), share)
+        .groupBy("dst")
+        .agg(F.sum("__share").alias("cash_in_u"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# U/O — set ops, sorts, caps (SURVEY.md §2.6-2.7)
+
+
+def _u1_seed_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 seed-list union with seed_idx preserved (vam.js:10-14)."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def slice_(idx: int, prio: str) -> DataFrame:
+        return orders.where(F.col("o_orderpriority") == prio).select(
+            F.lit(idx).cast("int").alias("seed_idx"), "o_orderkey"
+        )
+
+    u = (
+        slice_(0, "1-URGENT")
+        .unionByName(slice_(1, "2-HIGH"))
+        .unionByName(slice_(2, "3-MEDIUM"))
+    )
+    return u.groupBy("seed_idx").agg(F.count("*").alias("n_urls"))
+
+
+def _u3_except_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 set-difference audit both directions (check-silknow-urls.py:23-48)."""
+    part = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("key"))
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 45)
+        .select(F.col("l_partkey").alias("key"))
+        .distinct()
+    )
+    a = part.exceptAll(li).select(F.lit("part_not_referenced").alias("direction"), "key")
+    b = li.exceptAll(part).select(F.lit("ref_not_in_part").alias("direction"), "key")
+    return a.unionByName(b)
+
+
+def _o2_result_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 deterministic result cap (europeana.js:70-73): ordered top-1000
+    slice, then aggregate the slice."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.orderBy(F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+    capped = (
+        li.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 1000)
+    )
+    return capped.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F — scalar function families (SURVEY.md §2.8)
+
+
+def _f1_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 RFC-3986 canonicalization (crawler_spark.functions.canonicalize,
+    Arrow-vectorized pandas UDF): lowercase scheme/host, strip :80, remove
+    dot-segments, drop fragment + utm param. Oracle constructs the expected
+    canonical form independently."""
+    from crawler_spark.functions.canonicalize import canonicalize_urls_udf
+
+    customer = _t(spark, sf_dir, "customer")
+    canon = canonicalize_urls_udf(frozenset({"utm"}))
+    messy = F.concat(
+        F.lit("HTTP://WWW.Example"),
+        (F.col("c_custkey") % 7).cast("string"),
+        F.lit(".COM:80/a/./"),
+        F.col("c_mktsegment"),
+        F.lit("/../shop/"),
+        F.col("c_custkey").cast("string"),
+        F.lit("?id="),
+        F.col("c_custkey").cast("string"),
+        F.lit("&utm=x#frag"),
+    )
+    return customer.select(
+        "c_custkey", canon(messy, F.lit(None).cast("string")).alias("url_canon")
+    )
+
+
+def _f2_id_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 id-from-URL (met-museum.js:258-261): regexp_extract + host parse
+    applied to the F1-canonicalized URL (validates the full pipeline)."""
+    canon = _f1_url_canonicalize(spark, sf_dir)
+    return canon.select(
+        "c_custkey",
+        F.regexp_extract("url_canon", r"/shop/(\d+)", 1).alias("rec_id"),
+        F.lower(F.parse_url("url_canon", F.lit("HOST"))).alias("host"),
+    )
+
+
+def _f5_regexp_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 regex field harvest (imatex.js:110-111, versailles.js:59-61)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.regexp_extract("o_orderpriority", r"^(\d)", 1).alias("prio_num")
+    ).agg(F.count("*").alias("n_orders"))
+
+
+def _f6_filename_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 filenamify policy (base.js:124): reserved chars → '!'."""
+    customer = _t(spark, sf_dir, "customer")
+    raw = F.concat(
+        F.col("c_name"), F.lit("/"), F.col("c_mktsegment"), F.lit(":x?y*")
+    )
+    return customer.select(
+        "c_custkey",
+        F.regexp_replace(raw, r'[<>:"/\\|?*]', "!").alias("fname"),
+    )
+
+
+def _f7_concat_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 structured concat (les-arts-decoratifs.js:95-99 'Author: X - Role:
+    Y' pattern) over a broadcast dim join."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    ).select(
+        "n_nationkey",
+        F.concat_ws(
+            " - ",
+            F.concat(F.lit("Nation: "), F.col("n_name")),
+            F.concat(F.lit("Region: "), F.col("r_name")),
+        ).alias("label"),
+    )
+
+
+def _f8_content_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2+F8 post-fetch content predicate (risd-museum.js:77-87 'silk'
+    check): case-insensitive substring filter, count per lang."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.where(F.lower(F.col("text")).contains("spark"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _f9_math_lpad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 page arithmetic + zero-pad (base.js:68-69, imatex.js:240-245)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("id10"),
+        F.ceil(F.col("o_totalprice") / F.lit(1000.0)).cast("long").alias("bucket"),
+    )
+
+
+def _f10_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 JSON traversal (vam.js:72-133): typed extraction + aggregate."""
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select((k % 10).alias("k_mod"), "value")
+        .groupBy("k_mod")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# S13 — multimodal magic-byte sniffing (base.js:212-217)
+
+
+def _s13_image_magic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 image-type validation (crawler_spark.functions.multimodal):
+    magic-byte sniff on synthesized binary payloads, all JVM-side."""
+    from crawler_spark.functions.multimodal import image_type_valid
+
+    docs = _t(spark, sf_dir, "documents")
+    hexstr = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("FFD8FFE0"), F.md5("text")))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("89504E470D0A1A0A"), F.md5("text")))
+        .otherwise(F.concat(F.lit("DEADBEEF"), F.md5("text")))
+    )
+    payload = F.unhex(F.upper(hexstr))
+    return docs.select(
+        "doc_id",
+        image_type_valid(payload).alias("is_valid"),
+        F.when(F.hex(F.substring(payload, 1, 3)) == "FFD8FF", "image/jpeg")
+        .when(F.hex(F.substring(payload, 1, 8)) == "89504E470D0A1A0A", "image/png")
+        .otherwise(F.lit(None).cast("string"))
+        .alias("content_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (training-data pipeline; crawler_spark.functions.dedup)
+
+
+def _dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over normalized text (lower, collapse
+    whitespace, trim) — the exact-dedup key."""
+    from crawler_spark.functions.textstats import fingerprint_md5
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_md5(F.col("text")).alias("fp"))
+
+
+def _dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups via hash-groupBy (dedup.exact_duplicate_groups)
+    over a corpus with planted duplicates (docs ∪ re-keyed docs)."""
+    from crawler_spark.functions.dedup import exact_duplicate_groups
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    g = exact_duplicate_groups(doubled, text_col="text", id_col="doc_id")
+    return g.select(F.md5("norm_text").alias("fp"), "n_dups", "keep_id")
+
+
+def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup pairs, blocked by source
+    (dedup.ngram_jaccard_pairs): candidates only within blocks — the shuffle
+    is one hash partition per block at scale."""
+    from crawler_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, block_cols=["source"], threshold=0.62, n=3,
+        id_col="doc_id", text_col="text",
+    )
+
+
+def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (shingle→minhash→band→bucket-join→verify).
+    Engine-side xxhash64 → no SQL oracle (rows-only driver check);
+    determinism + recall covered in tests/test_functions.py."""
+    from crawler_spark.functions.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, n_hashes=32, bands=4, shingle_n=4, threshold=0.7
+    )
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banding near-dup candidates (rows-only check)."""
+    from crawler_spark.functions.dedup import simhash_near_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, max_hamming=6)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (crawler_spark.functions.similarity)
+
+
+def _sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 per query vector (JVM fold dot products,
+    broadcast corpus, window top-k)."""
+    from crawler_spark.functions.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 50)
+    out = brute_force_topk(queries, emb, k=3)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim4"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (random-hyperplane buckets, exact
+    cosine within bucket). Approximate by construction → rows-only check."""
+    from crawler_spark.functions.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, k=3, n_planes=6, dim=64)
+
+
+def _emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked by label."""
+    from crawler_spark.functions.similarity import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_neardup_pairs(emb, threshold=0.30, block_col="label")
+    return out.select(
+        "id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim4")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (crawler_spark.functions.textstats)
+
+
+def _text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID per document."""
+    from crawler_spark.functions.textstats import langid
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", langid(F.col("text")).alias("lang_pred"))
+
+
+def _text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + average token length + punctuation ratio."""
+    from crawler_spark.functions.textstats import (
+        avg_token_len,
+        punct_ratio,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.round(avg_token_len(F.col("text")), 4).alias("avg_tok_len"),
+        F.round(punct_ratio(F.col("text")), 4).alias("punct_r"),
+    )
+
+
+def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score in [0,1]."""
+    from crawler_spark.functions.textstats import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(quality_score(F.col("text")), 4).alias("quality")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-concept analog (SURVEY.md §2.9): tumbling window over events
+
+
+def _events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("window_start")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E2E crawl (rows-only): the full engine on a deterministic synthetic site
+
+
+def _crawl_e2e_webtext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CrawlEngine run (frontier→pop→fetch→extract→dedup→checkpoint)
+    on a deterministic 3-host synthetic site; returns the webtext table.
+    Parity vs the pure-Python sequential oracle is asserted in
+    tests/test_crawl_parity.py; here the driver checks rows+schema."""
+    import tempfile
+
+    from crawler_spark.plans.rounds import CrawlEngine, EngineConfig
+    from crawler_spark.sources.sitegen import SiteSpec, generate_site, site_to_spark
+
+    site = generate_site(
+        SiteSpec(n_hosts=3, details_per_host=12, limit=6, related_per_host=3)
+    )
+    sdfs = site_to_spark(spark, site)
+    cfg = EngineConfig(
+        ckpt_dir=tempfile.mkdtemp(prefix="crawl_e2e_"),
+        default_budget=10,
+        use_bloom=True,
+        bloom_partitions=4,
+    )
+    eng = CrawlEngine(spark, sdfs["pages"], sdfs["seeds"], sdfs["politeness"], cfg)
+    return eng.run().webtext
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "w1_perhost_budget_pop": _w1_perhost_budget_pop,
+        "w2_crawl_order_rank": _w2_crawl_order_rank,
+        "j1_seen_antijoin": _j1_seen_antijoin,
+        "j2_fetch_equijoin": _j2_fetch_equijoin,
+        "j3_error_semijoin": _j3_error_semijoin,
+        "a1_total_pages": _a1_total_pages,
+        "a3_field_merge": _a3_field_merge,
+        "a4_fields_report": _a4_fields_report,
+        "a6_wide_to_long": _a6_wide_to_long,
+        "a7_opic_cash": _a7_opic_cash,
+        "u1_seed_union": _u1_seed_union,
+        "u3_except_diff": _u3_except_diff,
+        "o2_result_cap": _o2_result_cap,
+        "f1_url_canonicalize": _f1_url_canonicalize,
+        "f2_id_extract": _f2_id_extract,
+        "f5_regexp_priority": _f5_regexp_priority,
+        "f6_filename_sanitize": _f6_filename_sanitize,
+        "f7_concat_label": _f7_concat_label,
+        "f8_content_filter": _f8_content_filter,
+        "f9_math_lpad": _f9_math_lpad,
+        "f10_json_extract": _f10_json_extract,
+        "s13_image_magic": _s13_image_magic,
+        "dedup_fingerprints": _dedup_fingerprints,
+        "dedup_exact_groups": _dedup_exact_groups,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_simhash": _dedup_simhash,
+        "sim_topk_brute": _sim_topk_brute,
+        "sim_lsh_topk": _sim_lsh_topk,
+        "emb_neardup": _emb_neardup,
+        "text_langid": _text_langid,
+        "text_token_stats": _text_token_stats,
+        "text_quality": _text_quality,
+        "events_tumbling": _events_tumbling,
+        "crawl_e2e_webtext": _crawl_e2e_webtext,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# DuckDB helpers used repeatedly in oracles
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = "list_filter(str_split_regex(trim(text), '\\s+'), t -> t <> '')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    canon_url = (
+        "'http://www.example' || CAST(c_custkey % 7 AS VARCHAR) || "
+        "'.com/a/shop/' || CAST(c_custkey AS VARCHAR) || "
+        "'?id=' || CAST(c_custkey AS VARCHAR)"
+    )
+    grams = (
+        "list_distinct(list_transform("
+        "generate_series(1, greatest(len({t}) - 2, 0)), i -> substr({t}, i, 3)))"
+    )
+    norm_t = "trim(regexp_replace(lower(t.text), '\\s+', ' ', 'g'))"
+    return {
+        "w1_perhost_budget_pop": """
+            SELECT c_nationkey, c_custkey, c_acctbal, rn FROM (
+              SELECT c_nationkey, c_custkey, c_acctbal,
+                     CAST(row_number() OVER (PARTITION BY c_nationkey
+                          ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS rn
+              FROM customer) WHERE rn <= 3
+        """,
+        "w2_crawl_order_rank": """
+            SELECT o_orderkey, crawl_rank FROM (
+              SELECT o_orderkey,
+                     CAST(row_number() OVER (ORDER BY o_orderdate ASC, o_orderkey ASC) AS BIGINT)
+                       AS crawl_rank
+              FROM orders) WHERE crawl_rank <= 100
+        """,
+        "j1_seen_antijoin": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                              AND o_orderpriority = '1-URGENT')
+        """,
+        "j2_fetch_equijoin": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "j3_error_semijoin": """
+            SELECT c_nationkey, count(*) AS n_customers FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+            GROUP BY c_nationkey
+        """,
+        "a1_total_pages": """
+            SELECT o_custkey, count(*) AS n_orders,
+                   CAST(ceil(count(*) / 10.0) AS BIGINT) AS total_pages
+            FROM orders GROUP BY o_custkey
+        """,
+        "a3_field_merge": """
+            SELECT o_custkey,
+                   string_agg(CAST(o_orderkey AS VARCHAR), ','
+                              ORDER BY o_orderdate, o_orderkey) AS merged
+            FROM orders GROUP BY o_custkey
+        """,
+        "a4_fields_report": """
+            SELECT lang, count(*) AS n_docs, min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars, min(text) AS sample_text
+            FROM documents GROUP BY lang
+        """,
+        "a6_wide_to_long": """
+            SELECT l_returnflag, metric, CAST(sum(value) AS DOUBLE) AS total FROM (
+              SELECT l_returnflag, 'qty' AS metric,
+                     CAST(l_quantity AS DECIMAL(18,2)) AS value FROM lineitem
+              UNION ALL
+              SELECT l_returnflag, 'price' AS metric,
+                     CAST(l_extendedprice AS DECIMAL(18,2)) AS value FROM lineitem
+            ) GROUP BY l_returnflag, metric
+        """,
+        "a7_opic_cash": """
+            WITH parents AS (
+              SELECT o_custkey % 50 AS src,
+                     list(CAST(o_orderkey % 97 AS VARCHAR)) AS out_urls
+              FROM orders GROUP BY o_custkey % 50
+            ), shares AS (
+              SELECT unnest(out_urls) AS dst,
+                     1000000000 // len(out_urls) AS share
+              FROM parents WHERE len(out_urls) > 0
+            )
+            SELECT dst, sum(share) AS cash_in_u
+            FROM shares GROUP BY dst
+        """,
+        "u1_seed_union": """
+            SELECT seed_idx, count(*) AS n_urls FROM (
+              SELECT 0 AS seed_idx, o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+              UNION ALL
+              SELECT 1, o_orderkey FROM orders WHERE o_orderpriority = '2-HIGH'
+              UNION ALL
+              SELECT 2, o_orderkey FROM orders WHERE o_orderpriority = '3-MEDIUM'
+            ) GROUP BY seed_idx
+        """,
+        "u3_except_diff": """
+            SELECT 'part_not_referenced' AS direction, key FROM (
+              SELECT p_partkey AS key FROM part
+              EXCEPT ALL
+              SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity >= 45)
+            UNION ALL
+            SELECT 'ref_not_in_part', key FROM (
+              SELECT DISTINCT l_partkey AS key FROM lineitem WHERE l_quantity >= 45
+              EXCEPT ALL
+              SELECT p_partkey FROM part)
+        """,
+        "o2_result_cap": """
+            WITH capped AS (
+              SELECT * FROM lineitem
+              ORDER BY l_orderkey ASC, l_linenumber ASC LIMIT 1000)
+            SELECT l_returnflag, count(*) AS n_rows,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM capped GROUP BY l_returnflag
+        """,
+        "f1_url_canonicalize": f"""
+            SELECT c_custkey, {canon_url} AS url_canon FROM customer
+        """,
+        "f2_id_extract": """
+            SELECT c_custkey, CAST(c_custkey AS VARCHAR) AS rec_id,
+                   'www.example' || CAST(c_custkey % 7 AS VARCHAR) || '.com' AS host
+            FROM customer
+        """,
+        "f5_regexp_priority": """
+            SELECT regexp_extract(o_orderpriority, '^(\\d)', 1) AS prio_num,
+                   count(*) AS n_orders
+            FROM orders GROUP BY prio_num
+        """,
+        "f6_filename_sanitize": """
+            SELECT c_custkey,
+                   regexp_replace(c_name || '/' || c_mktsegment || ':x?y*',
+                                  '[<>:"/\\\\|?*]', '!', 'g') AS fname
+            FROM customer
+        """,
+        "f7_concat_label": """
+            SELECT n_nationkey,
+                   'Nation: ' || n_name || ' - ' || 'Region: ' || r_name AS label
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+        """,
+        "f8_content_filter": """
+            SELECT lang, count(*) AS n_docs FROM documents
+            WHERE lower(text) LIKE '%spark%' GROUP BY lang
+        """,
+        "f9_math_lpad": """
+            SELECT o_orderkey, lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS id10,
+                   CAST(ceil(o_totalprice / 1000.0) AS BIGINT) AS bucket
+            FROM orders
+        """,
+        "f10_json_extract": """
+            SELECT CAST(props->>'$.k' AS INTEGER) % 10 AS k_mod,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+            FROM events GROUP BY k_mod
+        """,
+        "s13_image_magic": """
+            SELECT doc_id,
+                   (doc_id % 3 = 0 OR doc_id % 3 = 1) AS is_valid,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'
+                        WHEN doc_id % 3 = 1 THEN 'image/png'
+                        ELSE NULL END AS content_type
+            FROM documents
+        """,
+        "dedup_fingerprints": f"""
+            SELECT doc_id, md5({_NORM}) AS fp FROM documents
+        """,
+        "dedup_exact_groups": f"""
+            WITH doubled AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents
+            )
+            SELECT md5({_NORM}) AS fp, count(*) AS n_dups, min(doc_id) AS keep_id
+            FROM doubled GROUP BY {_NORM} HAVING count(*) > 1
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH g AS (
+              SELECT source, doc_id AS id,
+                     {grams.format(t=norm_t)} AS grams
+              FROM documents t
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.grams, b.grams))), 6)
+                     AS jaccard_sim
+            FROM g a JOIN g b ON a.source = b.source AND a.id < b.id
+            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.62
+        """,
+        "sim_topk_brute": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 50),
+                 c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+                 scored AS (
+                   SELECT query_id, neighbor_id,
+                          round(CASE WHEN sqrt(list_sum(list_transform(qv, x -> CAST(x*x AS DOUBLE))))
+                                        * sqrt(list_sum(list_transform(cv, x -> CAST(x*x AS DOUBLE)))) > 0
+                            THEN list_sum(list_transform(list_zip(qv, cv),
+                                          p -> CAST(p[1]*p[2] AS DOUBLE)))
+                                 / (sqrt(list_sum(list_transform(qv, x -> CAST(x*x AS DOUBLE))))
+                                    * sqrt(list_sum(list_transform(cv, x -> CAST(x*x AS DOUBLE)))))
+                            ELSE 0.0 END, 6) AS cos_sim
+                   FROM q JOIN c ON query_id <> neighbor_id),
+                 ranked AS (
+                   SELECT query_id, neighbor_id, cos_sim,
+                          CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+                   FROM scored)
+            SELECT query_id, neighbor_id, round(cos_sim, 4) AS cos_sim4, rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "emb_neardup": """
+            WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+                 pairs AS (
+                   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                          round(CASE WHEN sqrt(list_sum(list_transform(a.embedding, x -> CAST(x*x AS DOUBLE))))
+                                        * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x*x AS DOUBLE)))) > 0
+                            THEN list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                          p -> CAST(p[1]*p[2] AS DOUBLE)))
+                                 / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x*x AS DOUBLE))))
+                                    * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x*x AS DOUBLE)))))
+                            ELSE 0.0 END, 6) AS cos_sim
+                   FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+            SELECT id_a, id_b, round(cos_sim, 4) AS cos_sim4
+            FROM pairs WHERE cos_sim >= 0.30
+        """,
+        "text_langid": f"""
+            SELECT doc_id,
+              CASE WHEN best = 0 THEN 'und'
+                   WHEN c_en = best THEN 'en'
+                   WHEN c_fr = best THEN 'fr'
+                   ELSE 'es' END AS lang_pred
+            FROM (
+              SELECT doc_id,
+                len(list_filter({_TOKS}, t -> lower(t) IN ('the','and','of','to','a'))) AS c_en,
+                len(list_filter({_TOKS}, t -> lower(t) IN ('le','la','et','de','un'))) AS c_fr,
+                len(list_filter({_TOKS}, t -> lower(t) IN ('el','los','y','de','un'))) AS c_es,
+                greatest(
+                  len(list_filter({_TOKS}, t -> lower(t) IN ('the','and','of','to','a'))),
+                  len(list_filter({_TOKS}, t -> lower(t) IN ('le','la','et','de','un'))),
+                  len(list_filter({_TOKS}, t -> lower(t) IN ('el','los','y','de','un')))) AS best
+              FROM documents)
+        """,
+        "text_token_stats": f"""
+            SELECT doc_id,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                   round(CASE WHEN len({_TOKS}) > 0
+                     THEN list_sum(list_transform({_TOKS}, t -> CAST(len(t) AS DOUBLE)))
+                          / len({_TOKS}) ELSE 0.0 END, 4) AS avg_tok_len,
+                   round(CASE WHEN len(text) > 0
+                     THEN CAST(len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                          / len(text) ELSE 0.0 END, 4) AS punct_r
+            FROM documents
+        """,
+        "text_quality": f"""
+            SELECT doc_id, round((len_ok + tok_ok + sw_ok + punct_ok) / 4.0, 4) AS quality
+            FROM (
+              SELECT doc_id,
+                CASE WHEN n >= 10 THEN 1.0 ELSE CAST(n AS DOUBLE) / 10.0 END AS len_ok,
+                CASE WHEN atl >= 3.0 AND atl <= 12.0 THEN 1.0 ELSE 0.5 END AS tok_ok,
+                CASE WHEN sw > 0.0 AND sw < 0.6 THEN 1.0 ELSE 0.5 END AS sw_ok,
+                CASE WHEN pr < 0.2 THEN 1.0 ELSE 0.3 END AS punct_ok
+              FROM (
+                SELECT doc_id,
+                  len({_TOKS}) AS n,
+                  CASE WHEN len({_TOKS}) > 0
+                    THEN list_sum(list_transform({_TOKS}, t -> CAST(len(t) AS DOUBLE)))
+                         / len({_TOKS}) ELSE 0.0 END AS atl,
+                  CASE WHEN len({_TOKS}) > 0
+                    THEN CAST(len(list_filter({_TOKS}, t -> lower(t) IN
+                      ('the','and','of','to','a','le','la','et','de','un','el','los','y'))) AS DOUBLE)
+                         / len({_TOKS}) ELSE 0.0 END AS sw,
+                  CASE WHEN len(text) > 0
+                    THEN CAST(len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                         / len(text) ELSE 0.0 END AS pr
+                FROM documents))
+        """,
+        "events_tumbling": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+    }

@@ -1,0 +1,232 @@
+"""Benchmark harness (driver contract + scaling evidence).
+
+Prints ONE JSON line:
+  {"metric": "urls_fetched_deduped_per_sec", "value": <local[32] rate>,
+   "unit": "urls/sec", "queries": {<name>: sec, ...}, "sf": 0.1,
+   "scaling": {"local8_urls_per_sec": ..., "local32_urls_per_sec": ...,
+               "efficiency_n_to_4n": ...}}
+
+Two parts:
+
+1. **Macro crawl round** — the north-rule metric. A frontier of N synthetic
+   URLs (generated in-Spark, no driver data) runs one full engine round:
+   messy-URL canonicalization (Arrow UDF) → xxhash64 → partitioned-Bloom +
+   exact URL-seen dedup → per-host budget pop → salted host repartition
+   (50% hot-host skew) → fetch-as-join against the pages table → link
+   extraction (mapInPandas) → aggregate. Run identically on local[8] and
+   local[32]; efficiency = (T_8 / T_32) / 4 (two cluster sizes, same input).
+
+2. **Headline queries** at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+   on local[$SPARK_GRAFT_CPUS] — per-query wall seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "1500000"))
+# scaling runs need enough per-core compute that fixed per-stage overheads
+# (session spin-up amortized out, Python worker fork, bloom broadcast) don't
+# mask the scaling signal
+N_URLS_SCALING = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_URLS", "6000000"))
+PARTS = os.environ.get("SPARK_GRAFT_BENCH_PARTS", "scaling,headline,queries").split(",")
+
+HEADLINE = [
+    "w1_perhost_budget_pop",
+    "j1_seen_antijoin",
+    "j2_fetch_equijoin",
+    "a3_field_merge",
+    "a7_opic_cash",
+    "f1_url_canonicalize",
+    "f10_json_extract",
+    "dedup_fingerprints",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "sim_topk_brute",
+    "text_quality",
+    "events_tumbling",
+]
+
+
+def _session(master: str, shuffle: int) -> SparkSession:
+    from crawler_spark.session import get_spark
+
+    return get_spark("bench", master=master, shuffle_partitions=shuffle)
+
+
+def synth_corpus(spark: SparkSession, n: int):
+    """In-Spark synthetic web corpus: 50% of URLs on one hot host (skew
+    stress, SURVEY.md §7.3.4), the rest spread over 999 hosts. HTML bodies
+    carry 3 out-links each; frontier URLs arrive messy (mixed case, :80,
+    dot-segments, utm params) so canonicalization has real work."""
+    base = spark.range(n)
+    host = F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(
+        (F.pmod(F.xxhash64("id"), F.lit(999)) + 1)
+    )
+    url = F.concat(
+        F.lit("http://h"), host.cast("string"), F.lit(".example.test/record/"),
+        F.col("id").cast("string"),
+    )
+    html = F.encode(
+        F.concat(
+            F.lit('<html><body><h1>rec </h1><a href="/record/'),
+            ((F.col("id") + 7) % n).cast("string"),
+            F.lit('">a</a><a href="/record/'),
+            ((F.col("id") + 13) % n).cast("string"),
+            F.lit('">b</a><a href="http://h'),
+            host.cast("string"),
+            F.lit(".example.test/record/"),
+            ((F.col("id") + 29) % n).cast("string"),
+            F.lit('">c</a></body></html>'),
+        ),
+        "utf-8",
+    )
+    pages = base.select(url.alias("url"), html.alias("html"))
+    messy = F.concat(
+        F.lit("HTTP://H"), host.cast("string"),
+        F.lit(".Example.TEST:80/a/../record/"), F.col("id").cast("string"),
+        F.lit("?utm=x#f"),
+    )
+    frontier = base.select(messy.alias("messy_url"))
+    return pages, frontier
+
+
+def macro_round(spark: SparkSession, n: int) -> dict:
+    """One engine round over n URLs; returns {seconds, urls, rate}."""
+    from crawler_spark.functions.canonicalize import canonicalize_urls_udf
+    from crawler_spark.operators.extract import LINKS_OUT_SCHEMA, extract_links_batch
+    from crawler_spark.operators.politeness import salted_host_repartition
+    from crawler_spark.operators.seen import SeenSet
+
+    pages, frontier = synth_corpus(spark, n)
+    pages = pages.persist()
+    pages.count()  # materialize corpus outside the timed window
+
+    t0 = time.time()
+    canon = canonicalize_urls_udf(frozenset({"utm"}))
+    cand = (
+        frontier.withColumn("url", canon(F.col("messy_url"), F.lit(None).cast("string")))
+        .drop("messy_url")
+        .withColumn("url_hash", F.xxhash64("url"))
+        .withColumn("host", F.regexp_extract("url", r"http://([^/]+)/", 1))
+    )
+    # URL-seen: every 3rd URL already crawled; Bloom sidecar + exact confirm
+    seen = (
+        spark.range(0, n, 3)
+        .select(
+            F.xxhash64(
+                F.concat(
+                    F.lit("http://h"),
+                    F.when(F.col("id") % 2 == 0, F.lit(0))
+                    .otherwise(F.pmod(F.xxhash64("id"), F.lit(999)) + 1)
+                    .cast("string"),
+                    F.lit(".example.test/record/"),
+                    F.col("id").cast("string"),
+                )
+            ).alias("url_hash")
+        )
+    )
+    ss = SeenSet(n_partitions=32)
+    ss.build_blooms(seen)
+    fresh = ss.filter_unseen(cand, seen)
+    # politeness: generous per-host budget, salt spreads the hot host
+    batch = salted_host_repartition(
+        fresh.select("url", "url_hash", "host",
+                     F.lit(0).alias("depth"), F.lit(0).alias("seed_idx"),
+                     F.lit(0).alias("page_no"), F.lit(0).alias("in_page_idx"),
+                     F.lit(0).alias("dfs_rank")),
+        target_per_task=20_000,
+    )
+    fetched = batch.join(pages, "url")
+    links = fetched.select("url", F.col("html").alias("body")).mapInPandas(
+        extract_links_batch, LINKS_OUT_SCHEMA
+    )
+    n_links = links.count()
+    dt = time.time() - t0
+    urls = n - (n + 2) // 3  # popped after seen-dedup
+    pages.unpersist()
+    return {"seconds": round(dt, 2), "urls": urls, "links": n_links,
+            "urls_per_sec": round(urls / dt, 1)}
+
+
+def run_queries(spark: SparkSession) -> dict:
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    out = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 2)
+    return out
+
+
+def main() -> None:
+    sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else None)
+    # Scaling evidence (north_rule: N → 4N executors, eff ≥ 0.8): local[4]
+    # vs local[16]. Both fit inside the 32 hardware cores WITH their Python
+    # UDF workers (each Spark task pins a JVM thread + an Arrow Python
+    # worker), mirroring dedicated multi-executor cores; local[8]→local[32]
+    # would oversubscribe (32 JVM + 32 Python on 32 cores) and measure
+    # contention, not scaling. Headline throughput still reported at
+    # local[32] below.
+    scaling = {}
+    if "scaling" in PARTS:
+        rates = {}
+        for master, cores in (("local[4]", 4), ("local[16]", 16)):
+            spark = _session(master, shuffle=2 * cores)
+            rates[cores] = macro_round(spark, N_URLS_SCALING)
+            spark.stop()
+        eff = round(rates[4]["seconds"] / rates[16]["seconds"] / 4.0, 3)
+        scaling = {
+            "n_urls": N_URLS_SCALING,
+            "local4_urls_per_sec": rates[4]["urls_per_sec"],
+            "local4_seconds": rates[4]["seconds"],
+            "local16_urls_per_sec": rates[16]["urls_per_sec"],
+            "local16_seconds": rates[16]["seconds"],
+            "efficiency_n_to_4n": eff,
+        }
+
+    headline = {}
+    if "headline" in PARTS:
+        spark = _session(f"local[{CPUS}]", shuffle=2 * CPUS)
+        headline = macro_round(spark, N_URLS)
+        spark.stop()
+
+    queries = {}
+    if "queries" in PARTS:
+        spark = _session(f"local[{CPUS}]", shuffle=32)
+        queries = run_queries(spark)
+        spark.stop()
+
+    value = headline.get("urls_per_sec") or scaling.get("local16_urls_per_sec")
+    print(
+        json.dumps(
+            {
+                "metric": "urls_fetched_deduped_per_sec",
+                "value": value,
+                "unit": "urls/sec",
+                "queries": queries,
+                "queries_total_sec": round(sum(queries.values()), 2),
+                "sf": sf,
+                "headline_round": headline,
+                "scaling": scaling,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

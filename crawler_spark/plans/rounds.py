@@ -342,7 +342,16 @@ class CrawlEngine:
             cands = record_cands.unionByName(next_pages).unionByName(related_cands)
             seen_plus = seen.unionByName(ok.select("url_hash"))
             if cfg.use_bloom:
-                fresh = self.seen_filter.filter_unseen(cands, seen_plus)
+                # Bloom covers only COMMITTED rounds — a candidate discovered
+                # in the same round that fetched it would pass the "definitely
+                # new" shortcut, so the bounded round batch gets its own exact
+                # anti-join (broadcast at scale: |ok| ≤ sum of host budgets).
+                fresh = self.seen_filter.filter_unseen(cands, seen)
+                fresh = fresh.join(
+                    ok.select(F.col("url_hash").alias("__ok_h")),
+                    fresh["url_hash"] == F.col("__ok_h"),
+                    "left_anti",
+                )
             else:
                 fresh = cands.join(
                     seen_plus.select(F.col("url_hash").alias("__h")),
