@@ -561,6 +561,75 @@ def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Reporting jobs (A4 fields-lister, U3/S14 missing-images audit) through the
+# engine modules, over records synthesized deterministically from documents
+
+
+def _records_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_spark.functions.textstats import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    first_two = F.slice(tokens(F.col("text")), 1, 2)
+    return docs.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.array(
+            F.struct(F.lit("lang").alias("label"), F.array(F.col("lang")).alias("values")),
+            F.struct(F.lit("source").alias("label"), F.array(F.col("source")).alias("values")),
+            F.struct(F.lit("sample").alias("label"), first_two.alias("values")),
+        ).alias("fields"),
+        F.when(
+            F.col("doc_id") % 4 != 0,
+            F.array(
+                F.struct(
+                    F.lit(None).cast("string").alias("id"),
+                    F.concat(F.lit("http://img.test/"), F.col("doc_id").cast("string"), F.lit(".jpg")).alias("url"),
+                    F.lit(None).cast("string").alias("title"),
+                    F.lit(None).cast("string").alias("description"),
+                    F.lit(None).cast("string").alias("author"),
+                    F.lit(None).cast("string").alias("license"),
+                    F.lit(None).cast("string").alias("text"),
+                    F.lit(None).cast("string").alias("localFilename"),
+                    F.lit(False).alias("hasError"),
+                )
+            ),
+        ).otherwise(F.array().cast(
+            "array<struct<id:string,url:string,title:string,description:string,"
+            "author:string,license:string,text:string,localFilename:string,"
+            "hasError:boolean>>"
+        )).alias("images"),
+    )
+
+
+def _fields_lister_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 --list-fields job (fields-lister.js:27-64) via
+    crawler_spark.plans.reports.fields_report."""
+    from crawler_spark.plans.reports import fields_report
+
+    recs = _records_from_documents(spark, sf_dir)
+    rep = fields_report(recs)
+    return rep.select(
+        "label", "n_records", "sample_value",
+        F.col("n_multi_value").cast("long").alias("n_multi_value"),
+    )
+
+
+def _images_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3/S14 missing-images audit (check-silknow-urls.py:23-48) via
+    crawler_spark.plans.reports.missing_images: stored assets are doc_ids
+    divisible by 3 — both diff directions are non-empty."""
+    from crawler_spark.plans.reports import missing_images
+
+    recs = _records_from_documents(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    assets = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.concat(
+            F.lit("http://img.test/"), F.col("doc_id").cast("string"), F.lit(".jpg")
+        ).alias("url"),
+    )
+    return missing_images(recs, assets)
+
+
+# ---------------------------------------------------------------------------
 # Streaming-concept analog (SURVEY.md §2.9): tumbling window over events
 
 
@@ -644,6 +713,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _text_token_stats,
         "text_quality": _text_quality,
         "events_tumbling": _events_tumbling,
+        "fields_lister_report": _fields_lister_report,
+        "images_audit": _images_audit,
         "crawl_e2e_webtext": _crawl_e2e_webtext,
     }
 
@@ -922,6 +993,28 @@ def oracle_sql() -> dict[str, str]:
                     THEN CAST(len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
                          / len(text) ELSE 0.0 END AS pr
                 FROM documents))
+        """,
+        "fields_lister_report": f"""
+            WITH toks AS (SELECT doc_id, lang, source, {_TOKS} AS t FROM documents)
+            SELECT 'lang' AS label, count(*) AS n_records,
+                   min(lang) AS sample_value, CAST(0 AS BIGINT) AS n_multi_value
+            FROM toks
+            UNION ALL
+            SELECT 'source', count(*), min(source), CAST(0 AS BIGINT) FROM toks
+            UNION ALL
+            SELECT 'sample', count(*),
+                   min(CASE WHEN len(t) > 0 THEN t[1] END),
+                   CAST(sum(CASE WHEN len(t) >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM toks
+        """,
+        "images_audit": """
+            SELECT 'referenced_not_stored' AS direction,
+                   'http://img.test/' || CAST(doc_id AS VARCHAR) || '.jpg' AS url
+            FROM documents WHERE doc_id % 4 <> 0 AND doc_id % 3 <> 0
+            UNION ALL
+            SELECT 'stored_not_referenced',
+                   'http://img.test/' || CAST(doc_id AS VARCHAR) || '.jpg'
+            FROM documents WHERE doc_id % 3 = 0 AND doc_id % 4 = 0
         """,
         "events_tumbling": """
             SELECT event_type, date_trunc('hour', ts) AS window_start,
