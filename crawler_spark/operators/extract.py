@@ -164,6 +164,9 @@ class ConnectorConfig:
     content_filter_label: str | None = None  # risd silk filter
     content_filter_substr: str | None = None
     drop_params: frozenset[str] = field(default_factory=frozenset)
+    # body format: "html" (cheerio connectors, S2) or "json" (typed JSON API
+    # connectors, S3 — vam.js:25-49,72-133, mobilier-international.js:26-99)
+    body_format: str = "html"
 
 
 SYNTH = ConnectorConfig(connector_id="synth")
@@ -179,10 +182,118 @@ def extract_count(root: Node, cfg: ConnectorConfig) -> int | None:
     return int(digits) if digits else None
 
 
+def _decode(body: bytes | str, encoding: str) -> str:
+    if isinstance(body, (bytes, bytearray, memoryview)):
+        return bytes(body).decode(encoding, errors="replace")
+    return body
+
+
+def extract_search_json(
+    body: bytes | str, base_url: str, cfg: ConnectorConfig = SYNTH
+) -> tuple[int | None, list[str]]:
+    """JSON search response → (total, record URLs) — the S3 path
+    (vam.js:25-49: typed traversal of ``info.record_count`` + per-record
+    links). Fixture shape: ``{"total": N|null, "records": [{"url": ...}]}``."""
+    import json
+
+    try:
+        data = json.loads(_decode(body, cfg.encoding))
+    except ValueError:
+        return None, []
+    total = data.get("total")
+    urls: list[str] = []
+    for rec in data.get("records", []):
+        u = canonicalize_url(rec.get("url"), base_url, cfg.drop_params)
+        if u:
+            urls.append(u)
+    return (int(total) if total is not None else None), urls
+
+
+def extract_detail_json(
+    body: bytes | str, base_url: str, cfg: ConnectorConfig = SYNTH
+) -> dict:
+    """JSON detail response → record dict with reference semantics:
+
+    * P1 empty-value filter (record.js:14-21): null/''/[] skipped;
+    * P3 type projection (vam.js:74-76): only string|number values kept,
+      numbers serialized verbatim;
+    * scalar→array promotion by repeated labels (record.js:22-37);
+    * image-URL dedup (record.js:47-50).
+
+    ``text`` composition is identical to the HTML path: title line +
+    one ``label\\tvalue`` line per kept value, in input order.
+    """
+    import json
+
+    try:
+        data = json.loads(_decode(body, cfg.encoding))
+    except ValueError:
+        data = {}
+    title = (data.get("title") or "").strip()
+    fields: list[tuple[str, list[str]]] = []
+    by_label: dict[str, list[str]] = {}
+    lines: list[str] = [title]
+    for f in data.get("fields", []):
+        label = (f.get("label") or "").strip()
+        raw = f["values"] if "values" in f else [f.get("value")]
+        clean: list[str] = []
+        for v in raw or []:
+            if isinstance(v, bool) or v is None:
+                continue  # P1 (booleans are flags, never field values — §1.2)
+            if isinstance(v, (int, float)):
+                v = repr(v)  # number copied verbatim (vam.js:74-76)
+            elif not isinstance(v, str):
+                continue  # P3: drop objects/arrays-of-objects
+            v = v.strip()
+            if not v:
+                continue  # P1
+            clean.append(v)
+        if not label or not clean:
+            continue
+        for v in clean:
+            lines.append(f"{label}\t{v}")
+        if label in by_label:
+            by_label[label].extend(clean)
+        else:
+            by_label[label] = list(clean)
+            fields.append((label, by_label[label]))
+
+    images: list[str] = []
+    img_seen: set[str] = set()
+    for src in data.get("images", []):
+        u = canonicalize_url(src, base_url, cfg.drop_params)
+        if u and u not in img_seen:
+            img_seen.add(u)
+            images.append(u)
+
+    related: list[str] = []
+    for href in data.get("related", []):
+        u = canonicalize_url(href, base_url, cfg.drop_params)
+        if u:
+            related.append(u)
+
+    keep = True
+    if cfg.content_filter_label and cfg.content_filter_substr:
+        vals = by_label.get(cfg.content_filter_label, [])
+        keep = any(cfg.content_filter_substr in v.lower() for v in vals)
+
+    return {
+        "title": title,
+        "fields": fields,
+        "images": images,
+        "related": related,
+        "text": "\n".join(lines),
+        "keep": keep,
+    }
+
+
 def extract_search(
     html: bytes | str, base_url: str, cfg: ConnectorConfig = SYNTH
 ) -> tuple[int | None, list[str]]:
-    """Search page → (total_count, record URLs in DOM order)."""
+    """Search page → (total_count, record URLs in DOM order); dispatches on
+    the connector's body format (S2 html / S3 json)."""
+    if cfg.body_format == "json":
+        return extract_search_json(html, base_url, cfg)
     root = parse_html(html, cfg.encoding)
     total = extract_count(root, cfg)
     urls: list[str] = []
@@ -197,7 +308,8 @@ def extract_search(
 def extract_detail(
     html: bytes | str, base_url: str, cfg: ConnectorConfig = SYNTH
 ) -> dict:
-    """Detail page → record dict with reference field-merge semantics.
+    """Detail page → record dict with reference field-merge semantics;
+    dispatches to the JSON path for S3 connectors.
 
     Field order = DOM order; repeated labels merge by appending values
     (record.js:22-37 addField promotion). Image URLs deduped per record
@@ -206,6 +318,8 @@ def extract_detail(
     rendered as newline, each side ``.trim()``-ed — the exact composition the
     synthetic corpus golden column uses.
     """
+    if cfg.body_format == "json":
+        return extract_detail_json(html, base_url, cfg)
     root = parse_html(html, cfg.encoding)
     title_nodes = select(root, cfg.title_selector)
     title = title_nodes[0].text().strip() if title_nodes else ""
@@ -269,26 +383,45 @@ LINKS_OUT_SCHEMA = (
 )
 
 
+def extract_links_batch_for(cfg_map: dict[str, ConnectorConfig] | None):
+    """Build the mapInPandas link extractor for a per-connector config map.
+
+    The map travels inside the task closure (Python workers re-import the
+    module, so a driver-side registry would be invisible to them). Input
+    cols: url, body, connector_id; a connector missing from the map falls
+    back to the synthetic default.
+    """
+    cfg_map = cfg_map or {}
+
+    def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: list[tuple] = []
+            cids = (
+                pdf["connector_id"]
+                if "connector_id" in pdf.columns
+                else [None] * len(pdf)
+            )
+            for url, body, cid in zip(pdf["url"], pdf["body"], cids):
+                cfg = cfg_map.get(cid, SYNTH)
+                total, urls = extract_search(body, url, cfg)
+                for i, u in enumerate(urls):
+                    rows.append((url, total, u, i, "record"))
+                if not urls:
+                    rows.append((url, total, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "total_count", "out_url", "out_idx", "kind"],
+            )
+
+    return _batch
+
+
 def extract_links_batch(
     it: Iterator[pd.DataFrame], cfg: ConnectorConfig = SYNTH
 ) -> Iterator[pd.DataFrame]:
-    """mapInPandas fn over fetched search pages: 1 page row → N link rows.
-
-    Input cols: url, body (binary). Output: one row per out-link with its
-    in-page DOM index (crawl-order parity needs it), plus the page's declared
-    total count (pagination arithmetic A1).
-    """
-    for pdf in it:
-        rows: list[tuple] = []
-        for url, body in zip(pdf["url"], pdf["body"]):
-            total, urls = extract_search(body, url, cfg)
-            for i, u in enumerate(urls):
-                rows.append((url, total, u, i, "record"))
-            if not urls:
-                rows.append((url, total, None, None, None))
-        yield pd.DataFrame(
-            rows, columns=["url", "total_count", "out_url", "out_idx", "kind"]
-        )
+    """Single-config variant (input cols: url, body) — see
+    ``extract_links_batch_for``."""
+    yield from extract_links_batch_for({None: cfg})(it)
 
 
 RECORD_OUT_SCHEMA = (
@@ -298,29 +431,47 @@ RECORD_OUT_SCHEMA = (
 )
 
 
+def extract_records_batch_for(cfg_map: dict[str, ConnectorConfig] | None):
+    """Build the mapInPandas record extractor for a per-connector config map
+    (input cols: url, body, connector_id)."""
+    cfg_map = cfg_map or {}
+
+    def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "url": [],
+                "record_id": [],
+                "text": [],
+                "keep": [],
+                "fields": [],
+                "image_urls": [],
+                "related_urls": [],
+            }
+            cids = (
+                pdf["connector_id"]
+                if "connector_id" in pdf.columns
+                else [None] * len(pdf)
+            )
+            for url, body, cid in zip(pdf["url"], pdf["body"], cids):
+                cfg = cfg_map.get(cid, SYNTH)
+                rec = extract_detail(body, url, cfg)
+                out["url"].append(url)
+                out["record_id"].append(url.rstrip("/").rsplit("/", 1)[-1])
+                out["text"].append(rec["text"])
+                out["keep"].append(rec["keep"])
+                out["fields"].append(
+                    [{"label": l, "values": v} for l, v in rec["fields"]]
+                )
+                out["image_urls"].append(rec["images"])
+                out["related_urls"].append(rec["related"])
+            yield pd.DataFrame(out)
+
+    return _batch
+
+
 def extract_records_batch(
     it: Iterator[pd.DataFrame], cfg: ConnectorConfig = SYNTH
 ) -> Iterator[pd.DataFrame]:
-    """mapInPandas fn over fetched detail pages → structured records."""
-    for pdf in it:
-        out = {
-            "url": [],
-            "record_id": [],
-            "text": [],
-            "keep": [],
-            "fields": [],
-            "image_urls": [],
-            "related_urls": [],
-        }
-        for url, body in zip(pdf["url"], pdf["body"]):
-            rec = extract_detail(body, url, cfg)
-            out["url"].append(url)
-            out["record_id"].append(url.rstrip("/").rsplit("/", 1)[-1])
-            out["text"].append(rec["text"])
-            out["keep"].append(rec["keep"])
-            out["fields"].append(
-                [{"label": l, "values": v} for l, v in rec["fields"]]
-            )
-            out["image_urls"].append(rec["images"])
-            out["related_urls"].append(rec["related"])
-        yield pd.DataFrame(out)
+    """Single-config variant (input cols: url, body) — see
+    ``extract_records_batch_for``."""
+    yield from extract_records_batch_for({None: cfg})(it)

@@ -53,14 +53,23 @@ def _next_page_url(url: str, page: int) -> str:
 def replay(
     pages: dict[str, bytes],
     seeds: list[dict],
-    cfg: ConnectorConfig = SYNTH,
+    cfg: ConnectorConfig | dict[str, ConnectorConfig] = SYNTH,
 ) -> OracleResult:
     """Replay the sequential crawl over fixture ``pages`` (url → html bytes).
 
     ``seeds`` rows: connector_id, seed_idx, url, paging_style, limit,
     start_page, max_offset, related_policy — sorted (connector, seed_idx)
     exactly like the reference's one-museum-at-a-time, seed-rotation order.
+    ``cfg`` may be a per-connector map (json/latin1 connectors differ).
     """
+    cfg_map = cfg if isinstance(cfg, dict) else None
+    default_cfg = cfg if not isinstance(cfg, dict) else SYNTH
+
+    def cfg_for(connector_id: str) -> ConnectorConfig:
+        if cfg_map is not None:
+            return cfg_map.get(connector_id, default_cfg)
+        return default_cfg
+
     res = OracleResult()
 
     def visit_record(
@@ -80,7 +89,7 @@ def replay(
         res.fetches.append(url)
         if body is None:
             return  # fetch error: log-and-continue (per-record try/catch)
-        rec = extract_detail(body, url, cfg)
+        rec = extract_detail(body, url, cfg_for(connector_id))
         res.url_seen.add(url)
         related = rec["related"] if (not is_related and policy != "none") else []
 
@@ -122,7 +131,7 @@ def replay(
             res.fetches.append(surl)
             if body is None:
                 break
-            total, urls = extract_search(body, surl, cfg)
+            total, urls = extract_search(body, surl, cfg_for(seed["connector_id"]))
             if seed["paging_style"] == "page" and total is not None:
                 total_pages = math.ceil(total / seed["limit"])
             for idx, u in enumerate(urls):

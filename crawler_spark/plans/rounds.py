@@ -39,8 +39,9 @@ from crawler_spark.operators import opic as opic_mod
 from crawler_spark.operators.extract import (
     LINKS_OUT_SCHEMA,
     RECORD_OUT_SCHEMA,
-    extract_links_batch,
-    extract_records_batch,
+    ConnectorConfig,
+    extract_links_batch_for,
+    extract_records_batch_for,
 )
 from crawler_spark.operators.fetch import fixture_fetch, split_retries
 from crawler_spark.operators.frontier import (
@@ -91,12 +92,16 @@ class CrawlEngine:
         seeds: DataFrame,
         politeness: DataFrame | None = None,
         cfg: EngineConfig | None = None,
+        connectors: dict[str, ConnectorConfig] | None = None,
     ):
         self.spark = spark
         self.pages = pages
         self.seeds = seeds
         self.politeness = politeness
         self.cfg = cfg or EngineConfig(ckpt_dir="/tmp/crawler_spark_ckpt")
+        # per-connector extraction programs (body format, selectors,
+        # encoding); shipped inside the extractor task closures
+        self.connectors = connectors
         self.ckpt = Checkpointer(self.cfg.ckpt_dir)
         self.seen_filter = SeenSet(self.cfg.bloom_partitions)
         # per-connector paging/related config — a handful of rows, broadcastable
@@ -157,8 +162,8 @@ class CrawlEngine:
             details = ok.where(F.col("kind") != "search")
 
             # ---- search pages → record links + next pages (S1/A1/O3)
-            link_rows = searches.select("url", "body").mapInPandas(
-                extract_links_batch, LINKS_OUT_SCHEMA
+            link_rows = searches.select("url", "body", "connector_id").mapInPandas(
+                extract_links_batch_for(self.connectors), LINKS_OUT_SCHEMA
             )
             smeta = searches.select(
                 F.col("url").alias("parent_url"),
@@ -244,8 +249,8 @@ class CrawlEngine:
             )
 
             # ---- detail pages → records + webtext + related links
-            rec_rows = details.select("url", "body").mapInPandas(
-                extract_records_batch, RECORD_OUT_SCHEMA
+            rec_rows = details.select("url", "body", "connector_id").mapInPandas(
+                extract_records_batch_for(self.connectors), RECORD_OUT_SCHEMA
             )
             dmeta = details.select(
                 "url",

@@ -18,6 +18,7 @@ parser) — the byte-identity target for the extraction UDF.
 from __future__ import annotations
 
 import html as _html
+import json
 import math
 import random
 from dataclasses import dataclass, field
@@ -42,6 +43,9 @@ class SiteSpec:
     hot_host: int | None = None  # host idx owning ~50% of URLs
     hot_factor: int = 8
     unknown_total_hosts: tuple[int, ...] = ()  # artic/europeana-style hosts
+    json_hosts: tuple[int, ...] = ()  # S3 JSON-API connectors (vam.js shape)
+    latin1_hosts: tuple[int, ...] = ()  # latin1 bodies (ceres-mcu.js:121)
+    seeds_per_host: int = 1  # U1 seed-list rotation (vam.js:10-14,38-46)
     seed: int = 42
     start_page: int = 1
     budget_per_round: int = 10
@@ -57,7 +61,11 @@ def _base(h: int) -> str:
     return f"http://{_host(h)}"
 
 
-def _detail_fields(rng: random.Random, host_i: int, rec_id: str):
+# latin-1-representable accents for the latin1-host fixture
+_ACCENT_WORDS = ("sedería", "müster", "façonné", "doré")
+
+
+def _detail_fields(rng: random.Random, host_i: int, rec_id: str, accents: bool = False):
     """Deterministic (label, raw_value, rendered_html_value) triples.
 
     rendered value may contain <br> and padding whitespace; the *expected*
@@ -66,6 +74,8 @@ def _detail_fields(rng: random.Random, host_i: int, rec_id: str):
     title = f"Record {host_i}-{rec_id}"
     rows = []  # (label, html_value, expected_value)
     mat = " ".join(rng.sample(WORDS, rng.randint(1, 3)))
+    if accents:  # non-ASCII value on the latin1 host (ceres-mcu.js:121)
+        mat = f"{mat} {rng.choice(_ACCENT_WORDS)}"
     rows.append(("Material", _html.escape(mat), mat))
     if rng.random() < 0.4:  # repeated label → addField merge (record.js:22-37)
         mat2 = " ".join(rng.sample(WORDS, 2))
@@ -89,9 +99,10 @@ def _render_detail(
     base: str,
     rec_id: str,
     related_ids: list[str],
+    accents: bool = False,
 ) -> tuple[str, str, list[str]]:
     """→ (html, golden_text, image_urls)."""
-    title, rows = _detail_fields(rng, host_i, rec_id)
+    title, rows = _detail_fields(rng, host_i, rec_id, accents)
     field_html = []
     lines = [title]
     for label, html_val, expected in rows:
@@ -118,6 +129,60 @@ def _render_detail(
     return html_doc, "\n".join(lines), img_urls
 
 
+def _render_detail_json(
+    rng: random.Random,
+    host_i: int,
+    base: str,
+    rec_id: str,
+    related_ids: list[str],
+) -> tuple[str, str, list[str]]:
+    """S3 JSON detail body (vam.js:72-133 shape) → (json, golden_text,
+    image_urls). Exercises P1 (null/''/[] dropped), P3 (non-scalar dropped),
+    number-verbatim copy, array values, and repeated-label merge."""
+    title, rows = _detail_fields(rng, host_i, rec_id)
+    fields: list[dict] = []
+    lines = [title]
+    for label, _html_val, expected in rows:
+        if expected is None:
+            fields.append({"label": label, "value": ""})  # P1: dropped
+            continue
+        vals = expected.split("\n")  # the <br> value becomes a JSON array
+        if len(vals) > 1:
+            fields.append({"label": label, "values": vals})
+        else:
+            fields.append({"label": label, "value": vals[0]})
+        for v in vals:
+            lines.append(f"{label}\t{v}")
+    year = 1700 + rng.randint(0, 300)
+    fields.append({"label": "Year", "value": year})  # number verbatim
+    lines.append(f"Year\t{year}")
+    fields.append({"label": "Raw", "value": {"nested": True}})  # P3: dropped
+    fields.append({"label": "Nil", "values": []})  # P1: dropped
+    n_img = rng.randint(0, 3)
+    img_urls = [f"{base}/img/{rec_id}_{k}.jpg" for k in range(n_img)]
+    imgs = [f"/img/{rec_id}_{k}.jpg" for k in range(n_img)]
+    if n_img and rng.random() < 0.3:
+        imgs.append(f"/img/{rec_id}_0.jpg")  # duplicate url → U2 dedup
+    body = json.dumps(
+        {
+            "title": f"  {title} ",
+            "fields": fields,
+            "images": imgs,
+            "related": [f"/record/{r}" for r in related_ids],
+        }
+    )
+    return body, "\n".join(lines), img_urls
+
+
+def _render_search_json(count_known: int | None, links: list[str]) -> str:
+    return json.dumps(
+        {
+            "total": count_known,
+            "records": [{"url": u} for u in links],
+        }
+    )
+
+
 def _render_search(count_known: int | None, links: list[str]) -> str:
     count_el = (
         f'<div id="count">{count_known} results</div>' if count_known is not None else ""
@@ -129,25 +194,32 @@ def _render_search(count_known: int | None, links: list[str]) -> str:
 
 
 def generate_site(spec: SiteSpec):
-    """→ dict of pandas DataFrames: pages, seeds, politeness.
+    """→ dict: pandas DataFrames pages/seeds/politeness + ``connectors``
+    (connector_id → ConnectorConfig for the engine's extractor closures).
 
     pages: url, warc_ts, html (bytes), text, lang — input_hint shape.
+    JSON hosts serve S3 JSON bodies; latin1 hosts encode bodies as
+    ISO-8859-1 (ceres-mcu.js:121); ``seeds_per_host > 1`` splits a host's
+    corpus across seed URLs to exercise the U1 rotation order.
     """
+    from crawler_spark.operators.extract import ConnectorConfig
+
     rng = random.Random(spec.seed)
     pages_rows = []
     seeds_rows = []
     pol_rows = []
+    connectors: dict[str, ConnectorConfig] = {}
     langs = ["en", "fr", "es", "it", "ca"]
     ts0 = pd.Timestamp("2026-01-01 00:00:00")
     row_i = 0
 
-    def emit(url: str, html_doc: str, text: str):
+    def emit(url: str, html_doc: str, text: str, encoding: str = "utf-8"):
         nonlocal row_i
         pages_rows.append(
             {
                 "url": url,
                 "warc_ts": ts0 + pd.Timedelta(seconds=row_i),
-                "html": html_doc.encode("utf-8"),
+                "html": html_doc.encode(encoding),
                 "text": text,
                 "lang": langs[row_i % len(langs)],
             }
@@ -156,6 +228,9 @@ def generate_site(spec: SiteSpec):
 
     for h in range(spec.n_hosts):
         base = _base(h)
+        is_json = h in spec.json_hosts
+        is_latin1 = h in spec.latin1_hosts
+        encoding = "latin-1" if is_latin1 else "utf-8"
         n_details = spec.details_per_host
         if spec.hot_host is not None and h == spec.hot_host:
             n_details *= spec.hot_factor
@@ -170,43 +245,64 @@ def generate_site(spec: SiteSpec):
                 if related_ids and rng.random() < 0.3
                 else []
             )
-            html_doc, text, _ = _render_detail(rng, h, base, rid, rel)
-            emit(f"{base}/record/{rid}", html_doc, text)
+            if is_json:
+                body, text, _ = _render_detail_json(rng, h, base, rid, rel)
+            else:
+                body, text, _ = _render_detail(
+                    rng, h, base, rid, rel, accents=is_latin1
+                )
+            emit(f"{base}/record/{rid}", body, text, encoding)
         for rid in related_ids:
             # related pages carry related links too — must NOT be expanded
             # (one-level DFS, met-museum.js:245)
             rel = [f"r{(int(rid[1:]) % spec.related_per_host) + 1}"]
-            html_doc, text, _ = _render_detail(rng, h, base, rid, rel)
-            emit(f"{base}/record/{rid}", html_doc, text)
+            if is_json:
+                body, text, _ = _render_detail_json(rng, h, base, rid, rel)
+            else:
+                body, text, _ = _render_detail(
+                    rng, h, base, rid, rel, accents=is_latin1
+                )
+            emit(f"{base}/record/{rid}", body, text, encoding)
 
-        # search pages
-        total_pages = math.ceil(n_details / spec.limit)
-        for p in range(1, total_pages + 1):
-            chunk = detail_ids[(p - 1) * spec.limit : p * spec.limit]
-            links = [f"/record/{rid}" for rid in chunk]
-            emit(
-                f"{base}/search?page={p}",
-                _render_search(None if unknown else n_details, links),
-                "",
+        # search pages, split across seeds_per_host seed URL spaces (U1)
+        n_seeds = max(1, spec.seeds_per_host)
+        render_search = _render_search_json if is_json else _render_search
+        for s in range(n_seeds):
+            seed_ids = detail_ids[s::n_seeds]  # deterministic round-robin
+            path = "/search" if n_seeds == 1 else f"/search/s{s}"
+            total_pages = math.ceil(len(seed_ids) / spec.limit) or 1
+            for p in range(1, total_pages + 1):
+                chunk = seed_ids[(p - 1) * spec.limit : p * spec.limit]
+                links = [f"/record/{rid}" for rid in chunk]
+                emit(
+                    f"{base}{path}?page={p}",
+                    render_search(None if unknown else len(seed_ids), links),
+                    "",
+                    encoding,
+                )
+            if unknown:  # terminal empty page (artic.js:59-78)
+                emit(
+                    f"{base}{path}?page={total_pages + 1}",
+                    render_search(None, []),
+                    "",
+                    encoding,
+                )
+            seeds_rows.append(
+                {
+                    "connector_id": f"c{h}",
+                    "seed_idx": s,
+                    "url": f"{base}{path}?page={spec.start_page}",
+                    "paging_style": "unknown_total" if unknown else "page",
+                    "limit": spec.limit,
+                    "start_page": spec.start_page,
+                    "max_offset": None,
+                    "related_policy": POLICIES[h % len(POLICIES)],
+                }
             )
-        if unknown:  # terminal empty page for loop-until-empty (artic.js:59-78)
-            emit(
-                f"{base}/search?page={total_pages + 1}",
-                _render_search(None, []),
-                "",
-            )
-
-        seeds_rows.append(
-            {
-                "connector_id": f"c{h}",
-                "seed_idx": 0,
-                "url": f"{base}/search?page={spec.start_page}",
-                "paging_style": "unknown_total" if unknown else "page",
-                "limit": spec.limit,
-                "start_page": spec.start_page,
-                "max_offset": None,
-                "related_policy": POLICIES[h % len(POLICIES)],
-            }
+        connectors[f"c{h}"] = ConnectorConfig(
+            connector_id=f"c{h}",
+            body_format="json" if is_json else "html",
+            encoding=encoding,
         )
         pol_rows.append(
             {
@@ -221,6 +317,7 @@ def generate_site(spec: SiteSpec):
         "pages": pd.DataFrame(pages_rows),
         "seeds": pd.DataFrame(seeds_rows),
         "politeness": pd.DataFrame(pol_rows),
+        "connectors": connectors,
     }
 
 
