@@ -398,6 +398,35 @@ def _f10_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _s7_delimited_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 custom delimited-text scan (imatex.js:134-154): body rows split on
+    '|' then '><' into (id, type) pairs — JVM split+explode."""
+    customer = _t(spark, sf_dir, "customer")
+    body = F.concat(
+        F.col("c_custkey").cast("string"), F.lit("><"), F.col("c_mktsegment"),
+        F.lit("|"),
+        (F.col("c_custkey") + 1).cast("string"), F.lit("><"), F.lit("X"),
+    )
+    return (
+        customer.select("c_custkey", F.explode(F.split(body, r"\|")).alias("row"))
+        .select(
+            "c_custkey",
+            F.element_at(F.split("row", "><"), 1).alias("rec_id"),
+            F.element_at(F.split("row", "><"), 2).alias("rec_type"),
+        )
+    )
+
+
+def _f3_text_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 text cleanup (mtmad.js:153-163, louvre.js:143-148): collapse
+    whitespace runs + trim on a deterministic slice."""
+    docs = _t(spark, sf_dir, "documents")
+    cleaned = F.trim(
+        F.regexp_replace(F.substring(F.col("text"), 1, 60), r"\s+", " ")
+    )
+    return docs.select("doc_id", cleaned.alias("cleaned"))
+
+
 # ---------------------------------------------------------------------------
 # S13 — multimodal magic-byte sniffing (base.js:212-217)
 
@@ -700,6 +729,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f8_content_filter": _f8_content_filter,
         "f9_math_lpad": _f9_math_lpad,
         "f10_json_extract": _f10_json_extract,
+        "s7_delimited_scan": _s7_delimited_scan,
+        "f3_text_cleanup": _f3_text_cleanup,
         "s13_image_magic": _s13_image_magic,
         "dedup_fingerprints": _dedup_fingerprints,
         "dedup_exact_groups": _dedup_exact_groups,
@@ -871,6 +902,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
             FROM events GROUP BY k_mod
+        """,
+        "s7_delimited_scan": """
+            WITH bodies AS (
+              SELECT c_custkey,
+                     CAST(c_custkey AS VARCHAR) || '><' || c_mktsegment || '|' ||
+                     CAST(c_custkey + 1 AS VARCHAR) || '><X' AS body
+              FROM customer
+            ), rows_ AS (
+              SELECT c_custkey, unnest(str_split(body, '|')) AS row FROM bodies
+            )
+            SELECT c_custkey,
+                   str_split(row, '><')[1] AS rec_id,
+                   str_split(row, '><')[2] AS rec_type
+            FROM rows_
+        """,
+        "f3_text_cleanup": """
+            SELECT doc_id,
+                   trim(regexp_replace(substr(text, 1, 60), '\\s+', ' ', 'g')) AS cleaned
+            FROM documents
         """,
         "s13_image_magic": """
             SELECT doc_id,

@@ -78,3 +78,67 @@ def live_fetch_batch(
     raise NotImplementedError(
         "live HTTP fetch is environment-gated; use fixture_fetch in tests"
     )
+
+
+def sessionful_fixture_fetch(
+    batch: DataFrame,
+    pages_map: dict[str, bytes],
+) -> DataFrame:
+    """S6 sessionful fetch over a (small, broadcastable) fixture corpus.
+
+    Models the ASP.NET / Floracci handshakes (imatex.js:38-115,
+    mtmad.js:19-78, versailles.js:27-49): the FIRST request a worker makes
+    to a host performs a session handshake (cookie/VIEWSTATE); subsequent
+    requests to the same host must present that session. Because the batch
+    is salted-by-host and ``sortWithinPartitions(host, …)`` (politeness
+    stage), each worker sees its hosts' rows contiguously, so one session
+    object per host lives exactly as long as the host's run — the property
+    this operator asserts (a non-contiguous host would re-handshake,
+    observable in ``session_seq``).
+
+    Output adds: ``session_id`` (host#k within the worker), ``session_seq``
+    (request index inside that session).
+    """
+    import pandas as pd  # noqa: F811 (worker-side import)
+
+    spark = batch.sparkSession
+    bc = spark.sparkContext.broadcast(pages_map)
+
+    def _fetch(it):
+        for pdf in it:
+            sessions: dict[str, int] = {}
+            counters: dict[str, int] = {}
+            n_opened = 0
+            out = {
+                "url": [], "host": [], "status": [], "body": [],
+                "session_id": [], "session_seq": [],
+            }
+            last_host = None
+            for url, host in zip(pdf["url"], pdf["host"]):
+                if host != last_host:
+                    # host run boundary: open a session on first sight;
+                    # re-handshake if the host reappears (broken affinity)
+                    n_opened += 1 if host not in sessions else 0
+                    if host not in sessions:
+                        sessions[host] = n_opened  # handshake
+                        counters[host] = 0
+                    elif last_host is not None:
+                        # non-contiguous host ⇒ new session (observable)
+                        n_opened += 1
+                        sessions[host] = n_opened
+                    last_host = host
+                counters[host] = counters.get(host, 0) + 1
+                body = bc.value.get(url)
+                out["url"].append(url)
+                out["host"].append(host)
+                out["status"].append(200 if body is not None else 404)
+                out["body"].append(body)
+                out["session_id"].append(f"{host}#{sessions[host]}")
+                out["session_seq"].append(counters[host])
+            yield pd.DataFrame(out)
+
+    schema = (
+        "url string, host string, status int, body binary, "
+        "session_id string, session_seq int"
+    )
+    return batch.select("url", "host").mapInPandas(_fetch, schema)

@@ -98,7 +98,19 @@ def salted_host_repartition(
     tasks while small hosts stay on one. ``sortWithinPartitions(host, …)``
     lets the worker that owns a host's run enforce crawl-delay serially.
     """
-    counts = batch.groupBy("host").count()
+    counts = batch.groupBy("host").count().persist()
+    if num_partitions is None:
+        # explicit partition count = total salt buckets; AQE would otherwise
+        # coalesce a small round back to one partition, silently serializing
+        # the hot host (at scale the same expression sizes the fetch stage)
+        row = counts.agg(
+            F.sum(
+                F.greatest(
+                    F.lit(1), F.ceil(F.col("count") / F.lit(target_per_task))
+                )
+            )
+        ).first()
+        num_partitions = max(1, int(row[0] or 1))
     salted = batch.join(F.broadcast(counts), "host", "left")
     salt_buckets = F.greatest(
         F.lit(1), F.ceil(F.col("count") / F.lit(target_per_task))
@@ -106,9 +118,8 @@ def salted_host_repartition(
     salted = salted.withColumn(
         "__salt", F.pmod(F.xxhash64("url"), salt_buckets).cast("int")
     ).drop("count")
-    out = salted.repartition(
-        *( [num_partitions] if num_partitions else [] ), F.col("host"), F.col("__salt")
-    )
+    out = salted.repartition(num_partitions, F.col("host"), F.col("__salt"))
+    counts.unpersist()
     return out.sortWithinPartitions(
         "host", "depth", "seed_idx", "page_no", "in_page_idx", "dfs_rank"
     ).drop("__salt")

@@ -1,0 +1,86 @@
+"""Source-family coverage: S6 sessionful fetch affinity, S7 delimited-text
+parse, S8 local NDJSON scan, S9 local TSV scan (SURVEY.md §2.1)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_s6_one_session_per_host_run(spark):
+    """Salted-by-host + sortWithinPartitions ⇒ each worker opens exactly one
+    session per host it owns (imatex/mtmad session contract)."""
+    from crawler_spark.operators.fetch import sessionful_fixture_fetch
+    from crawler_spark.operators.politeness import salted_host_repartition
+
+    rows = [
+        (f"http://h{h}.example.test/record/{i}", f"h{h}.example.test")
+        for h in range(4)
+        for i in range(30)
+    ]
+    pages_map = {u: b"<html>x</html>" for u, _ in rows}
+    batch = spark.createDataFrame(rows, "url string, host string").select(
+        "url", "host",
+        F.lit(0).alias("depth"), F.lit(0).alias("seed_idx"),
+        F.lit(0).alias("page_no"), F.lit(0).alias("in_page_idx"),
+        F.lit(0).alias("dfs_rank"),
+    )
+    salted = salted_host_repartition(batch, target_per_task=15)
+    fetched = sessionful_fixture_fetch(salted, pages_map)
+    got = fetched.collect()
+    assert len(got) == len(rows)
+    assert all(r["status"] == 200 for r in got)
+    # sessions per host ≤ salt buckets (ceil(30/15) = 2): affinity held —
+    # a broken sort would show ~30 sessions for some host
+    per_host = {}
+    for r in got:
+        per_host.setdefault(r["host"], set()).add(r["session_id"])
+    assert all(len(s) <= 2 for s in per_host.values()), per_host
+
+
+def test_s7_delimited_scan(spark):
+    """imatex custom delimited body: rows split on '|', ids on '><'
+    (imatex.js:134-154) — pure JVM split+explode."""
+    body = "a1><t1|a2><t2|a3><t3"
+    df = spark.createDataFrame([(body,)], "body string")
+    out = (
+        df.select(F.explode(F.split("body", r"\|")).alias("row"))
+        .select(F.split("row", "><").alias("parts"))
+        .select(
+            F.element_at("parts", 1).alias("rec_id"),
+            F.element_at("parts", 2).alias("rec_type"),
+        )
+    )
+    assert [(r["rec_id"], r["rec_type"]) for r in out.collect()] == [
+        ("a1", "t1"), ("a2", "t2"), ("a3", "t3")
+    ]
+
+
+def test_s8_ndjson_scan(spark, tmp_path):
+    """unipa local NDJSON resources (unipa.js:22-46) → native spark.read.json."""
+    p = tmp_path / "records.ndjson"
+    p.write_text(
+        '{"id": "1", "title": "Silk panel", "year": 1850}\n'
+        '{"id": "2", "title": "Velvet border", "year": 1901}\n'
+    )
+    df = spark.read.json(str(p))
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows["1"]["title"] == "Silk panel"
+    assert rows["2"]["year"] == 1901
+
+
+def test_s9_tsv_scan(spark, tmp_path):
+    """musee-st-etienne TSV with BOM, headers, tab sep, no quoting
+    (musee-st-etienne.js:33-59) → native csv reader options."""
+    p = tmp_path / "records.tsv"
+    p.write_bytes(
+        "﻿id\ttitle\tmaterial\n1\tChasuble\tsilk \"brocade\"\n2\tPanel\tvelvet\n".encode()
+    )
+    df = (
+        spark.read.option("sep", "\t")
+        .option("header", True)
+        .option("quote", "")  # quote:null in the reference
+        .csv(str(p))
+    )
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows["1"]["material"] == 'silk "brocade"'  # quoting disabled
+    assert rows["2"]["title"] == "Panel"
+    assert "id" in df.columns  # BOM stripped from first header
