@@ -417,6 +417,24 @@ def _s7_delimited_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _p4_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 nested-object flatten (utils.js:71-94): dotted keys from nested
+    structs via crawler_spark.functions.flatten.flatten_structs."""
+    from crawler_spark.functions.flatten import flatten_structs
+
+    events = _t(spark, sf_dir, "events")
+    nested = events.select(
+        "event_id",
+        F.struct(
+            F.col("event_type").alias("type"),
+            F.struct(
+                (F.get_json_object("props", "$.k").cast("int") % 10).alias("km"),
+            ).alias("inner"),
+        ).alias("meta"),
+    )
+    return flatten_structs(nested)
+
+
 def _f3_text_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3 text cleanup (mtmad.js:153-163, louvre.js:143-148): collapse
     whitespace runs + trim on a deterministic slice."""
@@ -730,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f9_math_lpad": _f9_math_lpad,
         "f10_json_extract": _f10_json_extract,
         "s7_delimited_scan": _s7_delimited_scan,
+        "p4_flatten": _p4_flatten,
         "f3_text_cleanup": _f3_text_cleanup,
         "s13_image_magic": _s13_image_magic,
         "dedup_fingerprints": _dedup_fingerprints,
@@ -916,6 +935,12 @@ def oracle_sql() -> dict[str, str]:
                    str_split(row, '><')[1] AS rec_id,
                    str_split(row, '><')[2] AS rec_type
             FROM rows_
+        """,
+        "p4_flatten": """
+            SELECT event_id,
+                   event_type AS "meta.type",
+                   CAST(props->>'$.k' AS INTEGER) % 10 AS "meta.inner.km"
+            FROM events
         """,
         "f3_text_cleanup": """
             SELECT doc_id,

@@ -27,22 +27,37 @@ MAX_ATTEMPTS = 10  # base.js:46-56 (axios-retry retries: 10)
 def fixture_fetch(batch: DataFrame, pages: DataFrame) -> DataFrame:
     """J2: popped batch ⋈ pages on url → body column; miss ⇒ status 404.
 
-    The batch side is small (one round) → broadcast it; the pages scan then
-    only materializes matching rows (AQE converts to broadcast-hash join and
-    prunes with a runtime filter).
+    Join shape chosen for the 100 TB case: a naive ``batch LEFT JOIN pages``
+    forces building the *pages* side (BroadcastHashJoin LeftOuter can only
+    build right), shuffling or broadcasting the huge table. Instead:
+
+    1. broadcast-SEMI-filter the pages scan by the bounded round batch
+       (≤ sum of host budgets) — one streaming pass over pages, the
+       broadcast hash set acts as the runtime row filter;
+    2. LEFT-join the batch against the now-bounded survivors (builds the
+       small right side). Misses fall out of the left join as 404s — no
+       second pages scan.
     """
-    p = pages.select(
-        F.col("url").alias("__page_url"),
-        F.col("html").alias("body"),
-        F.col("warc_ts"),
+    relevant = (
+        pages.select(
+            F.col("url").alias("__page_url"),
+            F.col("html").alias("body"),
+            F.col("warc_ts"),
+        )
+        .join(
+            F.broadcast(batch.select(F.col("url").alias("__b_url"))),
+            F.col("__page_url") == F.col("__b_url"),
+            "left_semi",
+        )
     )
-    joined = batch.join(p, batch["url"] == F.col("__page_url"), "left")
+    joined = batch.join(
+        relevant, batch["url"] == F.col("__page_url"), "left"
+    ).drop("__page_url")
     return (
         joined.withColumn(
             "status", F.when(F.col("body").isNotNull(), 200).otherwise(404)
         )
         .withColumn("bytes", F.coalesce(F.length("body"), F.lit(0)).cast("long"))
-        .drop("__page_url")
     )
 
 

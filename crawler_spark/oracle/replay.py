@@ -44,9 +44,15 @@ class OracleResult:
     fetches: list[str] = field(default_factory=list)
 
 
-def _next_page_url(url: str, page: int) -> str:
+def _next_page_url(url: str, page: int, seed: dict) -> str:
+    """URL for page ordinal ``page``: page-style rewrites ``page=N``;
+    offset-style rewrites ``offset=(N - start_page)*limit``
+    (met-museum offset+perPage paging, base.js:79-87)."""
     import re
 
+    if seed.get("paging_style") == "offset":
+        off = (page - seed["start_page"]) * seed["limit"]
+        return re.sub(r"offset=\d+", f"offset={off}", url)
     return re.sub(r"page=\d+", f"page={page}", url)
 
 
@@ -126,13 +132,13 @@ def replay(
         page = seed["start_page"]
         total_pages: int | None = None
         while True:
-            surl = _next_page_url(seed["url"], page)
+            surl = _next_page_url(seed["url"], page, seed)
             body = pages.get(surl)
             res.fetches.append(surl)
             if body is None:
                 break
             total, urls = extract_search(body, surl, cfg_for(seed["connector_id"]))
-            if seed["paging_style"] == "page" and total is not None:
+            if seed["paging_style"] in ("page", "offset") and total is not None:
                 total_pages = math.ceil(total / seed["limit"])
             for idx, u in enumerate(urls):
                 visit_record(
@@ -146,7 +152,7 @@ def replay(
                     False,
                 )
             page += 1
-            if seed["paging_style"] == "page":
+            if seed["paging_style"] in ("page", "offset"):
                 if total_pages is None or page >= seed["start_page"] + total_pages:
                     break
             else:  # unknown_total: loop until empty page (artic.js:59-78)

@@ -210,7 +210,7 @@ class CrawlEngine:
             )
             total_pages = F.ceil(F.col("total_count") / F.col("limit"))
             has_next = F.when(
-                F.col("paging_style") == "page",
+                F.col("paging_style").isin("page", "offset"),
                 (F.col("total_count").isNotNull())
                 & (F.col("page_no") + 1 < F.col("start_page") + total_pages),
             ).otherwise(  # unknown_total: loop until empty (artic.js:59-78)
@@ -224,10 +224,27 @@ class CrawlEngine:
                     )
                 )
             )
-            next_url = F.regexp_replace(
-                F.col("parent_url"),
-                r"page=\d+",
-                F.concat(F.lit("page="), (F.col("page_no") + 1).cast("string")),
+            # page-style rewrites page=N; offset-style rewrites
+            # offset=(N - start_page)*limit (met-museum offset+perPage)
+            next_url = F.when(
+                F.col("paging_style") == "offset",
+                F.regexp_replace(
+                    F.col("parent_url"),
+                    r"offset=\d+",
+                    F.concat(
+                        F.lit("offset="),
+                        (
+                            (F.col("page_no") + 1 - F.col("start_page"))
+                            * F.col("limit")
+                        ).cast("string"),
+                    ),
+                ),
+            ).otherwise(
+                F.regexp_replace(
+                    F.col("parent_url"),
+                    r"page=\d+",
+                    F.concat(F.lit("page="), (F.col("page_no") + 1).cast("string")),
+                )
             )
             next_pages = (
                 per_page.where(has_next)

@@ -43,6 +43,7 @@ class SiteSpec:
     hot_host: int | None = None  # host idx owning ~50% of URLs
     hot_factor: int = 8
     unknown_total_hosts: tuple[int, ...] = ()  # artic/europeana-style hosts
+    offset_hosts: tuple[int, ...] = ()  # offset+perPage paging (met-museum.js:30)
     json_hosts: tuple[int, ...] = ()  # S3 JSON-API connectors (vam.js shape)
     latin1_hosts: tuple[int, ...] = ()  # latin1 bodies (ceres-mcu.js:121)
     seeds_per_host: int = 1  # U1 seed-list rotation (vam.js:10-14,38-46)
@@ -267,34 +268,47 @@ def generate_site(spec: SiteSpec):
         # search pages, split across seeds_per_host seed URL spaces (U1)
         n_seeds = max(1, spec.seeds_per_host)
         render_search = _render_search_json if is_json else _render_search
+        is_offset = h in spec.offset_hosts
+        start_page = 0 if is_offset else spec.start_page
         for s in range(n_seeds):
             seed_ids = detail_ids[s::n_seeds]  # deterministic round-robin
             path = "/search" if n_seeds == 1 else f"/search/s{s}"
             total_pages = math.ceil(len(seed_ids) / spec.limit) or 1
-            for p in range(1, total_pages + 1):
-                chunk = seed_ids[(p - 1) * spec.limit : p * spec.limit]
+            for p in range(total_pages):
+                chunk = seed_ids[p * spec.limit : (p + 1) * spec.limit]
                 links = [f"/record/{rid}" for rid in chunk]
+                # offset hosts page by offset=k*limit (met-museum.js:30);
+                # page hosts by page=N (1-based)
+                q = (
+                    f"offset={p * spec.limit}"
+                    if is_offset
+                    else f"page={p + spec.start_page}"
+                )
                 emit(
-                    f"{base}{path}?page={p}",
+                    f"{base}{path}?{q}",
                     render_search(None if unknown else len(seed_ids), links),
                     "",
                     encoding,
                 )
             if unknown:  # terminal empty page (artic.js:59-78)
-                emit(
-                    f"{base}{path}?page={total_pages + 1}",
-                    render_search(None, []),
-                    "",
-                    encoding,
+                q = (
+                    f"offset={total_pages * spec.limit}"
+                    if is_offset
+                    else f"page={total_pages + spec.start_page}"
                 )
+                emit(f"{base}{path}?{q}", render_search(None, []), "", encoding)
+            first_q = "offset=0" if is_offset else f"page={spec.start_page}"
             seeds_rows.append(
                 {
                     "connector_id": f"c{h}",
                     "seed_idx": s,
-                    "url": f"{base}{path}?page={spec.start_page}",
-                    "paging_style": "unknown_total" if unknown else "page",
+                    "url": f"{base}{path}?{first_q}",
+                    "paging_style": (
+                        "unknown_total" if unknown
+                        else ("offset" if is_offset else "page")
+                    ),
                     "limit": spec.limit,
-                    "start_page": spec.start_page,
+                    "start_page": start_page,
                     "max_offset": None,
                     "related_policy": POLICIES[h % len(POLICIES)],
                 }

@@ -5,6 +5,7 @@ S2/S3, §2.2 P1/P3, §2.7 U1, §2.8 F8):
 * a latin1-encoded host (ceres-mcu.js:121),
 * multi-seed connectors (seed rotation, vam.js:10-14,38-46),
 * an unknown-total host (loop-until-empty, artic.js:59-78),
+* an offset-paged host (met-museum offset+perPage, met-museum.js:30),
 
 all in ONE crawl — the engine must reproduce the sequential oracle's
 record set, write order, and golden text bytes per url.
@@ -25,6 +26,7 @@ SPEC = SiteSpec(
     latin1_hosts=(2,),
     seeds_per_host=2,
     unknown_total_hosts=(3,),
+    offset_hosts=(0,),
     budget_per_round=8,
 )
 
