@@ -34,6 +34,7 @@ def seeds_to_frontier(seeds: DataFrame, round_added: int = 0) -> DataFrame:
             F.lit(0).alias("dfs_rank"),
             F.lit(round_added).alias("round_added"),
             F.lit(0).alias("attempts"),
+            F.lit(round_added).alias("not_before"),
             F.lit("search").alias("kind"),
             F.col("connector_id"),
         )

@@ -140,10 +140,16 @@ class CrawlEngine:
 
         while round_no < cfg.max_rounds:
             seen = seen_df()
-            popped = pop_batch(
+            allowed = (
                 apply_robots(frontier, self.politeness)
                 if self.politeness is not None
-                else frontier,
+                else frontier
+            )
+            # retry backoff eligibility (§2.9): rows delayed past this round
+            # stay in the frontier but cannot be popped yet
+            eligible = allowed.where(F.col("not_before") <= F.lit(round_no))
+            popped = pop_batch(
+                eligible,
                 self.politeness,
                 cfg.default_budget,
                 cfg.global_batch,
@@ -152,7 +158,13 @@ class CrawlEngine:
             n_popped = popped.count()
             if n_popped == 0:
                 popped.unpersist()
-                break
+                # nothing eligible now — jump to the earliest backoff round
+                # if delayed retries remain, else the crawl is done
+                nxt = frontier.agg(F.min("not_before")).first()[0]
+                if nxt is None or nxt <= round_no:
+                    break
+                round_no = int(nxt)
+                continue
 
             remaining = remove_popped(frontier, popped)
             fetched = fixture_fetch(popped, self.pages).persist()
@@ -193,6 +205,7 @@ class CrawlEngine:
                     F.lit(0).alias("dfs_rank"),
                     F.lit(round_no + 1).alias("round_added"),
                     F.lit(0).alias("attempts"),
+                    F.lit(round_no + 1).alias("not_before"),
                     F.lit("record").alias("kind"),
                     F.col("connector_id"),
                 )
@@ -260,6 +273,7 @@ class CrawlEngine:
                     F.lit(0).alias("dfs_rank"),
                     F.lit(round_no + 1).alias("round_added"),
                     F.lit(0).alias("attempts"),
+                    F.lit(round_no + 1).alias("not_before"),
                     F.lit("search").alias("kind"),
                     F.col("connector_id"),
                 )
@@ -355,6 +369,7 @@ class CrawlEngine:
                     child_rank.cast("int").alias("dfs_rank"),
                     F.lit(round_no + 1).alias("round_added"),
                     F.lit(0).alias("attempts"),
+                    F.lit(round_no + 1).alias("not_before"),
                     F.lit("related").alias("kind"),
                     F.col("connector_id"),
                 )
@@ -393,7 +408,17 @@ class CrawlEngine:
                 cash_in = opic_mod.distribute_cash(parents, "out_urls", "cash")
                 fresh = opic_mod.apply_cash(fresh, cash_in)
 
-            retry_rows = retry.select(*self._candidate_schema_cols())
+            # exponential backoff: attempt k retries no earlier than
+            # round + 2^(k-1) (base.js:46-56 mapped onto rounds, §2.9)
+            retry_rows = retry.select(*self._candidate_schema_cols()).withColumn(
+                "not_before",
+                (
+                    F.lit(round_no)
+                    + F.least(
+                        F.expr("shiftleft(1, attempts - 1)"), F.lit(64)
+                    )
+                ).cast("int"),
+            )
             frontier_next = add_candidates(
                 remaining, fresh.unionByName(retry_rows)
             )

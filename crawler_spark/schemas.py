@@ -41,6 +41,10 @@ FRONTIER = T.StructType(
         T.StructField("dfs_rank", T.IntegerType(), False),
         T.StructField("round_added", T.IntegerType(), False),
         T.StructField("attempts", T.IntegerType(), False),
+        # earliest round this row may be popped — retry backoff lands here
+        # (delay_round = round + 2^(attempts-1), the §2.9 mapping of the
+        # reference's exponential retry delay, base.js:46-56)
+        T.StructField("not_before", T.IntegerType(), False),
         T.StructField("kind", T.StringType(), False),  # search | record | related
         T.StructField("connector_id", T.StringType(), False),
     ]
