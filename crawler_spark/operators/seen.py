@@ -145,6 +145,36 @@ class CuckooFilter:
         fp, i1, i2 = self._fp_and_buckets(h)
         return fp in self.table[i1] or fp in self.table[i2]
 
+    def contains_many(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized membership — same fp/bucket derivation as
+        ``_fp_and_buckets``, numpy-batched for the Arrow filter UDF."""
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        u = np.asarray(hashes, dtype=np.int64).view(np.uint64)
+        mixed = _splitmix64(u)
+        fp = (mixed & np.uint64(0xFFFF)).astype(np.uint64)
+        fp = np.where(fp == 0, np.uint64(1), fp)
+        i1 = ((mixed >> np.uint64(16)) % np.uint64(self.n_buckets)).astype(np.int64)
+        fp_mix = _splitmix64(fp)
+        i2 = ((i1.astype(np.uint64) ^ fp_mix) % np.uint64(self.n_buckets)).astype(np.int64)
+        fp16 = fp.astype(np.uint16)
+        in1 = (self.table[i1] == fp16[:, None]).any(axis=1)
+        in2 = (self.table[i2] == fp16[:, None]).any(axis=1)
+        return in1 | in2
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, n_buckets: int) -> "CuckooFilter":
+        cf = cls(n_buckets)
+        cf.table = (
+            np.frombuffer(data, dtype=np.uint16)
+            .reshape(n_buckets, cls.SLOTS)
+            .copy()
+        )
+        return cf
+
     def delete(self, h: int) -> bool:
         fp, i1, i2 = self._fp_and_buckets(h)
         for i in (i1, i2):
@@ -175,6 +205,34 @@ class SeenSet:
         self.n_partitions = n_partitions
         self.fpp = fpp
         self.blooms: dict[int, BloomFilter] = {}
+        # deletable subset (--force / images-checker re-crawls): Bloom can't
+        # delete, so deletions spill to a cuckoo filter (Fan et al. 2014);
+        # membership there overrides the Bloom's "maybe seen"
+        self.deleted: CuckooFilter | None = None
+        self._deleted_hashes: list[int] = []
+
+    def mark_deleted(self, hashes: np.ndarray) -> None:
+        """Record hashes whose 'seen' status is revoked (re-crawl).
+
+        The deletable subset is small by construction (flagged/forced URLs);
+        on cuckoo overflow the filter rebuilds doubled from the full list.
+        """
+        hashes = np.asarray(hashes, dtype=np.int64)
+        if len(hashes) == 0:
+            return
+        self._deleted_hashes.extend(int(h) for h in hashes)
+        n = len(self._deleted_hashes)
+        if self.deleted is None:
+            self.deleted = CuckooFilter(max(64, 2 * n))
+        todo = [int(h) for h in hashes]
+        while todo:
+            h = todo[0]
+            if self.deleted.add(h):
+                todo.pop(0)
+                continue
+            # overflow → rebuild doubled from the complete deleted list
+            self.deleted = CuckooFilter(self.deleted.n_buckets * 2)
+            todo = list(self._deleted_hashes)
 
     # -- build / update ----------------------------------------------------
     def build_blooms(self, seen: DataFrame, expected_per_part: int = 100_000) -> None:
@@ -248,16 +306,22 @@ class SeenSet:
             pid: (bf.to_bytes(), bf.n_bits, bf.n_hashes)
             for pid, bf in self.blooms.items()
         }
-        bc = spark.sparkContext.broadcast(payload)
+        cuckoo_payload = (
+            (self.deleted.to_bytes(), self.deleted.n_buckets)
+            if self.deleted is not None
+            else None
+        )
+        bc = spark.sparkContext.broadcast((payload, cuckoo_payload))
         P = self.n_partitions
 
         from pyspark.sql.functions import pandas_udf
 
         @pandas_udf("boolean")
         def _maybe_seen(h: pd.Series) -> pd.Series:
+            blooms_raw, cuckoo_raw = bc.value
             filters = {
                 pid: BloomFilter.from_bytes(b, nb, nh)
-                for pid, (b, nb, nh) in bc.value.items()
+                for pid, (b, nb, nh) in blooms_raw.items()
             }
             arr = h.to_numpy(dtype=np.int64)
             pids = np.mod(arr, P)
@@ -268,6 +332,10 @@ class SeenSet:
                     continue
                 m = pids == pid
                 out[m] = bf.maybe_contains(arr[m])
+            if cuckoo_raw is not None:
+                # deleted (revoked-seen) entries override the Bloom
+                cf = CuckooFilter.from_bytes(*cuckoo_raw)
+                out &= ~cf.contains_many(arr)
             return pd.Series(out)
 
         flagged = candidates.withColumn("__maybe", _maybe_seen(F.col(hash_col)))

@@ -98,12 +98,18 @@ class Checkpointer:
         return spark.read.parquet(os.path.join(self.round_dir(round_no), name))
 
     def load_all_deltas(
-        self, spark: SparkSession, name: str, upto: int | None = None
+        self,
+        spark: SparkSession,
+        name: str,
+        upto: int | None = None,
+        after: int | None = None,
     ) -> DataFrame | None:
-        """Union of a delta table across all committed rounds (≤ upto)."""
+        """Union of a delta table across committed rounds (≤ upto, > after)."""
         rounds = self.committed_rounds()
         if upto is not None:
             rounds = [r for r in rounds if r <= upto]
+        if after is not None:
+            rounds = [r for r in rounds if r > after]
         paths = [
             os.path.join(self.round_dir(r), name)
             for r in rounds

@@ -71,6 +71,8 @@ class EngineConfig:
     opic_initial_cash: float = 1.0
     target_per_task: int = 200
     max_attempts: int = 10
+    # --force (base.js:165): ignore the whole URL-seen set and re-crawl
+    force: bool = False
     extra: dict = dc_field(default_factory=dict)
 
 
@@ -121,7 +123,16 @@ class CrawlEngine:
     def _candidate_schema_cols(self):
         return [f.name for f in schemas.FRONTIER.fields]
 
-    def run(self, resume: bool = True) -> CrawlResult:
+    def run(
+        self, resume: bool = True, recrawl: DataFrame | None = None
+    ) -> CrawlResult:
+        """Run (or resume) the crawl.
+
+        ``recrawl``: optional (url, connector_id) rows whose seen status is
+        revoked — the selective --force / images-checker path: their hashes
+        are deleted from the seen set (cuckoo spill on the Bloom side,
+        SURVEY.md §4.3.2) and they re-enter the frontier.
+        """
         spark, cfg = self.spark, self.cfg
         self.ckpt.cleanup_partial()
         latest = self.ckpt.latest_round() if resume else None
@@ -134,9 +145,58 @@ class CrawlEngine:
             frontier = seeds_to_frontier(self.seeds)
             round_no = 0
 
+        recrawl_hashes: DataFrame | None = None
+        if recrawl is not None:
+            rows = recrawl.select(
+                F.col("url"),
+                url_hash(F.col("url")).alias("url_hash"),
+                url_host(F.col("url")).alias("host"),
+                F.lit(0).alias("depth"),
+                F.lit(0.0).alias("score"),
+                F.lit(0).alias("seed_idx"),
+                F.lit(0).alias("page_no"),
+                F.lit(0).alias("in_page_idx"),
+                F.lit(0).alias("dfs_rank"),
+                F.lit(round_no).alias("round_added"),
+                F.lit(0).alias("attempts"),
+                F.lit(round_no).alias("not_before"),
+                F.lit("record").alias("kind"),
+                F.col("connector_id"),
+            )
+            frontier = add_candidates(frontier, rows)
+            recrawl_hashes = rows.select("url_hash").persist()
+            self.seen_filter.mark_deleted(
+                np.array(
+                    [r["url_hash"] for r in recrawl_hashes.collect()],
+                    dtype=np.int64,
+                )
+            )
+
+        start_latest = latest if latest is not None else -1
+
         def seen_df() -> DataFrame:
-            d = self.ckpt.load_all_deltas(spark, "seen_delta")
-            return d if d is not None else self._empty(schemas.URL_SEEN)
+            if cfg.force:
+                return self._empty(schemas.URL_SEEN)
+            if recrawl_hashes is None:
+                d = self.ckpt.load_all_deltas(spark, "seen_delta")
+                return d if d is not None else self._empty(schemas.URL_SEEN)
+            # revoke recrawl hashes ONLY from deltas that predate this run —
+            # once re-fetched, their fresh delta makes them seen again
+            old = self.ckpt.load_all_deltas(spark, "seen_delta", upto=start_latest)
+            new = self.ckpt.load_all_deltas(spark, "seen_delta", after=start_latest)
+            if old is not None:
+                old = old.join(
+                    recrawl_hashes.select(F.col("url_hash").alias("__rc_h")),
+                    old["url_hash"] == F.col("__rc_h"),
+                    "left_anti",
+                )
+            parts = [p for p in (old, new) if p is not None]
+            if not parts:
+                return self._empty(schemas.URL_SEEN)
+            d = parts[0]
+            for p in parts[1:]:
+                d = d.unionByName(p)
+            return d
 
         while round_no < cfg.max_rounds:
             seen = seen_df()
@@ -458,6 +518,11 @@ class CrawlEngine:
                 delta = [
                     r["url_hash"] for r in ok.select("url_hash").collect()
                 ]
+                if self.seen_filter.deleted is not None:
+                    # a re-fetched recrawl URL is seen again: drop its
+                    # revocation so the cuckoo override stops admitting it
+                    for h in delta:
+                        self.seen_filter.deleted.delete(int(h))
                 if (
                     round_no % cfg.bloom_rebuild_every == 0
                     or not self.seen_filter.blooms

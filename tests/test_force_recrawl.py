@@ -1,0 +1,81 @@
+"""--force and selective re-crawl (base.js:165; images-checker semantics at
+the URL level; SURVEY.md §4.3.2 cuckoo delete spill)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.plans.rounds import CrawlEngine, EngineConfig
+from crawler_spark.sources.sitegen import SiteSpec, generate_site, site_to_spark
+
+SPEC = SiteSpec(n_hosts=2, details_per_host=8, limit=4, related_per_host=2)
+RECRAWL = [
+    ("http://h0.example.test/record/2", "c0"),
+    ("http://h1.example.test/record/5", "c1"),
+]
+
+
+def _engine(spark, sdfs, ck, **kw):
+    cfg = EngineConfig(ckpt_dir=ck, default_budget=10, use_bloom=True,
+                       bloom_partitions=4, **kw)
+    return CrawlEngine(spark, sdfs["pages"], sdfs["seeds"],
+                       sdfs["politeness"], cfg)
+
+
+def test_selective_recrawl_refetches_only_marked(spark, tmp_path):
+    site = generate_site(SPEC)
+    sdfs = site_to_spark(spark, site)
+    ck = str(tmp_path / "ck")
+    first = _engine(spark, sdfs, ck).run()
+    n_first = first.records.count()
+    rounds_first = first.rounds
+
+    recrawl = spark.createDataFrame(RECRAWL, "url string, connector_id string")
+    second = _engine(spark, sdfs, ck).run(recrawl=recrawl)
+    # exactly the marked urls were fetched again, in rounds after the first run
+    new_fetches = second.fetch_log.where(
+        (F.col("round") >= rounds_first) & (F.col("status") == 200)
+    ).select("url").collect()
+    assert sorted(r["url"] for r in new_fetches) == sorted(u for u, _ in RECRAWL)
+    # their records were rewritten (appended) — everything else untouched
+    assert second.records.count() == n_first + len(RECRAWL)
+
+    # a third run with no recrawl marks does nothing (idempotent again)
+    third = _engine(spark, sdfs, ck).run()
+    assert third.records.count() == second.records.count()
+
+
+def test_force_recrawls_everything(spark, tmp_path):
+    site = generate_site(SPEC)
+    sdfs = site_to_spark(spark, site)
+    ck = str(tmp_path / "ckf")
+    first = _engine(spark, sdfs, ck).run()
+    n_first = first.records.count()
+
+    # force run from scratch state but same ckpt dir: frontier is exhausted,
+    # so re-seed by disabling resume
+    forced = _engine(spark, sdfs, str(tmp_path / "ckf2"), force=True).run()
+    assert forced.records.count() == n_first
+
+
+def test_cuckoo_roundtrip_and_vectorized_contains():
+    from crawler_spark.operators.seen import CuckooFilter
+
+    cf = CuckooFilter(256)
+    hashes = np.array([3, -7, 123456789, -987654321, 2**62], dtype=np.int64)
+    for h in hashes:
+        assert cf.add(int(h))
+    assert cf.contains_many(hashes).all()
+    absent = np.array([11, -13, 999999999], dtype=np.int64)
+    assert not cf.contains_many(absent).any()
+    # scalar and vector paths agree
+    for h in list(hashes) + list(absent):
+        assert cf.contains(int(h)) == bool(
+            cf.contains_many(np.array([h], dtype=np.int64))[0]
+        )
+    # serialization roundtrip preserves membership
+    cf2 = CuckooFilter.from_bytes(cf.to_bytes(), cf.n_buckets)
+    assert cf2.contains_many(hashes).all()
+    # delete revokes membership
+    assert cf.delete(int(hashes[0]))
+    assert not cf.contains(int(hashes[0]))
