@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "1500000"))
+N_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "6000000"))
 # scaling runs need enough per-core compute that fixed per-stage overheads
 # (session spin-up amortized out, Python worker fork, bloom broadcast) don't
 # mask the scaling signal
@@ -114,12 +114,15 @@ def macro_round(spark: SparkSession, n: int) -> dict:
 
     t0 = time.time()
     canon = canonicalize_urls_udf(frozenset({"utm"}))
+    # persists mirror the engine's round loop (it persists the popped batch):
+    # without them the canonicalize UDF re-executes for every consumer
+    # (count jobs, both union branches of the Bloom filter, the salt counts)
     cand = (
         frontier.withColumn("url", canon(F.col("messy_url"), F.lit(None).cast("string")))
         .drop("messy_url")
         .withColumn("url_hash", F.xxhash64("url"))
         .withColumn("host", F.regexp_extract("url", r"http://([^/]+)/", 1))
-    )
+    ).persist()
     # URL-seen: every 3rd URL already crawled; Bloom sidecar + exact confirm
     seen = (
         spark.range(0, n, 3)
@@ -138,7 +141,7 @@ def macro_round(spark: SparkSession, n: int) -> dict:
     )
     ss = SeenSet(n_partitions=32)
     ss.build_blooms(seen)
-    fresh = ss.filter_unseen(cand, seen)
+    fresh = ss.filter_unseen(cand, seen).persist()
     # politeness: generous per-host budget, salt spreads the hot host
     batch = salted_host_repartition(
         fresh.select("url", "url_hash", "host",
@@ -155,6 +158,8 @@ def macro_round(spark: SparkSession, n: int) -> dict:
     dt = time.time() - t0
     urls = n - (n + 2) // 3  # popped after seen-dedup
     pages.unpersist()
+    cand.unpersist()
+    fresh.unpersist()
     return {"seconds": round(dt, 2), "urls": urls, "links": n_links,
             "urls_per_sec": round(urls / dt, 1)}
 
@@ -186,7 +191,9 @@ def main() -> None:
     if "scaling" in PARTS:
         rates = {}
         for master, cores in (("local[4]", 4), ("local[16]", 16)):
-            spark = _session(master, shuffle=2 * cores)
+            # identical shuffle-partition count at both sizes → identical
+            # physical plans; ONLY the core count varies between the runs
+            spark = _session(master, shuffle=32)
             rates[cores] = macro_round(spark, N_URLS_SCALING)
             spark.stop()
         eff = round(rates[4]["seconds"] / rates[16]["seconds"] / 4.0, 3)

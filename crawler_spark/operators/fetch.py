@@ -38,12 +38,15 @@ def fixture_fetch(batch: DataFrame, pages: DataFrame) -> DataFrame:
        small right side). Misses fall out of the left join as 404s — no
        second pages scan.
     """
+    page_cols = [
+        F.col("url").alias("__page_url"),
+        F.col("html").alias("body"),
+        F.col("warc_ts"),
+    ]
+    if "lang" in pages.columns:
+        page_cols.append(F.col("lang"))
     relevant = (
-        pages.select(
-            F.col("url").alias("__page_url"),
-            F.col("html").alias("body"),
-            F.col("warc_ts"),
-        )
+        pages.select(*page_cols)
         .join(
             F.broadcast(batch.select(F.col("url").alias("__b_url"))),
             F.col("__page_url") == F.col("__b_url"),

@@ -208,14 +208,20 @@ class CrawlEngine:
             # retry backoff eligibility (§2.9): rows delayed past this round
             # stay in the frontier but cannot be popped yet
             eligible = allowed.where(F.col("not_before") <= F.lit(round_no))
-            popped = pop_batch(
+            # persist the pop result: the salting stage consumes it three
+            # times (host counts, bucket total, the join) and would re-run
+            # the window shuffle each time otherwise
+            popped_raw = pop_batch(
                 eligible,
                 self.politeness,
                 cfg.default_budget,
                 cfg.global_batch,
-            )
-            popped = salted_host_repartition(popped, cfg.target_per_task).persist()
+            ).persist()
+            popped = salted_host_repartition(
+                popped_raw, cfg.target_per_task
+            ).persist()
             n_popped = popped.count()
+            popped_raw.unpersist()
             if n_popped == 0:
                 popped.unpersist()
                 # nothing eligible now — jump to the earliest backoff round
@@ -353,6 +359,8 @@ class CrawlEngine:
                 "depth",
                 "kind",
                 "score",
+                *(["lang"] if "lang" in details.columns else []),
+                "warc_ts",
             )
             recs = (
                 rec_rows.join(dmeta, "url")
@@ -400,7 +408,18 @@ class CrawlEngine:
                 "in_page_idx",
                 parent_rank.cast("int").alias("dfs_rank"),
             )
-            webtext_out = recs.where(F.col("keep")).select("url", "text")
+            # webtext in the input_hint shape: url, text (+ lang, warc_ts
+            # carried from the fetched page)
+            webtext_out = recs.where(F.col("keep")).select(
+                "url",
+                "text",
+                *(
+                    [F.col("lang")]
+                    if "lang" in recs.columns
+                    else [F.lit(None).cast("string").alias("lang")]
+                ),
+                "warc_ts",
+            )
 
             child_rank = F.when(
                 F.col("related_policy") == "before_parent_write", F.col("pos")

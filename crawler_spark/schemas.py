@@ -107,6 +107,8 @@ WEBTEXT = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
         T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("warc_ts", T.TimestampType(), True),
     ]
 )
 

@@ -84,3 +84,45 @@ def test_s9_tsv_scan(spark, tmp_path):
     assert rows["1"]["material"] == 'silk "brocade"'  # quoting disabled
     assert rows["2"]["title"] == "Panel"
     assert "id" in df.columns  # BOM stripped from first header
+
+
+def test_s10_docx_table_scan(spark, tmp_path):
+    """el-tesoro DOCX table state machine (el-tesoro.js:58-90) over the
+    binaryFile source, with the docx→html conversion injected (the real
+    mammoth converter is stubbed — absent in this container)."""
+    import base64
+
+    from crawler_spark.sources.docx import docx_records, docx_to_html_stub
+
+    png_b64 = base64.b64encode(b"\x89PNG\r\n\x1a\nfake").decode()
+    fake_html = (
+        "<table>"
+        '<tr><td colspan="3"> Chasuble of Toledo </td></tr>'
+        "<tr><td> Material </td><td> silk </td></tr>"
+        "<tr><td> Century </td><td> XVI </td></tr>"
+        f'<tr><td>Image</td><td><img src="data:image/png;base64,{png_b64}"></td></tr>'
+        '<tr><td colspan="3">Second Record</td></tr>'
+        "<tr><td>Material</td><td>velvet</td></tr>"
+        "<tr><td>Empty</td><td>  </td></tr>"
+        "</table>"
+    )
+    d = tmp_path / "docx"
+    d.mkdir()
+    (d / "records.docx").write_bytes(b"PK\x03\x04 not a real docx")
+
+    out = docx_records(spark, str(d), convert=lambda b: fake_html).collect()
+    assert len(out) == 2
+    first = next(r for r in out if r["record_idx"] == 0)
+    assert first["title"] == "Chasuble of Toledo"
+    fields = [(f["label"], list(f["values"])) for f in first["fields"]]
+    assert fields[:2] == [("Material", ["silk"]), ("Century", ["XVI"])]
+    assert first["n_images"] == 1
+    second = next(r for r in out if r["record_idx"] == 1)
+    assert [(f["label"], f["values"][0]) for f in second["fields"]] == [
+        ("Material", "velvet")
+    ]  # empty value dropped (P1)
+
+    # the real converter is an explicit stub
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        docx_to_html_stub(b"anything")
