@@ -417,6 +417,64 @@ def _s7_delimited_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _p1_empty_value_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 addField empty-value filter (record.js:14-21): null/''/'  ' values
+    dropped from the values array, all JVM higher-order exprs."""
+    docs = _t(spark, sf_dir, "documents")
+    vals = F.array(
+        F.substring("text", 1, 5),
+        F.lit(""),
+        F.lit(None).cast("string"),
+        F.lit("  "),
+        F.col("lang"),
+    )
+    kept = F.filter(
+        vals, lambda v: v.isNotNull() & (F.length(F.trim(v)) > 0)
+    )
+    return docs.select(
+        "doc_id",
+        F.size(kept).cast("long").alias("n_kept"),
+        F.concat_ws("|", kept).alias("kept"),
+    )
+
+
+def _a5_image_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 positional image index (base.js:203-205 `<id>_<index>.jpg`):
+    posexplode preserving in-record order."""
+    from crawler_spark.functions.textstats import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.slice(tokens(F.col("text")), 1, 3)
+    return docs.select(
+        "doc_id", F.posexplode(toks).alias("img_idx", "token")
+    ).select(
+        "doc_id",
+        F.col("img_idx").cast("long").alias("img_idx"),
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit("_"),
+            F.col("img_idx").cast("string"), F.lit(".jpg"),
+        ).alias("filename"),
+        "token",
+    )
+
+
+def _f12_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 array map/filter/flatten (paris-musees.js:145-160,
+    mobilier-international.js:70-99): transform + filter chained JVM-side."""
+    from crawler_spark.functions.textstats import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.slice(tokens(F.col("text")), 1, 8)
+    out = F.transform(
+        F.filter(toks, lambda t: F.length(t) > 4), lambda t: F.upper(t)
+    )
+    return docs.select(
+        "doc_id",
+        F.size(out).cast("long").alias("n_long_tokens"),
+        F.concat_ws(",", out).alias("upper_tokens"),
+    )
+
+
 def _p4_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4 nested-object flatten (utils.js:71-94): dotted keys from nested
     structs via crawler_spark.functions.flatten.flatten_structs."""
@@ -748,6 +806,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f9_math_lpad": _f9_math_lpad,
         "f10_json_extract": _f10_json_extract,
         "s7_delimited_scan": _s7_delimited_scan,
+        "p1_empty_value_filter": _p1_empty_value_filter,
+        "a5_image_index": _a5_image_index,
+        "f12_array_ops": _f12_array_ops,
         "p4_flatten": _p4_flatten,
         "f3_text_cleanup": _f3_text_cleanup,
         "s13_image_magic": _s13_image_magic,
@@ -935,6 +996,32 @@ def oracle_sql() -> dict[str, str]:
                    str_split(row, '><')[1] AS rec_id,
                    str_split(row, '><')[2] AS rec_type
             FROM rows_
+        """,
+        "p1_empty_value_filter": """
+            WITH v AS (
+              SELECT doc_id,
+                     list_filter([substr(text, 1, 5), '', NULL, '  ', lang],
+                                 x -> x IS NOT NULL AND len(trim(x)) > 0) AS kept
+              FROM documents)
+            SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept,
+                   coalesce(list_aggregate(kept, 'string_agg', '|'), '') AS kept
+            FROM v
+        """,
+        "a5_image_index": f"""
+            WITH t AS (SELECT doc_id, list_slice({_TOKS}, 1, 3) AS toks FROM documents)
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS img_idx,
+                   CAST(doc_id AS VARCHAR) || '_' || CAST(i - 1 AS VARCHAR) || '.jpg' AS filename,
+                   toks[i] AS token
+            FROM t, unnest(generate_series(1, len(toks))) AS s(i)
+        """,
+        "f12_array_ops": f"""
+            WITH t AS (SELECT doc_id, list_slice({_TOKS}, 1, 8) AS toks FROM documents),
+                 f AS (SELECT doc_id, list_filter(toks, x -> len(x) > 4) AS long_toks FROM t)
+            SELECT doc_id,
+                   CAST(len(long_toks) AS BIGINT) AS n_long_tokens,
+                   coalesce(list_aggregate(list_transform(long_toks, x -> upper(x)),
+                            'string_agg', ','), '') AS upper_tokens
+            FROM f
         """,
         "p4_flatten": """
             SELECT event_id,
