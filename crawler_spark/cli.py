@@ -26,7 +26,10 @@ import sys
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="crawler_spark")
-    p.add_argument("--pages", required=True, help="parquet dir/file: url, warc_ts, html, text, lang")
+    p.add_argument("--pages", default=None, help="parquet dir/file: url, warc_ts, html, text, lang (required unless --fetch-mode live)")
+    p.add_argument("--fetch-mode", choices=["fixture", "live"], default="fixture",
+                   help="fixture = join the pages table; live = real HTTP (urllib) with per-host crawl-delay")
+    p.add_argument("--fetch-timeout", type=float, default=60.0)
     p.add_argument("--seeds", required=True, help="parquet: connector seed rows")
     p.add_argument("--politeness", default=None, help="parquet: host, crawl_delay_ms, budget_per_round, disallow")
     p.add_argument("--connectors", default=None, help="JSON file: connector_id -> ConnectorConfig fields")
@@ -74,7 +77,9 @@ def main(argv: list[str] | None = None) -> int:
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
-    pages = spark.read.parquet(args.pages)
+    if args.fetch_mode == "fixture" and not args.pages:
+        raise SystemExit("--pages is required in fixture mode")
+    pages = spark.read.parquet(args.pages) if args.pages else None
     seeds = spark.read.parquet(args.seeds)
     politeness = spark.read.parquet(args.politeness) if args.politeness else None
 
@@ -86,6 +91,8 @@ def main(argv: list[str] | None = None) -> int:
         use_bloom=args.bloom,
         bloom_partitions=args.bloom_partitions,
         use_opic=args.opic,
+        fetch_mode=args.fetch_mode,
+        fetch_timeout_s=args.fetch_timeout,
     )
     eng = CrawlEngine(
         spark, pages, seeds, politeness, cfg,

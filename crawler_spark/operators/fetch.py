@@ -64,38 +64,130 @@ def fixture_fetch(batch: DataFrame, pages: DataFrame) -> DataFrame:
     )
 
 
-def split_retries(fetched: DataFrame, max_attempts: int = MAX_ATTEMPTS):
-    """(ok, retry, dead) — failed rows re-enqueue with attempts+1 until the
-    retry budget (watermark) expires; the reference logs-and-continues
-    (per-record try/catch, les-arts-decoratifs.js:34-40)."""
+def live_retryable():
+    """Which failures re-enqueue in live mode — mirrors axios-retry's
+    network-or-idempotent policy (base.js:46-56): network errors (-1),
+    5xx, timeout-ish 408/429. Other 4xx are permanent (a 404 record is
+    skipped, not retried)."""
+    s = F.col("status")
+    return (s < 0) | (s >= 500) | s.isin(408, 429)
+
+
+def split_retries(
+    fetched: DataFrame,
+    max_attempts: int = MAX_ATTEMPTS,
+    retryable=None,
+):
+    """(ok, retry, dead) — retryable failures re-enqueue with attempts+1
+    until the retry budget (watermark) expires; non-retryable failures die
+    immediately; the reference logs-and-continues either way (per-record
+    try/catch, les-arts-decoratifs.js:34-40). Fixture mode treats every
+    failure as transient (default predicate); live mode passes
+    ``live_retryable()``."""
+    if retryable is None:
+        retryable = F.lit(True)
     ok = fetched.where(F.col("status") == 200)
     failed = fetched.where(F.col("status") != 200)
     retry = (
-        failed.where(F.col("attempts") + 1 < max_attempts)
+        failed.where(retryable & (F.col("attempts") + 1 < max_attempts))
         .withColumn("attempts", F.col("attempts") + 1)
     )
-    dead = failed.where(F.col("attempts") + 1 >= max_attempts)
+    dead = failed.where(~retryable | (F.col("attempts") + 1 >= max_attempts))
     return ok, retry, dead
 
 
-def live_fetch_batch(
-    it: Iterator[pd.DataFrame],
+def live_fetch(
+    batch: DataFrame,
     timeout_s: float = 60.0,
     max_bytes: int = 50 * 1024 * 1024,
-    crawl_delay_ms: int = 0,
-) -> Iterator[pd.DataFrame]:
-    """Live-HTTP mapInPandas worker — STUB (sandbox has no network).
+    user_agent: str = "crawler-spark/0.1",
+) -> DataFrame:
+    """Live HTTP fetch stage (J2 live mode) — real, stdlib-only.
 
-    Contract (for a real deployment): input partitions are salted-by-host and
-    sorted (host, order) so this worker owns each host's run contiguously and
-    can hold one keepAlive session + cookie jar per host (the S6 ASP.NET /
-    Floracci sessions, imatex.js:38-115, mtmad.js:19-78) and sleep
-    ``crawl_delay_ms`` between same-host requests. Output schema matches
-    ``fixture_fetch``.
+    Reference config mirrored from base.js:38-56: 60 s timeout, 50 MB body
+    cap, connection-reuse per host. Input partitions are salted-by-host and
+    sorted (host, …) by the politeness stage, so this worker owns each
+    host's run contiguously: it enforces the per-row ``crawl_delay_ms``
+    between same-host requests (Mercator-style politeness) and keeps one
+    opener per host (cookie jar ↔ the S6 sessions, imatex.js:38-115).
+
+    Per-request retries stay OUT of this stage — failures re-enqueue through
+    ``split_retries`` round-by-round (the batch-iterative analog of
+    axios-retry's in-process backoff, SURVEY.md §2.9). Statuses: HTTP code,
+    ``-1`` network/timeout error, ``413`` body-over-cap.
     """
-    raise NotImplementedError(
-        "live HTTP fetch is environment-gated; use fixture_fetch in tests"
+    delay_col = (
+        F.col("crawl_delay_ms")
+        if "crawl_delay_ms" in batch.columns
+        else F.lit(0).alias("crawl_delay_ms")
     )
+    inp = batch.withColumn("__delay_ms", delay_col)
+    in_cols = [c for c in inp.columns]
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in inp.schema.fields
+        if f.name != "__delay_ms"
+    ) + ", body binary, warc_ts timestamp, lang string, status int, bytes long"
+
+    def _fetch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import http.cookiejar
+        import time as _time
+        import urllib.error
+        import urllib.request
+
+        openers: dict[str, urllib.request.OpenerDirector] = {}
+        last_hit: dict[str, float] = {}
+
+        def opener_for(host: str):
+            if host not in openers:
+                jar = http.cookiejar.CookieJar()
+                openers[host] = urllib.request.build_opener(
+                    urllib.request.HTTPCookieProcessor(jar)
+                )
+            return openers[host]
+
+        for pdf in it:
+            out = {c: [] for c in in_cols if c != "__delay_ms"}
+            out.update({"body": [], "warc_ts": [], "lang": [],
+                        "status": [], "bytes": []})
+            for row in pdf.itertuples(index=False):
+                host = getattr(row, "host", "")
+                delay = getattr(row, "__delay_ms", 0) or 0
+                if delay and host in last_hit:
+                    wait = last_hit[host] + delay / 1000.0 - _time.monotonic()
+                    if wait > 0:
+                        _time.sleep(wait)
+                body, status = None, -1
+                try:
+                    req = urllib.request.Request(
+                        row.url, headers={"User-Agent": user_agent}
+                    )
+                    with opener_for(host).open(req, timeout=timeout_s) as r:
+                        body = r.read(max_bytes + 1)
+                        status = r.status
+                        if len(body) > max_bytes:
+                            body, status = None, 413  # 50 MB cap (base.js:43)
+                except urllib.error.HTTPError as e:
+                    status = e.code
+                except Exception:
+                    status = -1  # network/timeout — retryable
+                last_hit[host] = _time.monotonic()
+                for c in out:
+                    if c == "body":
+                        out[c].append(body)
+                    elif c == "warc_ts":
+                        out[c].append(pd.Timestamp.utcnow().tz_localize(None))
+                    elif c == "lang":
+                        out[c].append(None)
+                    elif c == "status":
+                        out[c].append(status)
+                    elif c == "bytes":
+                        out[c].append(len(body) if body is not None else 0)
+                    else:
+                        out[c].append(getattr(row, c))
+            yield pd.DataFrame(out)
+
+    return inp.mapInPandas(_fetch, out_schema)
 
 
 def sessionful_fixture_fetch(

@@ -43,7 +43,12 @@ from crawler_spark.operators.extract import (
     extract_links_batch_for,
     extract_records_batch_for,
 )
-from crawler_spark.operators.fetch import fixture_fetch, split_retries
+from crawler_spark.operators.fetch import (
+    fixture_fetch,
+    live_fetch,
+    live_retryable,
+    split_retries,
+)
 from crawler_spark.operators.frontier import (
     add_candidates,
     remove_popped,
@@ -73,6 +78,10 @@ class EngineConfig:
     max_attempts: int = 10
     # --force (base.js:165): ignore the whole URL-seen set and re-crawl
     force: bool = False
+    # "fixture" (pages-table join, tests/recorded corpora) or "live"
+    # (real HTTP via stdlib urllib, per-host crawl-delay enforced in-worker)
+    fetch_mode: str = "fixture"
+    fetch_timeout_s: float = 60.0  # base.js:39
     extra: dict = dc_field(default_factory=dict)
 
 
@@ -233,8 +242,34 @@ class CrawlEngine:
                 continue
 
             remaining = remove_popped(frontier, popped)
-            fetched = fixture_fetch(popped, self.pages).persist()
-            ok, retry, dead = split_retries(fetched, cfg.max_attempts)
+            if cfg.fetch_mode == "live":
+                batch_in = popped
+                if self.politeness is not None:
+                    delays = self.politeness.select(
+                        F.col("host").alias("__d_host"),
+                        F.col("crawl_delay_ms"),
+                    )
+                    batch_in = (
+                        popped.join(
+                            F.broadcast(delays),
+                            popped["host"] == F.col("__d_host"),
+                            "left",
+                        )
+                        .drop("__d_host")
+                        .withColumn(
+                            "crawl_delay_ms",
+                            F.coalesce(F.col("crawl_delay_ms"), F.lit(0)),
+                        )
+                    )
+                fetched = live_fetch(
+                    batch_in, timeout_s=cfg.fetch_timeout_s
+                ).persist()
+                ok, retry, dead = split_retries(
+                    fetched, cfg.max_attempts, live_retryable()
+                )
+            else:
+                fetched = fixture_fetch(popped, self.pages).persist()
+                ok, retry, dead = split_retries(fetched, cfg.max_attempts)
 
             searches = ok.where(F.col("kind") == "search")
             details = ok.where(F.col("kind") != "search")
