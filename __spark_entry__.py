@@ -53,11 +53,11 @@ def entry(spark: SparkSession) -> DataFrame:
         orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
         .select(
             canon(messy, F.lit(None).cast("string")).alias("url"),
-            F.lower(F.parse_url(canon(messy, F.lit(None).cast("string")), F.lit("HOST"))).alias("host"),
             F.col("o_orderkey"),
             F.col("o_totalprice").alias("score"),
             F.col("o_orderstatus"),
         )
+        .withColumn("host", F.lower(F.parse_url(F.col("url"), F.lit("HOST"))))
         .withColumn("url_hash", F.xxhash64("url"))
     )
     # J1: anti-join the "seen" set (finished orders)
