@@ -164,6 +164,45 @@ def macro_round(spark: SparkSession, n: int) -> dict:
             "urls_per_sec": round(urls / dt, 1)}
 
 
+def loop_bench(spark: SparkSession, n_hosts: int = 10, details: int = 1500) -> dict:
+    """Full CrawlEngine loop (pop→dedup→fetch→extract→checkpoint per round)
+    over a generated multi-host site with one hot host — measures the loop
+    machinery end-to-end, not just one macro round."""
+    import shutil
+    import tempfile
+
+    from crawler_spark.plans.rounds import CrawlEngine, EngineConfig
+    from crawler_spark.sources.sitegen import SiteSpec, generate_site, site_to_spark
+
+    site = generate_site(
+        SiteSpec(
+            n_hosts=n_hosts, details_per_host=details, limit=50,
+            related_per_host=20, hot_host=0, hot_factor=4,
+            budget_per_round=2000,
+        )
+    )
+    sdfs = site_to_spark(spark, site)
+    ck = tempfile.mkdtemp(prefix="loop_bench_")
+    t0 = time.time()
+    cfg = EngineConfig(
+        ckpt_dir=ck, default_budget=2000, use_bloom=True,
+        bloom_partitions=16, target_per_task=500,
+    )
+    res = CrawlEngine(
+        spark, sdfs["pages"], sdfs["seeds"], sdfs["politeness"], cfg,
+        connectors=site["connectors"],
+    ).run()
+    n_fetched = res.fetch_log.where("status = 200").count()
+    dt = time.time() - t0
+    shutil.rmtree(ck, ignore_errors=True)
+    return {
+        "seconds": round(dt, 2),
+        "rounds": res.rounds,
+        "urls_fetched": n_fetched,
+        "urls_per_sec": round(n_fetched / dt, 1),
+    }
+
+
 def run_queries(spark: SparkSession) -> dict:
     import __spark_entry__ as entry_mod
 
@@ -212,13 +251,23 @@ def main() -> None:
         headline = macro_round(spark, N_URLS)
         spark.stop()
 
+    loop = {}
+    if "loop" in PARTS:
+        spark = _session(f"local[{CPUS}]", shuffle=32)
+        loop = loop_bench(spark)
+        spark.stop()
+
     queries = {}
     if "queries" in PARTS:
         spark = _session(f"local[{CPUS}]", shuffle=32)
         queries = run_queries(spark)
         spark.stop()
 
-    value = headline.get("urls_per_sec") or scaling.get("local16_urls_per_sec")
+    value = (
+        headline.get("urls_per_sec")
+        or scaling.get("local16_urls_per_sec")
+        or loop.get("urls_per_sec")
+    )
     print(
         json.dumps(
             {
@@ -229,6 +278,7 @@ def main() -> None:
                 "queries_total_sec": round(sum(queries.values()), 2),
                 "sf": sf,
                 "headline_round": headline,
+                "loop": loop,
                 "scaling": scaling,
             }
         )

@@ -323,20 +323,51 @@ class CrawlEngine:
                 F.broadcast(self.seed_cfg), "connector_id", "left"
             )
             total_pages = F.ceil(F.col("total_count") / F.col("limit"))
-            has_next = F.when(
-                F.col("paging_style").isin("page", "offset"),
-                (F.col("total_count").isNotNull())
-                & (F.col("page_no") + 1 < F.col("start_page") + total_pages),
-            ).otherwise(  # unknown_total: loop until empty (artic.js:59-78)
-                (F.col("n_links") > 0)
-                & (
-                    F.col("max_offset").isNull()
-                    | (
-                        (F.col("page_no") + 1 - F.col("start_page"))
-                        * F.col("limit")
-                        < F.col("max_offset")
-                    )
+            last_page = (F.col("start_page") + total_pages - 1).cast("int")
+            # Known-total styles fan out ALL remaining pages from the FIRST
+            # page — page URLs are derivable, so deep paginations stop
+            # serializing the round loop (a 10^4-page host becomes one
+            # round's worth of frontier instead of 10^4 sequential rounds).
+            # Parity-safe: ordering comes from the (seed, page, idx, rank)
+            # tuple, never from discovery time; the URL-seen set is
+            # unchanged. The reference's page-at-a-time loop (base.js:67-113)
+            # is a sequential-client artifact, not a semantic.
+            # unknown_total keeps chaining (next page only exists if this
+            # one was non-empty — artic.js:59-78).
+            known = F.col("paging_style").isin("page", "offset") & F.col(
+                "total_count"
+            ).isNotNull()
+            fanout = (
+                F.when(
+                    known
+                    & (F.col("page_no") == F.col("start_page"))
+                    & (last_page >= F.col("page_no") + 1),
+                    F.expr("sequence(page_no + 1, last_page_v)"),
                 )
+                .when(
+                    ~known
+                    & (F.col("n_links") > 0)
+                    & (
+                        F.col("max_offset").isNull()
+                        | (
+                            (F.col("page_no") + 1 - F.col("start_page"))
+                            * F.col("limit")
+                            < F.col("max_offset")
+                        )
+                    ),
+                    F.array(F.col("page_no") + 1),
+                )
+                .otherwise(F.array().cast("array<int>"))
+            )
+            fanned = per_page.withColumn("last_page_v", last_page).select(
+                "parent_url",
+                "connector_id",
+                "seed_idx",
+                "depth",
+                "paging_style",
+                "start_page",
+                "limit",
+                F.explode(fanout.cast("array<int>")).alias("next_pno"),
             )
             # page-style rewrites page=N; offset-style rewrites
             # offset=(N - start_page)*limit (met-museum offset+perPage)
@@ -348,7 +379,7 @@ class CrawlEngine:
                     F.concat(
                         F.lit("offset="),
                         (
-                            (F.col("page_no") + 1 - F.col("start_page"))
+                            (F.col("next_pno") - F.col("start_page"))
                             * F.col("limit")
                         ).cast("string"),
                     ),
@@ -357,27 +388,24 @@ class CrawlEngine:
                 F.regexp_replace(
                     F.col("parent_url"),
                     r"page=\d+",
-                    F.concat(F.lit("page="), (F.col("page_no") + 1).cast("string")),
+                    F.concat(F.lit("page="), F.col("next_pno").cast("string")),
                 )
             )
-            next_pages = (
-                per_page.where(has_next)
-                .select(
-                    next_url.alias("url"),
-                    url_hash(next_url).alias("url_hash"),
-                    url_host(next_url).alias("host"),
-                    F.col("depth").cast("int").alias("depth"),
-                    F.lit(0.0).alias("score"),
-                    F.col("seed_idx"),
-                    (F.col("page_no") + 1).cast("int").alias("page_no"),
-                    F.lit(-1).alias("in_page_idx"),
-                    F.lit(0).alias("dfs_rank"),
-                    F.lit(round_no + 1).alias("round_added"),
-                    F.lit(0).alias("attempts"),
-                    F.lit(round_no + 1).alias("not_before"),
-                    F.lit("search").alias("kind"),
-                    F.col("connector_id"),
-                )
+            next_pages = fanned.select(
+                next_url.alias("url"),
+                url_hash(next_url).alias("url_hash"),
+                url_host(next_url).alias("host"),
+                F.col("depth").cast("int").alias("depth"),
+                F.lit(0.0).alias("score"),
+                F.col("seed_idx"),
+                F.col("next_pno").cast("int").alias("page_no"),
+                F.lit(-1).alias("in_page_idx"),
+                F.lit(0).alias("dfs_rank"),
+                F.lit(round_no + 1).alias("round_added"),
+                F.lit(0).alias("attempts"),
+                F.lit(round_no + 1).alias("not_before"),
+                F.lit("search").alias("kind"),
+                F.col("connector_id"),
             )
 
             # ---- detail pages → records + webtext + related links
