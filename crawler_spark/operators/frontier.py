@@ -50,12 +50,24 @@ def empty_frontier(spark: SparkSession) -> DataFrame:
 def add_candidates(
     frontier: DataFrame, candidates: DataFrame
 ) -> DataFrame:
-    """Union new links into the frontier, deduping within the union
-    (J4 in-round memo cache, joconde.js:41,184-187): keep the
-    lowest-ordered occurrence per url_hash so ordering parity survives
-    duplicate discovery."""
-    unioned = frontier.unionByName(candidates.select(*frontier.columns))
+    """Union new links into the frontier, deduping per url_hash by keeping
+    the lowest-ordered occurrence (J4 in-round memo cache,
+    joconde.js:41,184-187) — that is exactly the row the sequential
+    reference would have visited first, so ordering parity survives
+    duplicate discovery.
+
+    Scale shape: the row_number window is a SORT shuffle, so it runs only
+    over the *contested* keys (url_hashes present in both sides) plus the
+    new candidates; the untouched bulk of the frontier passes through a
+    hash anti-join instead of being re-sorted every round.
+    """
     from pyspark.sql import Window
+
+    cols = frontier.columns
+    cand = candidates.select(*cols)
+    cand_keys = cand.select("url_hash").distinct()
+    contested = frontier.join(cand_keys, "url_hash", "left_semi")
+    untouched = frontier.join(cand_keys, "url_hash", "left_anti")
 
     w = Window.partitionBy("url_hash").orderBy(
         F.col("seed_idx").asc(),
@@ -64,11 +76,13 @@ def add_candidates(
         F.col("dfs_rank").asc(),
         F.col("round_added").asc(),
     )
-    return (
-        unioned.withColumn("__rn", F.row_number().over(w))
+    pool = contested.unionByName(cand)
+    deduped = (
+        pool.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+    return untouched.unionByName(deduped)
 
 
 def remove_popped(frontier: DataFrame, popped: DataFrame) -> DataFrame:
