@@ -208,6 +208,9 @@ class CrawlEngine:
             return d
 
         while round_no < cfg.max_rounds:
+            import time as _time
+
+            round_t0 = _time.time()
             seen = seen_df()
             allowed = (
                 apply_robots(frontier, self.politeness)
@@ -576,12 +579,24 @@ class CrawlEngine:
             )
 
             # ---- commit round snapshot (frontier full, rest deltas)
-            n_ok = ok.count()
+            # fetch/parse metrics in ONE aggregation over the persisted
+            # fetch result (north_rule: per-round fetch/parse metrics)
+            import time as _time
+
+            fstats = fetched.agg(
+                F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("ok"),
+                F.sum(F.when(F.col("status") != 200, 1).otherwise(0)).alias("failed"),
+                F.sum(F.when(F.col("status") == 200, F.col("bytes")).otherwise(0)).alias("bytes"),
+            ).first()
+            n_ok = int(fstats["ok"] or 0)
             n_records = records_out.count()
             metrics = {
                 "popped": n_popped,
                 "fetched_ok": n_ok,
+                "fetch_failed": int(fstats["failed"] or 0),
+                "bytes_fetched": int(fstats["bytes"] or 0),
                 "records_written": n_records,
+                "round_wall_s": round(_time.time() - round_t0, 2),
             }
             self.ckpt.commit_round(
                 round_no,
