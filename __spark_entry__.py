@@ -615,6 +615,18 @@ def _sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, k=3, n_planes=6, dim=64)
 
 
+def _sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (coarse k-means cells + nprobe search);
+    nprobe==n_cells degenerates to exact brute force — pinned in
+    tests/test_functions.py. Approximate → rows-only driver check."""
+    from crawler_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, k=3, n_cells=8, nprobe=2, query_filter=F.col("vec_id") < 50
+    )
+
+
 def _emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs blocked by label."""
     from crawler_spark.functions.similarity import embedding_neardup_pairs
@@ -652,6 +664,21 @@ def _text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count(F.col("text")).cast("long").alias("n_tokens"),
         F.round(avg_token_len(F.col("text")), 4).alias("avg_tok_len"),
         F.round(punct_ratio(F.col("text")), 4).alias("punct_r"),
+    )
+
+
+def _text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex pre-tokenization (training-data token accounting):
+    contraction/letter/digit/punct runs via one regexp_extract_all."""
+    from crawler_spark.functions.textstats import bpe_ish_count, bpe_ish_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_ish_count(F.col("text")).cast("long").alias("n_pieces"),
+        F.concat_ws("|", F.slice(bpe_ish_tokens(F.col("text")), 1, 5)).alias(
+            "first_pieces"
+        ),
     )
 
 
@@ -819,9 +846,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "sim_topk_brute": _sim_topk_brute,
         "sim_lsh_topk": _sim_lsh_topk,
+        "sim_ivf_topk": _sim_ivf_topk,
         "emb_neardup": _emb_neardup,
         "text_langid": _text_langid,
         "text_token_stats": _text_token_stats,
+        "text_bpe_tokens": _text_bpe_tokens,
         "text_quality": _text_quality,
         "events_tumbling": _events_tumbling,
         "fields_lister_report": _fields_lister_report,
@@ -1132,6 +1161,17 @@ def oracle_sql() -> dict[str, str]:
                      THEN CAST(len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
                           / len(text) ELSE 0.0 END, 4) AS punct_r
             FROM documents
+        """,
+        "text_bpe_tokens": """
+            WITH p AS (
+              SELECT doc_id,
+                     regexp_extract_all(text,
+                       '''[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+') AS pieces
+              FROM documents)
+            SELECT doc_id, CAST(len(pieces) AS BIGINT) AS n_pieces,
+                   coalesce(list_aggregate(list_slice(pieces, 1, 5),
+                            'string_agg', '|'), '') AS first_pieces
+            FROM p
         """,
         "text_quality": f"""
             SELECT doc_id, round((len_ok + tok_ok + sw_ok + punct_ok) / 4.0, 4) AS quality

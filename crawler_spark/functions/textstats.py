@@ -30,6 +30,22 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# BPE-ish pre-tokenizer: contraction suffixes, letter runs, digit runs,
+# punctuation runs — the GPT-2-style split WITHOUT the trailing-space
+# lookahead (kept RE2-safe so the DuckDB oracle evaluates the identical
+# pattern; ASCII classes for cross-engine parity).
+BPE_ISH_PATTERN = r"'[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Subword-style token pieces via one JVM regexp_extract_all."""
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_count(text: Column) -> Column:
+    return F.size(bpe_ish_tokens(text))
+
+
 def _stop_hits(text: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(tokens(text), lambda t: F.lower(t).isin(*words)))
 
