@@ -1,0 +1,140 @@
+"""robots.txt parsing → politeness table (north_star: "enforces robots.txt
+and per-host crawl-delay").
+
+The reference has no robots handling (its politeness is sequentiality);
+this implements the minimal RFC 9309 subset a crawler needs: user-agent
+groups, Disallow path prefixes, Crawl-delay. Parsing is a pure function
+(property-testable) lifted over a robots corpus with a vectorized batch
+UDF; the output rows feed ``CrawlEngine``'s politeness table, whose
+``apply_robots`` stage enforces the prefixes JVM-side every round.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.canonicalize import host_of
+
+
+def parse_robots(
+    text: str | bytes | None, user_agent: str = "*"
+) -> dict:
+    """→ {"disallow": [prefixes], "crawl_delay_ms": int | None}.
+
+    Group selection per RFC 9309: the most specific matching User-agent
+    group wins (longest agent token that is a prefix of ``user_agent`` or
+    ``*``); multiple UA lines stack onto one group; rules end at the next
+    UA line that follows at least one rule.
+    """
+    if text is None:
+        return {"disallow": [], "crawl_delay_ms": None}
+    if isinstance(text, (bytes, bytearray, memoryview)):
+        text = bytes(text).decode("utf-8", errors="replace")
+
+    groups: list[tuple[list[str], list[str], float | None]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[str] = []
+    cur_delay: float | None = None
+    in_rules = False
+
+    def flush():
+        nonlocal cur_agents, cur_rules, cur_delay, in_rules
+        if cur_agents:
+            groups.append((cur_agents, cur_rules, cur_delay))
+        cur_agents, cur_rules, cur_delay, in_rules = [], [], None, False
+
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_rules:
+                flush()
+            cur_agents.append(val.lower())
+        elif key == "disallow":
+            in_rules = True
+            if val:
+                cur_rules.append(val)
+        elif key == "crawl-delay":
+            in_rules = True
+            try:
+                cur_delay = float(val)
+            except ValueError:
+                pass
+        elif key in ("allow", "sitemap"):
+            in_rules = True  # recognized, not modelled (allow-all default)
+    flush()
+
+    ua = user_agent.lower()
+    best: tuple[int, list[str], float | None] | None = None
+    for agents, rules, delay in groups:
+        for a in agents:
+            if a == "*":
+                score = 0
+            elif a and a in ua:
+                score = len(a)
+            else:
+                continue
+            if best is None or score > best[0]:
+                best = (score, rules, delay)
+    if best is None:
+        return {"disallow": [], "crawl_delay_ms": None}
+    return {
+        "disallow": list(best[1]),
+        "crawl_delay_ms": (
+            int(best[2] * 1000) if best[2] is not None else None
+        ),
+    }
+
+
+ROBOTS_POLITENESS_SCHEMA = (
+    "host string, crawl_delay_ms long, budget_per_round int, "
+    "disallow array<string>"
+)
+
+
+def politeness_from_robots(
+    robots_pages: DataFrame,
+    user_agent: str = "crawler-spark",
+    default_delay_ms: int = 0,
+    default_budget: int = 1000,
+) -> DataFrame:
+    """(url, html) rows of fetched ``/robots.txt`` files → politeness rows.
+
+    One row per host; hosts without a robots file simply don't appear
+    (engine default budget applies). Batch-vectorized parse.
+    """
+    def _parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"host": [], "crawl_delay_ms": [], "budget_per_round": [],
+                   "disallow": []}
+            for url, body in zip(pdf["url"], pdf["html"]):
+                host = host_of(url)
+                if not host:
+                    continue
+                parsed = parse_robots(
+                    bytes(body) if body is not None else None, user_agent
+                )
+                out["host"].append(host)
+                out["crawl_delay_ms"].append(
+                    parsed["crawl_delay_ms"]
+                    if parsed["crawl_delay_ms"] is not None
+                    else default_delay_ms
+                )
+                out["budget_per_round"].append(default_budget)
+                out["disallow"].append(parsed["disallow"])
+            yield pd.DataFrame(out)
+
+    return (
+        robots_pages.where(F.col("url").endswith("/robots.txt"))
+        .select("url", "html")
+        .mapInPandas(_parse, ROBOTS_POLITENESS_SCHEMA)
+        .dropDuplicates(["host"])
+    )

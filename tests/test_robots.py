@@ -1,0 +1,82 @@
+"""robots.txt parsing → politeness table → engine enforcement (north_star
+robots + crawl-delay chain, end to end)."""
+
+import pytest
+
+from crawler_spark.operators.robots import parse_robots, politeness_from_robots
+
+ROBOTS = b"""
+# comments are ignored
+User-agent: evilbot
+Disallow: /
+
+User-agent: crawler-spark
+Disallow: /private/
+Disallow: /tmp
+Crawl-delay: 2
+
+User-agent: *
+Disallow: /admin/
+Crawl-delay: 0.5
+"""
+
+
+def test_parse_specific_agent_group_wins():
+    p = parse_robots(ROBOTS, user_agent="crawler-spark/0.1")
+    assert p["disallow"] == ["/private/", "/tmp"]
+    assert p["crawl_delay_ms"] == 2000
+
+
+def test_parse_wildcard_fallback():
+    p = parse_robots(ROBOTS, user_agent="someother-bot")
+    assert p["disallow"] == ["/admin/"]
+    assert p["crawl_delay_ms"] == 500
+
+
+def test_parse_edge_cases():
+    assert parse_robots(None) == {"disallow": [], "crawl_delay_ms": None}
+    assert parse_robots(b"") == {"disallow": [], "crawl_delay_ms": None}
+    # empty Disallow means allow-all
+    p = parse_robots(b"User-agent: *\nDisallow:\n")
+    assert p["disallow"] == []
+    # stacked UA lines share one group
+    p = parse_robots(b"User-agent: a\nUser-agent: *\nDisallow: /x\n", "z")
+    assert p["disallow"] == ["/x"]
+
+
+def test_politeness_from_robots_and_engine_enforcement(spark, tmp_path):
+    from crawler_spark.plans.rounds import CrawlEngine, EngineConfig
+    from crawler_spark.sources.sitegen import (
+        SiteSpec, generate_site, site_to_spark,
+    )
+
+    site = generate_site(SiteSpec(n_hosts=2, details_per_host=8, limit=4))
+    sdfs = site_to_spark(spark, site)
+
+    # host 0 publishes a robots.txt disallowing /record/1*
+    robots_rows = spark.createDataFrame(
+        [
+            (
+                "http://h0.example.test/robots.txt",
+                bytearray(
+                    b"User-agent: *\nDisallow: /record/1\nCrawl-delay: 0\n"
+                ),
+            ),
+            ("http://h0.example.test/not-robots", bytearray(b"ignored")),
+        ],
+        "url string, html binary",
+    )
+    pol = politeness_from_robots(robots_rows, default_budget=10)
+    rows = pol.collect()
+    assert len(rows) == 1 and rows[0]["host"] == "h0.example.test"
+    assert rows[0]["disallow"] == ["/record/1"]
+
+    res = CrawlEngine(
+        spark, sdfs["pages"], sdfs["seeds"], pol,
+        EngineConfig(ckpt_dir=str(tmp_path / "ck"), default_budget=10),
+        connectors=site["connectors"],
+    ).run()
+    urls = [r["url"] for r in res.records.select("url").collect()]
+    assert not [u for u in urls if "h0.example.test/record/1" in u]
+    assert any("h0.example.test/record/2" in u for u in urls)
+    assert any("h1.example.test/record/1" in u for u in urls)  # unaffected
