@@ -62,9 +62,16 @@ def test_kill_resume_reaches_identical_state(spark, site, oracle, tmp_path):
     assert rerun.records.count() == resumed.records.count()
 
 
-def test_fresh_run_has_no_duplicate_fetches(spark, site, oracle, tmp_path):
+@pytest.fixture(scope="module")
+def fresh_result(spark, site, tmp_path_factory):
     sdfs = site_to_spark(spark, site)
-    res = _engine(spark, sdfs, str(tmp_path / "ck")).run()
+    return _engine(
+        spark, sdfs, str(tmp_path_factory.mktemp("ck_fresh"))
+    ).run()
+
+
+def test_fresh_run_has_no_duplicate_fetches(fresh_result):
+    res = fresh_result
     urls = [r["url"] for r in res.records.select("url").collect()]
     assert {u: c for u, c in Counter(urls).items() if c > 1} == {}
     # fetch_log also fetches each ok URL exactly once
@@ -89,15 +96,13 @@ def test_robots_disallow_never_crawled(spark, tmp_path):
     assert any("h1.example.test/record/1" in u for u in urls)
 
 
-def test_per_host_budget_respected(spark, site, tmp_path):
-    sdfs = site_to_spark(spark, site)
-    res = _engine(spark, sdfs, str(tmp_path / "ck")).run()
+def test_per_host_budget_respected(fresh_result):
     # every round's per-host fetch count ≤ budget (10)
     from pyspark.sql import functions as F
 
     host = F.regexp_extract("url", r"http://([^/]+)/", 1)
     per = (
-        res.fetch_log.groupBy("round", host.alias("host"))
+        fresh_result.fetch_log.groupBy("round", host.alias("host"))
         .count()
         .collect()
     )
