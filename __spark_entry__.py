@@ -98,12 +98,18 @@ def _w1_perhost_budget_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _w2_crawl_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2: deterministic crawl-order rank over the ordering tuple
-    (SURVEY.md §4.3.3); bounded sample → single-partition window is fine."""
+    (SURVEY.md §4.3.3). Top-N first via orderBy().limit() — compiles to
+    TakeOrderedAndProject (per-partition heaps, no global sort); the rank
+    window then runs over the bounded 100-row result only."""
     orders = _t(spark, sf_dir, "orders")
+    top = (
+        orders.select("o_orderkey", "o_orderdate")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
     w = Window.orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
     return (
-        orders.withColumn("crawl_rank", F.row_number().over(w).cast("long"))
-        .where(F.col("crawl_rank") <= 100)
+        top.withColumn("crawl_rank", F.row_number().over(w).cast("long"))
         .select("o_orderkey", "crawl_rank")
     )
 
@@ -271,12 +277,13 @@ def _u3_except_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _o2_result_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2 deterministic result cap (europeana.js:70-73): ordered top-1000
-    slice, then aggregate the slice."""
+    slice via orderBy().limit() (TakeOrderedAndProject — per-partition
+    heaps, no single-partition global sort), then aggregate the slice."""
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.orderBy(F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
     capped = (
-        li.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= 1000)
+        li.select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+        .orderBy(F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+        .limit(1000)
     )
     return capped.groupBy("l_returnflag").agg(
         F.count("*").alias("n_rows"),
@@ -414,6 +421,236 @@ def _s7_delimited_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(F.split("row", "><"), 1).alias("rec_id"),
             F.element_at(F.split("row", "><"), 2).alias("rec_type"),
         )
+    )
+
+
+def _s4_msearch_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 Elasticsearch `_msearch` scan (joconde.js:11-75) through the
+    engine's extractors: search response traversal
+    (responses[0].hits.total / hits[]._source.REF → record urls), then the
+    single-hit record walk — scalar fields, number-verbatim copy, HIST
+    inventory-number regex → related urls, IMG array → images."""
+    from crawler_spark.operators.extract import (
+        LINKS_OUT_SCHEMA,
+        RECORD_OUT_SCHEMA,
+        ConnectorConfig,
+        extract_links_batch_for,
+        extract_records_batch_for,
+    )
+
+    cfg = {"jc": ConnectorConfig(connector_id="jc", body_format="es_msearch")}
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+
+    search_body = F.concat(
+        F.lit('{"responses":[{"hits":{"total":'),
+        F.col("n_chars").cast("string"),
+        F.lit(',"hits":[{"_source":{"REF":"7.1.'), did,
+        F.lit('"}},{"_source":{"REF":"7.2.'), did,
+        F.lit('"}}]}}]}'),
+    )
+    searches = docs.select(
+        F.concat(F.lit("http://jc.test/ms/"), did).alias("url"),
+        search_body.alias("body"),
+        F.lit("jc").alias("connector_id"),
+    )
+    links = searches.mapInPandas(extract_links_batch_for(cfg), LINKS_OUT_SCHEMA)
+    s = links.groupBy("url").agg(
+        F.first("total_count").alias("total"),
+        F.count("out_url").alias("n_urls"),
+        F.min("out_url").alias("first_url"),
+    ).select(
+        F.regexp_extract("url", r"/ms/(\d+)", 1).cast("long").alias("doc_id"),
+        "total", "n_urls", "first_url",
+    )
+
+    hist = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit('"HIST":"acquis 1.2.'), (F.col("doc_id") % 5).cast("string"),
+            F.lit(" ; voir 2.3."), (F.col("doc_id") % 4).cast("string"),
+            F.lit('",'),
+        ),
+    ).otherwise(F.lit(""))
+    detail_body = F.concat(
+        F.lit('{"responses":[{"hits":{"total":1,"hits":[{"_source":'),
+        F.lit('{"REF":"7.1.'), did, F.lit('","TECH":"'), F.col("lang"),
+        F.lit('","NBITEMS":'), (F.col("doc_id") % 7).cast("string"),
+        F.lit(","), hist,
+        F.lit('"IMG":["/img/'), did, F.lit('_0.jpg"]}}]}}]}'),
+    )
+    details = docs.select(
+        F.concat(F.lit("http://jc.test/notice/7.1."), did).alias("url"),
+        detail_body.alias("body"),
+        F.lit("jc").alias("connector_id"),
+    )
+    recs = details.mapInPandas(extract_records_batch_for(cfg), RECORD_OUT_SCHEMA)
+    field_val = lambda lbl: F.try_element_at(
+        F.try_element_at(
+            F.filter(F.col("fields"), lambda f: f.getField("label") == lbl),
+            F.lit(1),
+        ).getField("values"),
+        F.lit(1),
+    )
+    r = recs.select(
+        F.regexp_extract("url", r"/notice/7\.1\.(\d+)", 1)
+        .cast("long").alias("doc_id"),
+        F.col("record_id").alias("ref"),
+        field_val("TECH").alias("tech"),
+        field_val("NBITEMS").alias("nbitems"),
+        F.size("related_urls").cast("long").alias("n_related"),
+        F.try_element_at(F.col("related_urls"), F.lit(1)).alias("first_rel"),
+        F.try_element_at(F.col("images"), F.lit(1)).getField("url").alias("img0"),
+    )
+    return s.join(r, "doc_id")
+
+
+def _s5_graphql_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 GraphQL scan (paris-musees.js:46-95,204-520) through the engine's
+    extractors: nodeQuery count + null-entity P5 filter on the search side;
+    entity flatten (P4 dotted keys), image metadata (id/title/description/
+    author/license), dead-thumbnail skip, and the raw blob on the record
+    side."""
+    from crawler_spark.operators.extract import (
+        LINKS_OUT_SCHEMA,
+        RECORD_OUT_SCHEMA,
+        ConnectorConfig,
+        extract_links_batch_for,
+        extract_records_batch_for,
+    )
+
+    cfg = {"pm": ConnectorConfig(connector_id="pm", body_format="graphql")}
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+
+    search_body = F.concat(
+        F.lit('{"data":{"nodeQuery":{"count":'),
+        F.col("n_chars").cast("string"),
+        F.lit(',"entities":[{"entityId":'), did,
+        F.lit(',"absolutePath":"/oeuvre/'), did,
+        F.lit('a"},null,{"absolutePath":"/oeuvre/'), did,
+        F.lit('b"}]}}}'),
+    )
+    searches = docs.select(
+        F.concat(F.lit("http://pm.test/gq/"), did).alias("url"),
+        search_body.alias("body"),
+        F.lit("pm").alias("connector_id"),
+    )
+    links = searches.mapInPandas(extract_links_batch_for(cfg), LINKS_OUT_SCHEMA)
+    s = links.groupBy("url").agg(
+        F.first("total_count").alias("total"),
+        F.count("out_url").alias("n_urls"),  # null entity dropped (P5)
+    ).select(
+        F.regexp_extract("url", r"/gq/(\d+)", 1).cast("long").alias("doc_id"),
+        "total", "n_urls",
+    )
+
+    # dead-thumbnail vignette for doc_id % 3 == 0 → image skipped
+    # (paris-musees.js:173-179); note field absent for odd doc_ids (P1)
+    vignette = F.when(
+        F.col("doc_id") % 3 == 0, F.lit("/styles/thumbnail/public?dead")
+    ).otherwise(F.concat(F.lit("/img/"), did, F.lit(".jpg")))
+    ent = F.struct(
+        F.col("doc_id").alias("entityId"),
+        F.concat(F.lit("Doc "), did).alias("title"),
+        F.concat(F.lit("http://pm.test/oeuvre/"), did).alias("absolutePath"),
+        F.struct(F.struct(F.col("lang").alias("name")).alias("entity")).alias(
+            "fieldMateriauxTechnique"
+        ),
+        F.when(F.col("doc_id") % 2 == 1, F.col("source")).alias("note"),
+        F.array(
+            F.struct(
+                F.struct(
+                    F.concat(F.lit("v"), did).alias("entityId"),
+                    vignette.alias("vignette"),
+                    F.lit("View 0").alias("name"),
+                    F.col("source").alias("fieldLegende"),
+                    F.lit("Musee Test").alias("fieldCopyright"),
+                    F.lit("CC0").alias("fieldImageDroits"),
+                ).alias("entity")
+            )
+        ).alias("fieldVisuels"),
+    )
+    details = docs.select(
+        F.concat(F.lit("http://pm.test/oeuvre/"), did).alias("url"),
+        F.to_json(ent).alias("body"),
+        F.lit("pm").alias("connector_id"),
+    )
+    recs = details.mapInPandas(extract_records_batch_for(cfg), RECORD_OUT_SCHEMA)
+    field_val = lambda lbl: F.try_element_at(
+        F.try_element_at(
+            F.filter(F.col("fields"), lambda f: f.getField("label") == lbl),
+            F.lit(1),
+        ).getField("values"),
+        F.lit(1),
+    )
+    r = recs.select(
+        F.col("record_id").cast("long").alias("doc_id"),
+        field_val("title").alias("title"),
+        field_val("fieldMateriauxTechnique.entity.name").alias("material"),
+        field_val("note").alias("note"),
+        F.size("fields").cast("long").alias("n_fields"),
+        F.try_element_at(F.col("images"), F.lit(1)).getField("license").alias("img_license"),
+        F.try_element_at(F.col("images"), F.lit(1)).getField("author").alias("img_author"),
+        (
+            F.get_json_object("raw", "$.entityId").cast("long")
+            == F.col("record_id").cast("long")
+        ).alias("raw_ok"),
+    )
+    return s.join(r, "doc_id")
+
+
+def _p6_u4_fold_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 key-pattern filters + U4 fold value-dedup through the engine's
+    record walk: '_'-suffixed keys skipped (musee-st-etienne.js:76-77), the
+    'image' key handled out-of-band (unipa.js:57-59), duplicate values
+    dropped on the addField fold (musee-st-etienne.js:100-114)."""
+    from crawler_spark.operators.extract import (
+        RECORD_OUT_SCHEMA,
+        ConnectorConfig,
+        extract_records_batch_for,
+    )
+
+    cfg = {
+        "mse": ConnectorConfig(
+            connector_id="mse",
+            body_format="es_msearch",
+            skip_key_containing="_",
+            skip_keys=frozenset({"image"}),
+            dedup_values=True,
+            record_id_key="REF",
+        )
+    }
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    body = F.concat(
+        F.lit('{"responses":[{"hits":{"total":1,"hits":[{"_source":'),
+        F.lit('{"REF":"m'), did,
+        F.lit('","Autre":"'), F.col("lang"),
+        F.lit('","Autre_2":"dup","image":"x.jpg","Role":["'),
+        F.col("lang"), F.lit('","'), F.col("source"),
+        F.lit('!","'), F.col("lang"),
+        F.lit('"]}}]}}]}'),
+    )
+    details = docs.select(
+        F.concat(F.lit("http://mse.test/notice/m"), did).alias("url"),
+        body.alias("body"),
+        F.lit("mse").alias("connector_id"),
+    )
+    recs = details.mapInPandas(extract_records_batch_for(cfg), RECORD_OUT_SCHEMA)
+    role = F.try_element_at(
+        F.filter(F.col("fields"), lambda f: f.getField("label") == "Role"),
+        F.lit(1),
+    ).getField("values")
+    return recs.select(
+        F.regexp_extract("url", r"/notice/m(\d+)", 1).cast("long").alias("doc_id"),
+        F.size("fields").cast("long").alias("n_fields"),
+        F.concat_ws("|", role).alias("role_vals"),
+        F.exists(
+            F.col("fields"),
+            lambda f: f.getField("label").contains("_")
+            | (f.getField("label") == "image"),
+        ).alias("has_skipped_key"),
     )
 
 
@@ -569,23 +806,27 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup (shingle→minhash→band→bucket-join→verify).
-    Engine-side xxhash64 → no SQL oracle (rows-only driver check);
-    determinism + recall covered in tests/test_functions.py."""
-    from crawler_spark.functions.dedup import minhash_lsh_pairs
+    """MinHash+LSH near-dup (shingle→minhash→band→bucket-join→verify), md5
+    variant: DuckDB replays the ENTIRE pipeline — minhash signatures, band
+    buckets, candidate join, exact-Jaccard verify — so LSH recall itself is
+    value-hash-checked, not assumed. The xxhash64 production path keeps its
+    determinism/recall pins in tests/test_functions.py."""
+    from crawler_spark.functions.dedup import minhash_lsh_pairs_md5
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(
+    return minhash_lsh_pairs_md5(
         docs, n_hashes=32, bands=4, shingle_n=4, threshold=0.7
     )
 
 
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banding near-dup candidates (rows-only check)."""
-    from crawler_spark.functions.dedup import simhash_near_pairs
+    """SimHash near-dup pairs, md5-bit variant with exhaustive banding
+    (max_hamming+1 bands ⇒ pigeonhole recall 1): output equals the all-pairs
+    hamming filter, which the DuckDB oracle computes independently."""
+    from crawler_spark.functions.dedup import simhash_near_pairs_md5
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_pairs(docs, max_hamming=6)
+    return simhash_near_pairs_md5(docs, max_hamming=6)
 
 
 # ---------------------------------------------------------------------------
@@ -607,12 +848,21 @@ def _sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (random-hyperplane buckets, exact
-    cosine within bucket). Approximate by construction → rows-only check."""
-    from crawler_spark.functions.similarity import lsh_topk
+    """LSH-bucketed approximate top-k, coordinate-sign buckets: the bucket
+    assignment is deterministic and SQL-expressible, so the oracle replays
+    bucketing + in-bucket exact cosine + ranking exactly (the
+    random-hyperplane production variant keeps its pytest recall pins)."""
+    from crawler_spark.functions.similarity import axis_lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, k=3, n_planes=6, dim=64)
+    out = axis_lsh_topk(emb, k=3, coords=(0, 1, 2, 3, 4, 5))
+    # single rounding only (6 dp): re-rounding 6dp → 4dp can straddle a .5
+    # boundary where Spark (HALF_UP on decimal) and DuckDB (binary double)
+    # disagree — one rounding of the bit-identical raw value cannot
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim",
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 def _sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -832,8 +1082,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f8_content_filter": _f8_content_filter,
         "f9_math_lpad": _f9_math_lpad,
         "f10_json_extract": _f10_json_extract,
+        "s4_msearch_scan": _s4_msearch_scan,
+        "s5_graphql_scan": _s5_graphql_scan,
         "s7_delimited_scan": _s7_delimited_scan,
         "p1_empty_value_filter": _p1_empty_value_filter,
+        "p6_u4_fold_dedup": _p6_u4_fold_dedup,
         "a5_image_index": _a5_image_index,
         "f12_array_ops": _f12_array_ops,
         "p4_flatten": _p4_flatten,
@@ -873,6 +1126,10 @@ def oracle_sql() -> dict[str, str]:
     grams = (
         "list_distinct(list_transform("
         "generate_series(1, greatest(len({t}) - 2, 0)), i -> substr({t}, i, 3)))"
+    )
+    grams4 = (
+        "list_distinct(list_transform("
+        "generate_series(1, greatest(len({t}) - 3, 0)), i -> substr({t}, i, 4)))"
     )
     norm_t = "trim(regexp_replace(lower(t.text), '\\s+', ' ', 'g'))"
     return {
@@ -942,7 +1199,7 @@ def oracle_sql() -> dict[str, str]:
                      1000000000 // len(out_urls) AS share
               FROM parents WHERE len(out_urls) > 0
             )
-            SELECT dst, sum(share) AS cash_in_u
+            SELECT dst, CAST(sum(share) AS BIGINT) AS cash_in_u
             FROM shares GROUP BY dst
         """,
         "u1_seed_union": """
@@ -1012,6 +1269,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
             FROM events GROUP BY k_mod
         """,
+        "s4_msearch_scan": """
+            SELECT doc_id, CAST(n_chars AS INTEGER) AS total,
+                   CAST(2 AS BIGINT) AS n_urls,
+                   'http://jc.test/notice/7.1.' || CAST(doc_id AS VARCHAR) AS first_url,
+                   '7.1.' || CAST(doc_id AS VARCHAR) AS ref,
+                   lang AS tech,
+                   CAST(doc_id % 7 AS VARCHAR) AS nbitems,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END AS BIGINT)
+                     AS n_related,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'http://jc.test/notice/1.2.' || CAST(doc_id % 5 AS VARCHAR)
+                   END AS first_rel,
+                   'http://jc.test/img/' || CAST(doc_id AS VARCHAR) || '_0.jpg' AS img0
+            FROM documents
+        """,
+        "s5_graphql_scan": """
+            SELECT doc_id, CAST(n_chars AS INTEGER) AS total,
+                   CAST(2 AS BIGINT) AS n_urls,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                   lang AS material,
+                   CASE WHEN doc_id % 2 = 1 THEN source END AS note,
+                   CAST(CASE WHEN doc_id % 2 = 1 THEN 5 ELSE 4 END AS BIGINT)
+                     AS n_fields,
+                   CASE WHEN doc_id % 3 = 0 THEN NULL ELSE 'CC0' END AS img_license,
+                   CASE WHEN doc_id % 3 = 0 THEN NULL ELSE 'Musee Test' END
+                     AS img_author,
+                   TRUE AS raw_ok
+            FROM documents
+        """,
         "s7_delimited_scan": """
             WITH bodies AS (
               SELECT c_custkey,
@@ -1025,6 +1311,12 @@ def oracle_sql() -> dict[str, str]:
                    str_split(row, '><')[1] AS rec_id,
                    str_split(row, '><')[2] AS rec_type
             FROM rows_
+        """,
+        "p6_u4_fold_dedup": """
+            SELECT doc_id, CAST(3 AS BIGINT) AS n_fields,
+                   lang || '|' || source || '!' AS role_vals,
+                   FALSE AS has_skipped_key
+            FROM documents
         """,
         "p1_empty_value_filter": """
             WITH v AS (
@@ -1096,6 +1388,103 @@ def oracle_sql() -> dict[str, str]:
             FROM g a JOIN g b ON a.source = b.source AND a.id < b.id
             WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.62
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH t AS (
+              SELECT doc_id AS id, {grams4.format(t=_NORM)} AS grams
+              FROM documents
+            ),
+            tg AS (SELECT id, grams FROM t WHERE len(grams) > 0),
+            e AS (SELECT id, unnest(grams) AS s FROM tg),
+            sig AS (
+              SELECT id, {", ".join(f"min(md5('{i}:' || s)) AS m{i}" for i in range(32))}
+              FROM e GROUP BY id
+            ),
+            bands AS (
+              {" UNION ALL ".join(
+                  "SELECT id, " + str(b) + " AS band, md5("
+                  + " || ',' || ".join(f"m{b * 8 + j}" for j in range(8))
+                  + ") AS bucket FROM sig"
+                  for b in range(4)
+              )}
+            ),
+            cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+            ),
+            v AS (
+              SELECT id_a, id_b,
+                     round(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                           / len(list_distinct(list_concat(ga.grams, gb.grams))), 6)
+                       AS jaccard_sim
+              FROM cand
+              JOIN tg ga ON ga.id = cand.id_a
+              JOIN tg gb ON gb.id = cand.id_b
+            )
+            SELECT id_a, id_b, jaccard_sim FROM v WHERE jaccard_sim >= 0.7
+        """,
+        "dedup_simhash": f"""
+            WITH g AS (
+              SELECT doc_id, {grams.format(t=_NORM)} AS grams FROM documents
+            ),
+            gg AS (SELECT doc_id, grams FROM g WHERE len(grams) > 0),
+            h AS (SELECT doc_id, md5(unnest(grams)) AS hx FROM gg),
+            n AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+            bits AS (
+              SELECT doc_id, j,
+                CASE WHEN ((instr('0123456789abcdef',
+                                  substr(hx, ((j-1)//4)+1, 1)) - 1)
+                           >> (3 - ((j-1)%4))) & 1 = 1 THEN 1 ELSE 0 END AS bit
+              FROM h, unnest(generate_series(1, 64)) AS u(j)
+            ),
+            cnt AS (SELECT doc_id, j, sum(bit) AS c FROM bits GROUP BY doc_id, j),
+            sh AS (
+              SELECT cnt.doc_id,
+                     string_agg(CASE WHEN 2*c > n.n THEN '1' ELSE '0' END,
+                                '' ORDER BY j) AS bits
+              FROM cnt JOIN n ON cnt.doc_id = n.doc_id GROUP BY cnt.doc_id
+            ),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(len(list_filter(generate_series(1, 64),
+                          j -> substr(a.bits, j, 1) <> substr(b.bits, j, 1)))
+                       AS BIGINT) AS hamming
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, hamming FROM p WHERE hamming <= 6
+        """,
+        "sim_lsh_topk": """
+            WITH e AS (
+              SELECT vec_id, embedding,
+                     (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+                   + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+                   + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+                   + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+                   + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END) AS bucket
+              FROM embeddings),
+                 scored AS (
+                   -- list_reduce = strict left-to-right fold, bit-identical
+                   -- to Spark's F.aggregate sequential sum (list_sum may
+                   -- reassociate and flip a round(.,4) boundary)
+                   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                          round(CASE WHEN sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x*x AS DOUBLE)), (s, v) -> s + v))
+                                        * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x*x AS DOUBLE)), (s, v) -> s + v)) > 0
+                            THEN list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                                          p -> CAST(p[1]*p[2] AS DOUBLE)), (s, v) -> s + v)
+                                 / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x*x AS DOUBLE)), (s, v) -> s + v))
+                                    * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x*x AS DOUBLE)), (s, v) -> s + v)))
+                            ELSE 0.0 END, 6) AS cos_sim
+                   FROM e a JOIN e b
+                     ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+                 ranked AS (
+                   SELECT query_id, neighbor_id, cos_sim,
+                          CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+                   FROM scored)
+            SELECT query_id, neighbor_id, cos_sim, rank
+            FROM ranked WHERE rank <= 3
         """,
         "sim_topk_brute": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
@@ -1223,5 +1612,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        # golden table materialized from the INDEPENDENT pure-Python
+        # sequential replay oracle (crawler_spark/oracle/replay.py) over the
+        # same deterministic SiteSpec — regenerate: python tools/make_golden.py
+        "crawl_e2e_webtext": """
+            SELECT url, text, lang, warc_ts
+            FROM read_parquet(
+              '/root/repo/tests/fixtures/crawl_e2e_webtext_golden.parquet')
         """,
     }

@@ -124,6 +124,9 @@ def ngram_jaccard_pairs(
     upstream like hot hosts do).
     """
     rows = gram_hash_rows(df, n, id_col, text_col, extra_cols=block_cols)
+    # output id type follows the input id column (string doc ids would
+    # otherwise hit an Arrow cast failure against a hardcoded 'long')
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def _block(pdf: pd.DataFrame) -> pd.DataFrame:
         ids_arr = pdf["id"].to_numpy()
@@ -151,7 +154,7 @@ def ngram_jaccard_pairs(
         )
 
     return rows.groupBy(*block_cols).applyInPandas(
-        _block, "id_a long, id_b long, jaccard_sim double"
+        _block, f"id_a {id_type}, id_b {id_type}, jaccard_sim double"
     )
 
 
@@ -306,6 +309,192 @@ def simhash64_from_hashes_udf():
         return pd.Series(out)
 
     return _simhash
+
+
+def simhash_md5_bits_udf():
+    """SimHash majority vote over md5 gram digests → 64-char '0'/'1' string.
+
+    The md5 variant exists for cross-engine verifiability: md5 is identical
+    in Spark SQL and DuckDB, so the full simhash pipeline gets an exact
+    oracle (the xxhash64+numpy path stays the production default — same
+    banding, ~same speed, engine-only hash). Bit order: hex chars of
+    md5[:16] in order, 4 bits per char MSB-first — exactly
+    ``np.unpackbits(digest[:8])``.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _bits(grams: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = []
+        for arr in grams:
+            if arr is None or len(arr) == 0:
+                out.append("0" * 64)
+                continue
+            mat = np.vstack(
+                [
+                    np.unpackbits(
+                        np.frombuffer(
+                            hashlib.md5(g.encode("utf-8")).digest()[:8],
+                            dtype=np.uint8,
+                        )
+                    )
+                    for g in arr
+                ]
+            )
+            counts = mat.sum(axis=0)
+            bits = (counts * 2 > len(arr)).astype(np.uint8)
+            out.append("".join("1" if b else "0" for b in bits))
+        return pd.Series(out)
+
+    return _bits
+
+
+def _band_bounds(n_bits: int, n_bands: int) -> list[tuple[int, int]]:
+    """Contiguous (start_1based, length) chunks covering all bits — the
+    pigeonhole split: hamming ≤ n_bands-1 ⇒ at least one identical band."""
+    base, rem = divmod(n_bits, n_bands)
+    bounds, start = [], 1
+    for i in range(n_bands):
+        ln = base + (1 if i < rem else 0)
+        bounds.append((start, ln))
+        start += ln
+    return bounds
+
+
+def simhash_near_pairs_md5(
+    df: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with EXHAUSTIVE banding recall.
+
+    ``max_hamming + 1`` contiguous bands: any pair within the hamming radius
+    shares ≥1 identical band (pigeonhole), so — unlike the probabilistic
+    16-bit-chunk variant — the banded candidate set provably contains every
+    qualifying pair, and the output equals the all-pairs result. That makes
+    it oracle-checkable: DuckDB recomputes the same md5-bit simhash and the
+    same hamming filter over all pairs. Candidate generation is still
+    band-bucketed (no cross join) — the 100 TB shape.
+    """
+    n_bands = max_hamming + 1
+    grams = char_ngrams(F.col(text_col), shingle_n)
+    bits = simhash_md5_bits_udf()
+    sh = (
+        df.select(F.col(id_col).alias("id"), grams.alias("grams"))
+        .where(F.size("grams") > 0)
+        .select("id", bits(F.col("grams")).alias("sh"))
+    )
+    bounds = _band_bounds(64, n_bands)
+    chunks = sh.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(*[F.substring("sh", s, ln) for s, ln in bounds])
+        ).alias("band", "chunk"),
+    )
+    l = chunks.select(
+        "band", "chunk", F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    r = chunks.select(
+        "band", "chunk", F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    cand = (
+        l.join(r, ["band", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.expr(
+        "size(filter(sequence(1, 64),"
+        " j -> substring(sh_a, j, 1) <> substring(sh_b, j, 1)))"
+    ).cast("long")
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def minhash_lsh_pairs_md5(
+    df: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 4,
+    shingle_n: int = 4,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash+LSH near-dup with md5 hashing — the oracle-checkable variant.
+
+    Same shingle→minhash→band→bucket-join→exact-verify shape as
+    ``minhash_lsh_pairs`` (the xxhash64 production path), but every hash is
+    md5 over a string both engines compute identically:
+
+    * minhash_i = lexicographic MIN over grams of ``md5(i || ':' || gram)``
+      (fixed-length lowercase hex ⇒ lexicographic order ≡ numeric order of
+      the 128-bit value — no hex→int conversion anywhere);
+    * band bucket = ``md5(concat_ws(',', band's minhashes))``.
+
+    DuckDB replays the whole pipeline including LSH candidate generation, so
+    the driver's value-hash checks candidates AND verification — recall is
+    part of the checked surface, not assumed.
+    """
+    rows_per_band = n_hashes // bands
+    grams_col = char_ngrams(F.col(text_col), shingle_n)
+    base = df.select(F.col(id_col).alias("id"), grams_col.alias("grams")).where(
+        F.size("grams") > 0
+    )
+    rows = base.select("id", F.explode("grams").alias("gram"))
+    # one wide codegen'd aggregation: gram set + all n_hashes string-mins
+    per_doc = rows.groupBy("id").agg(
+        F.collect_set("gram").alias("grams"),
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("gram")))
+            ).alias(f"__m{i}")
+            for i in range(n_hashes)
+        ],
+    ).persist()
+    grams_df = per_doc.select("id", "grams")
+    sig = per_doc.select(
+        "id", F.array(*[f"__m{i}" for i in range(n_hashes)]).alias("sig")
+    )
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.slice(
+                                F.col("sig"), b * rows_per_band + 1, rows_per_band
+                            ),
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.select("band", "bucket", F.col("id").alias("id_a"))
+    right = banded.select("band", "bucket", F.col("id").alias("id_b"))
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ga = grams_df.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = grams_df.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
+    sim = jaccard(F.col("grams_a"), F.col("grams_b"))
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("id_a", "id_b", F.round(sim, 6).alias("jaccard_sim"))
+        .where(F.col("jaccard_sim") >= threshold)
+    )
 
 
 def simhash_near_pairs(

@@ -131,6 +131,55 @@ def lsh_topk(
     )
 
 
+def axis_lsh_topk(
+    df: DataFrame,
+    k: int = 3,
+    coords: tuple[int, ...] = (0, 1, 2, 3, 4, 5),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k with COORDINATE-sign LSH buckets.
+
+    Same bucket-join/top-k shape as ``lsh_topk`` but the "hyperplanes" are
+    the coordinate axes at the given positions: bucket bit j is
+    ``embedding[coords[j]] >= 0``. A weaker hash family than random
+    hyperplanes (the production default), but fully deterministic and
+    SQL-expressible — both engines compute the identical bucket, so the
+    whole approximate pipeline (bucketing + in-bucket exact cosine + rank)
+    gets an exact DuckDB oracle instead of a rows-only check. Pure JVM: no
+    Python anywhere.
+    """
+    bucket = F.lit(0)
+    for j, c in enumerate(coords):
+        bucket = bucket + F.when(
+            F.element_at(F.col(vec_col), c + 1) >= 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        bucket.cast("long").alias("bucket"),
+    )
+    l = b.select("bucket", F.col("id").alias("query_id"), F.col("v").alias("qv"))
+    r = b.select("bucket", F.col("id").alias("neighbor_id"), F.col("v").alias("cv"))
+    scored = (
+        l.join(r, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def _kmeans_centroids(
     df: DataFrame,
     n_cells: int,
@@ -258,18 +307,27 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (blocked exact variant)."""
-    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
-    keys = []
-    if block_col:
-        cols.append(F.col(block_col).alias("__blk"))
-        keys = ["__blk"]
-    base = df.select(*cols)
+    """Embedding-cosine near-duplicate pairs (blocked exact variant).
+
+    A block key is REQUIRED: the only alternative is an all-pairs cartesian
+    join, which is a scale-killer one default away at 10^9 vectors. Callers
+    without a natural block key should bucket first (``lsh_topk``'s
+    hyperplane buckets give one) and pass the bucket column here.
+    """
+    if not block_col:
+        raise ValueError(
+            "embedding_neardup_pairs requires block_col: unblocked all-pairs "
+            "is a cartesian join; derive buckets via lsh_bucket_udf first"
+        )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.col(block_col).alias("__blk"),
+    )
+    keys = ["__blk"]
     l = base.select(*keys, F.col("id").alias("id_a"), F.col("v").alias("va"))
     r = base.select(*keys, F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    pairs = (l.join(r, keys) if keys else l.crossJoin(r)).where(
-        F.col("id_a") < F.col("id_b")
-    )
+    pairs = l.join(r, keys).where(F.col("id_a") < F.col("id_b"))
     return pairs.select(
         "id_a",
         "id_b",

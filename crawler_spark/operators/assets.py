@@ -67,14 +67,17 @@ def fetch_assets(
     reference's catch-and-flag path (base.js:218-222).
     """
     if existing is not None:
+        # skip-if-exists keys on the destination FILE, not the source url
+        # (base.js:135-138 existsSync on <recordId>_<index>.jpg): two records
+        # sharing an image url still each get their own file
         targets = targets.join(
-            existing.select(F.col("url").alias("__e_url")),
-            targets["url"] == F.col("__e_url"),
+            existing.select(F.col("filename").alias("__e_fname")),
+            targets["filename"] == F.col("__e_fname"),
             "left_anti",
         )
-    # dedupe shared image urls before fetching (skip-if-exists also dedups
-    # within a run: the first write wins, base.js:135-138)
-    targets = targets.dropDuplicates(["url"])
+    # within-run dedup also keys on filename (first write wins); shared urls
+    # across records survive as separate rows
+    targets = targets.dropDuplicates(["filename"])
     fetched = targets.join(source.select("url", "bytes"), "url", "left")
     valid = image_type_valid(F.col("bytes"))
     return fetched.select(

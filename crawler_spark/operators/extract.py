@@ -164,9 +164,33 @@ class ConnectorConfig:
     content_filter_label: str | None = None  # risd silk filter
     content_filter_substr: str | None = None
     drop_params: frozenset[str] = field(default_factory=frozenset)
-    # body format: "html" (cheerio connectors, S2) or "json" (typed JSON API
-    # connectors, S3 — vam.js:25-49,72-133, mobilier-international.js:26-99)
+    # body format: "html" (cheerio connectors, S2), "json" (typed JSON API
+    # connectors, S3 — vam.js:25-49,72-133), "es_msearch" (Elasticsearch
+    # NDJSON _msearch, S4 — joconde.js:11-75), or "graphql" (S5 —
+    # paris-musees.js:46-95,204-520)
     body_format: str = "html"
+    # P6 key-pattern filters: keys containing the marker are metadata, not
+    # fields (musee-st-etienne.js:76-77 skips '_'-keys); keys in skip_keys
+    # are handled out-of-band (unipa.js:57-59 'image')
+    skip_key_containing: str | None = None
+    skip_keys: frozenset[str] = field(default_factory=frozenset)
+    # U4: dedup values when folding repeats into one label
+    # (musee-st-etienne.js:100-114 skips already-present values)
+    dedup_values: bool = False
+    # es_msearch: record url = record_url_base + _source[record_id_key]
+    # (joconde.js:137-141 url.resolve(notice base, REF))
+    record_id_key: str = "REF"
+    record_url_base: str = "/notice/"
+    # es_msearch related-by-regex on a free-text field
+    # (joconde.js:181-197: HIST inventory numbers N.N.N)
+    related_field: str = "HIST"
+    related_regex: str = r"[0-9]+\.[0-9]+\.[0-9]+"
+    # graphql: request-side query template ({offset}/{limit} spliced like
+    # paris-musees.js:46-63)
+    graphql_query: str = (
+        "{{ nodeQuery(filter: {{conditions: []}}, "
+        "offset: {offset}, limit: {limit}) {{ count entities }} }}"
+    )
 
 
 SYNTH = ConnectorConfig(connector_id="synth")
@@ -186,6 +210,27 @@ def _decode(body: bytes | str, encoding: str) -> str:
     if isinstance(body, (bytes, bytearray, memoryview)):
         return bytes(body).decode(encoding, errors="replace")
     return body
+
+
+def _image(
+    url: str,
+    id: str | None = None,
+    title: str | None = None,
+    description: str | None = None,
+    author: str | None = None,
+    license: str | None = None,
+) -> dict:
+    """Image struct with metadata (record.js addImage shape; populated by
+    the connectors that carry it — paris-musees.js:181-191 id/title/
+    description/author/license, mfa-boston.js:105-114 title/alt)."""
+    return {
+        "id": id,
+        "url": url,
+        "title": title,
+        "description": description,
+        "author": author,
+        "license": license,
+    }
 
 
 def extract_search_json(
@@ -258,13 +303,13 @@ def extract_detail_json(
             by_label[label] = list(clean)
             fields.append((label, by_label[label]))
 
-    images: list[str] = []
+    images: list[dict] = []
     img_seen: set[str] = set()
     for src in data.get("images", []):
         u = canonicalize_url(src, base_url, cfg.drop_params)
         if u and u not in img_seen:
             img_seen.add(u)
-            images.append(u)
+            images.append(_image(u))
 
     related: list[str] = []
     for href in data.get("related", []):
@@ -284,6 +329,7 @@ def extract_detail_json(
         "related": related,
         "text": "\n".join(lines),
         "keep": keep,
+        "raw": None,
     }
 
 
@@ -291,9 +337,14 @@ def extract_search(
     html: bytes | str, base_url: str, cfg: ConnectorConfig = SYNTH
 ) -> tuple[int | None, list[str]]:
     """Search page → (total_count, record URLs in DOM order); dispatches on
-    the connector's body format (S2 html / S3 json)."""
+    the connector's body format (S2 html / S3 json / S4 es_msearch /
+    S5 graphql)."""
     if cfg.body_format == "json":
         return extract_search_json(html, base_url, cfg)
+    if cfg.body_format == "es_msearch":
+        return extract_search_es_msearch(html, base_url, cfg)
+    if cfg.body_format == "graphql":
+        return extract_search_graphql(html, base_url, cfg)
     root = parse_html(html, cfg.encoding)
     total = extract_count(root, cfg)
     urls: list[str] = []
@@ -320,6 +371,10 @@ def extract_detail(
     """
     if cfg.body_format == "json":
         return extract_detail_json(html, base_url, cfg)
+    if cfg.body_format == "es_msearch":
+        return extract_detail_es_msearch(html, base_url, cfg)
+    if cfg.body_format == "graphql":
+        return extract_detail_graphql(html, base_url, cfg)
     root = parse_html(html, cfg.encoding)
     title_nodes = select(root, cfg.title_selector)
     title = title_nodes[0].text().strip() if title_nodes else ""
@@ -345,13 +400,22 @@ def extract_detail(
             by_label[label] = vals
             fields.append((label, vals))
 
-    images: list[str] = []
+    images: list[dict] = []
     img_seen: set[str] = set()
     for img in select(root, cfg.image_selector):
         src = canonicalize_url(img.attr("src"), base_url, cfg.drop_params)
         if src and src not in img_seen:  # addImage url-dedup (record.js:47-50)
             img_seen.add(src)
-            images.append(src)
+            # metadata from the tag attrs (mfa-boston.js:105-114: title attr
+            # → image.title, alt attr → image.description)
+            images.append(
+                _image(
+                    src,
+                    id=img.attr("data-id"),
+                    title=img.attr("title"),
+                    description=img.attr("alt"),
+                )
+            )
 
     related: list[str] = []
     for a in select(root, cfg.related_selector):
@@ -372,6 +436,323 @@ def extract_detail(
         "related": related,
         "text": "\n".join(lines),
         "keep": keep,
+        "raw": None,
+    }
+
+
+# ---------------------------------------------------------------------------
+# S4: Elasticsearch `_msearch` NDJSON connector shape (joconde.js:11-75).
+
+
+def build_request_body(cfg: ConnectorConfig, offset: int, limit: int) -> str:
+    """Request body for POST-style connectors — the request-construction half
+    of S4/S5 (the fixture corpus keys responses by URL, so batch mode never
+    sends these; live POST mode would).
+
+    * ``es_msearch``: the two-line NDJSON body — a preference header line
+      then the query line with size/from spliced (joconde.js:44-51);
+    * ``graphql``: offset/limit spliced into the query text
+      (paris-musees.js:46-63 ``offset: ${this.currentOffset}, limit: ...``).
+    """
+    import json
+
+    if cfg.body_format == "es_msearch":
+        return (
+            json.dumps({"preference": "res"})
+            + "\n"
+            + json.dumps({"query": {"bool": {"must": []}}, "size": limit,
+                          "from": offset})
+            + "\n"
+        )
+    if cfg.body_format == "graphql":
+        return json.dumps(
+            {"query": cfg.graphql_query.format(offset=offset, limit=limit)}
+        )
+    raise ValueError(f"no request body for body_format={cfg.body_format}")
+
+
+def _msearch_hits(data: dict) -> tuple[int | None, list[dict]]:
+    """``responses[0].hits`` traversal (joconde.js:57-60,78-79)."""
+    try:
+        hits = data["responses"][0]["hits"]
+    except (KeyError, IndexError, TypeError):
+        return None, []
+    total = hits.get("total")
+    sources = [
+        h["_source"] for h in hits.get("hits", []) if isinstance(h, dict)
+        and isinstance(h.get("_source"), dict)
+    ]
+    return (int(total) if total is not None else None), sources
+
+
+def extract_search_es_msearch(
+    body: bytes | str, base_url: str, cfg: ConnectorConfig = SYNTH
+) -> tuple[int | None, list[str]]:
+    """S4 search response → (total, record URLs).
+
+    total = ``responses[0].hits.total`` (joconde.js:78); each hit's record
+    URL resolves ``_source[record_id_key]`` against the notice base
+    (joconde.js:137-141)."""
+    import json
+
+    try:
+        data = json.loads(_decode(body, cfg.encoding))
+    except ValueError:
+        return None, []
+    total, sources = _msearch_hits(data)
+    urls: list[str] = []
+    for src in sources:
+        ref = src.get(cfg.record_id_key)
+        if ref is None:
+            continue
+        u = canonicalize_url(
+            f"{cfg.record_url_base}{ref}", base_url, cfg.drop_params
+        )
+        if u:
+            urls.append(u)
+    return total, urls
+
+
+def _fold_fields(
+    pairs: list[tuple[str, list[str]]],
+    cfg: ConnectorConfig,
+    title: str,
+) -> tuple[list[tuple[str, list[str]]], dict[str, list[str]], list[str]]:
+    """addField fold shared by the dict-record paths: P1 empty filter,
+    scalar→array promotion by repeated label (record.js:14-37), optional U4
+    value-dedup (musee-st-etienne.js:100-114)."""
+    fields: list[tuple[str, list[str]]] = []
+    by_label: dict[str, list[str]] = {}
+    lines: list[str] = [title]
+    for label, vals in pairs:
+        clean = [v.strip() for v in vals if v is not None]
+        clean = [v for v in clean if v]
+        if not label or not clean:
+            continue
+        for v in clean:
+            if cfg.dedup_values and v in by_label.get(label, []):
+                continue  # U4: duplicate value skipped on fold
+            lines.append(f"{label}\t{v}")
+            if label in by_label:
+                by_label[label].append(v)
+            else:
+                by_label[label] = [v]
+                fields.append((label, by_label[label]))
+    return fields, by_label, lines
+
+
+def _scalar_pairs(record: dict, cfg: ConnectorConfig) -> list[tuple[str, list[str]]]:
+    """Dict record → (label, values) pairs with reference key/type rules:
+    scalars verbatim, arrays-of-scalars element-wise (joconde.js:145-156),
+    objects skipped (P3), P6 key filters applied."""
+    pairs: list[tuple[str, list[str]]] = []
+    for key, value in record.items():
+        if cfg.skip_key_containing and cfg.skip_key_containing in key:
+            continue  # P6: '_'-keys (musee-st-etienne.js:76-77)
+        if key in cfg.skip_keys:
+            continue  # P6: out-of-band keys (unipa.js:57-59 'image')
+        if isinstance(value, bool) or value is None:
+            continue
+        if isinstance(value, (int, float)):
+            pairs.append((key, [repr(value)]))
+        elif isinstance(value, str):
+            pairs.append((key, [value]))
+        elif isinstance(value, list):
+            vals = [
+                repr(v) if isinstance(v, (int, float)) and not isinstance(v, bool)
+                else v
+                for v in value
+                if isinstance(v, (str, int, float)) and not isinstance(v, bool)
+            ]
+            if vals:
+                pairs.append((key, vals))
+        # dicts: P3 drop (joconde.js:147 typeof value !== 'object')
+    return pairs
+
+
+def extract_detail_es_msearch(
+    body: bytes | str, base_url: str, cfg: ConnectorConfig = SYNTH
+) -> dict:
+    """S4 single-record response (the size-1 related lookup shape,
+    joconde.js:91-126) → record dict.
+
+    Fields from ``_source`` scalar keys; images from the IMG array resolved
+    against the fixture base (joconde.js:167-175); related inventory numbers
+    harvested by regex from the free-text related_field (joconde.js:181-197)
+    and resolved like record URLs — the before_parent_write policy then
+    orders them ahead of the parent."""
+    import json
+    import re
+
+    try:
+        data = json.loads(_decode(body, cfg.encoding))
+    except ValueError:
+        data = {}
+    _, sources = _msearch_hits(data)
+    src = sources[0] if sources else {}
+    title = str(src.get(cfg.record_id_key) or "").strip()
+    fields, by_label, lines = _fold_fields(_scalar_pairs(src, cfg), cfg, title)
+
+    images: list[dict] = []
+    img_seen: set[str] = set()
+    for part in src.get("IMG", []) or []:
+        if not isinstance(part, str):
+            continue
+        u = canonicalize_url(part, base_url, cfg.drop_params)
+        if u and u not in img_seen:
+            img_seen.add(u)
+            images.append(_image(u))
+
+    related: list[str] = []
+    hist = src.get(cfg.related_field)
+    if isinstance(hist, str):
+        for inv in re.findall(cfg.related_regex, hist):
+            u = canonicalize_url(
+                f"{cfg.record_url_base}{inv}", base_url, cfg.drop_params
+            )
+            if u and u not in related:
+                related.append(u)
+
+    keep = True
+    if cfg.content_filter_label and cfg.content_filter_substr:
+        vals = by_label.get(cfg.content_filter_label, [])
+        keep = any(cfg.content_filter_substr in v.lower() for v in vals)
+
+    return {
+        "title": title,
+        "fields": fields,
+        "images": images,
+        "related": related,
+        "text": "\n".join(lines),
+        "keep": keep,
+        "raw": None,
+    }
+
+
+# ---------------------------------------------------------------------------
+# S5: GraphQL connector shape (paris-musees.js:46-95,204-520).
+
+
+def _flatten_obj(obj, prefix: str = "") -> dict[str, object]:
+    """flattenObject (utils.js:71-94): nested dicts → dotted keys; arrays are
+    NOT descended (they stay as values); scalars pass through."""
+    out: dict[str, object] = {}
+    for k, v in obj.items():
+        key = f"{prefix}.{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten_obj(v, key))
+        else:
+            out[key] = v
+    return out
+
+
+def _graphql_entities(data: dict) -> tuple[int | None, list[dict]]:
+    """``data.nodeQuery`` traversal with the P5 null-entity filter
+    (paris-musees.js:100-107: entities can be null 'for some reason')."""
+    try:
+        nq = data["data"]["nodeQuery"]
+    except (KeyError, TypeError):
+        return None, []
+    total = nq.get("count")
+    entities = [e for e in nq.get("entities", []) if isinstance(e, dict)]
+    return (int(total) if total is not None else None), entities
+
+
+def extract_search_graphql(
+    body: bytes | str, base_url: str, cfg: ConnectorConfig = SYNTH
+) -> tuple[int | None, list[str]]:
+    """S5 search response → (count, record URLs from absolutePath)."""
+    import json
+
+    try:
+        data = json.loads(_decode(body, cfg.encoding))
+    except ValueError:
+        return None, []
+    total, entities = _graphql_entities(data)
+    urls: list[str] = []
+    for ent in entities:
+        u = canonicalize_url(
+            ent.get("absolutePath"), base_url, cfg.drop_params
+        )
+        if u:
+            urls.append(u)
+    return total, urls
+
+
+def extract_detail_graphql(
+    body: bytes | str, base_url: str, cfg: ConnectorConfig = SYNTH
+) -> dict:
+    """S5 entity → record dict (paris-musees.js:113-202).
+
+    * P4 flatten: nested entity → dotted-key fields (``Utils.flattenObject``,
+      :126), scalars only (P3), P1 empty filter;
+    * images from ``fieldVisuels[].entity`` with FULL metadata — id, url
+      (vignette), title (name), description (fieldLegende), author
+      (fieldCopyright), license (fieldImageDroits) (:172-192); dead
+      thumbnail links skipped (:173-179);
+    * the original entity survives as the ``raw`` blob (:164-165
+      ``record.raw = recordData``).
+    """
+    import json
+
+    raw_str = _decode(body, cfg.encoding)
+    try:
+        ent = json.loads(raw_str)
+    except ValueError:
+        ent = {}
+    if not isinstance(ent, dict):
+        ent = {}
+    title = str(ent.get("title") or "").strip()
+
+    visuals = ent.get("fieldVisuels") or []
+    flat = _flatten_obj({k: v for k, v in ent.items() if k != "fieldVisuels"})
+    fields, by_label, lines = _fold_fields(
+        _scalar_pairs(flat, cfg), cfg, title
+    )
+
+    images: list[dict] = []
+    img_seen: set[str] = set()
+    for vis in visuals:
+        e = vis.get("entity") if isinstance(vis, dict) else None
+        if not isinstance(e, dict):
+            continue
+        vignette = e.get("vignette")
+        if not isinstance(vignette, str) or "/styles/thumbnail/public" in vignette:
+            continue  # dead-link thumbnails skipped (paris-musees.js:173-179)
+        u = canonicalize_url(vignette, base_url, cfg.drop_params)
+        if u and u not in img_seen:
+            img_seen.add(u)
+            images.append(
+                _image(
+                    u,
+                    id=(str(e["entityId"]) if e.get("entityId") is not None
+                        else None),
+                    title=e.get("name"),
+                    description=e.get("fieldLegende"),
+                    author=e.get("fieldCopyright"),
+                    license=e.get("fieldImageDroits"),
+                )
+            )
+
+    related: list[str] = []
+    for href in ent.get("related", []) or []:
+        u = canonicalize_url(href, base_url, cfg.drop_params)
+        if u:
+            related.append(u)
+
+    keep = True
+    if cfg.content_filter_label and cfg.content_filter_substr:
+        vals = by_label.get(cfg.content_filter_label, [])
+        keep = any(cfg.content_filter_substr in v.lower() for v in vals)
+
+    return {
+        "title": title,
+        "fields": fields,
+        "images": images,
+        "related": related,
+        "text": "\n".join(lines),
+        "keep": keep,
+        "raw": json.dumps(ent, sort_keys=True) if ent else None,
     }
 
 
@@ -427,7 +808,9 @@ def extract_links_batch(
 RECORD_OUT_SCHEMA = (
     "url string, record_id string, text string, keep boolean, "
     "fields array<struct<label:string, values:array<string>>>, "
-    "image_urls array<string>, related_urls array<string>"
+    "images array<struct<id:string, url:string, title:string, "
+    "description:string, author:string, license:string>>, "
+    "related_urls array<string>, raw string"
 )
 
 
@@ -444,8 +827,9 @@ def extract_records_batch_for(cfg_map: dict[str, ConnectorConfig] | None):
                 "text": [],
                 "keep": [],
                 "fields": [],
-                "image_urls": [],
+                "images": [],
                 "related_urls": [],
+                "raw": [],
             }
             cids = (
                 pdf["connector_id"]
@@ -462,8 +846,9 @@ def extract_records_batch_for(cfg_map: dict[str, ConnectorConfig] | None):
                 out["fields"].append(
                     [{"label": l, "values": v} for l, v in rec["fields"]]
                 )
-                out["image_urls"].append(rec["images"])
+                out["images"].append(rec["images"])
                 out["related_urls"].append(rec["related"])
+                out["raw"].append(rec.get("raw"))
             yield pd.DataFrame(out)
 
     return _batch

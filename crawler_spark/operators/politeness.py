@@ -89,7 +89,10 @@ def pop_batch(
 
 
 def salted_host_repartition(
-    batch: DataFrame, target_per_task: int = 200, num_partitions: int | None = None
+    batch: DataFrame,
+    target_per_task: int = 200,
+    num_partitions: int | None = None,
+    salt: bool = True,
 ) -> DataFrame:
     """§4.3.1 salted repartition-by-host.
 
@@ -97,23 +100,35 @@ def salted_host_repartition(
     counts, so a hot host (50% of URLs) spreads over ~count/target_per_task
     tasks while small hosts stay on one. ``sortWithinPartitions(host, …)``
     lets the worker that owns a host's run enforce crawl-delay serially.
+
+    ``salt=False`` (live fetch mode): exactly ONE bucket per host, so a
+    single worker owns all of a host's requests and its in-worker
+    crawl-delay bound is the host's aggregate rate. Salting a live host
+    across k buckets would let k workers each honor the delay independently
+    — k× the allowed request rate. A rate-limited host cannot be fetched
+    faster than 1/delay anyway, so the lost parallelism is not real.
     """
     counts = batch.groupBy("host").count().persist()
     if num_partitions is None:
         # explicit partition count = total salt buckets; AQE would otherwise
         # coalesce a small round back to one partition, silently serializing
         # the hot host (at scale the same expression sizes the fetch stage)
-        row = counts.agg(
-            F.sum(
-                F.greatest(
-                    F.lit(1), F.ceil(F.col("count") / F.lit(target_per_task))
+        if salt:
+            row = counts.agg(
+                F.sum(
+                    F.greatest(
+                        F.lit(1), F.ceil(F.col("count") / F.lit(target_per_task))
+                    )
                 )
-            )
-        ).first()
-        num_partitions = max(1, int(row[0] or 1))
+            ).first()
+            num_partitions = max(1, int(row[0] or 1))
+        else:
+            num_partitions = max(1, counts.count())
     salted = batch.join(F.broadcast(counts), "host", "left")
-    salt_buckets = F.greatest(
-        F.lit(1), F.ceil(F.col("count") / F.lit(target_per_task))
+    salt_buckets = (
+        F.greatest(F.lit(1), F.ceil(F.col("count") / F.lit(target_per_task)))
+        if salt
+        else F.lit(1)
     )
     salted = salted.withColumn(
         "__salt", F.pmod(F.xxhash64("url"), salt_buckets).cast("int")

@@ -229,17 +229,29 @@ class CrawlEngine:
                 cfg.default_budget,
                 cfg.global_batch,
             ).persist()
+            # live mode: no salt — one worker per host so the in-worker
+            # crawl-delay bounds the host's AGGREGATE request rate
+            # (k salt buckets would fetch at k× the allowed rate)
             popped = salted_host_repartition(
-                popped_raw, cfg.target_per_task
+                popped_raw,
+                cfg.target_per_task,
+                salt=(cfg.fetch_mode != "live"),
             ).persist()
             n_popped = popped.count()
             popped_raw.unpersist()
             if n_popped == 0:
                 popped.unpersist()
-                # nothing eligible now — jump to the earliest backoff round
-                # if delayed retries remain, else the crawl is done
-                nxt = frontier.agg(F.min("not_before")).first()[0]
-                if nxt is None or nxt <= round_no:
+                # nothing eligible now — jump to the earliest FUTURE backoff
+                # round among robots-ALLOWED rows. Robots-disallowed rows are
+                # never popped and linger with not_before <= round_no; taking
+                # min over the raw frontier would see them, conclude
+                # nxt <= round_no, and silently drop pending future retries.
+                nxt = (
+                    allowed.where(F.col("not_before") > F.lit(round_no))
+                    .agg(F.min("not_before"))
+                    .first()[0]
+                )
+                if nxt is None:
                     break
                 round_no = int(nxt)
                 continue
@@ -336,7 +348,12 @@ class CrawlEngine:
             # unchanged. The reference's page-at-a-time loop (base.js:67-113)
             # is a sequential-client artifact, not a semantic.
             # unknown_total keeps chaining (next page only exists if this
-            # one was non-empty — artic.js:59-78).
+            # one was non-empty — artic.js:59-78). page/offset styles with a
+            # null total (count selector missing/unparsable) fan out NOTHING:
+            # the reference computes totalPages from the count and stops
+            # after page 1 when it is absent (base.js:68-69), and the replay
+            # oracle does the same — chaining them would fetch pages the
+            # oracle never visits and break crawl-order/URL-seen parity.
             known = F.col("paging_style").isin("page", "offset") & F.col(
                 "total_count"
             ).isNotNull()
@@ -348,7 +365,7 @@ class CrawlEngine:
                     F.expr("sequence(page_no + 1, last_page_v)"),
                 )
                 .when(
-                    ~known
+                    (F.col("paging_style") == "unknown_total")
                     & (F.col("n_links") > 0)
                     & (
                         F.col("max_offset").isNull()
@@ -450,25 +467,31 @@ class CrawlEngine:
                 F.size("related_urls"),
             ).otherwise(F.col("dfs_rank"))
 
+            # image metadata extracted by the connector (title/description
+            # from tag attrs — mfa-boston.js:105-114; full id/title/
+            # description/author/license on GraphQL entities —
+            # paris-musees.js:181-191) carries through to the record sink;
+            # text/localFilename/hasError are sink-stage fields
             records_out = recs.where(F.col("keep")).select(
                 "connector_id",
                 F.col("record_id").alias("id"),
                 "url",
                 "fields",
                 F.transform(
-                    "image_urls",
-                    lambda u: F.struct(
-                        F.lit(None).cast("string").alias("id"),
-                        u.alias("url"),
-                        F.lit(None).cast("string").alias("title"),
-                        F.lit(None).cast("string").alias("description"),
-                        F.lit(None).cast("string").alias("author"),
-                        F.lit(None).cast("string").alias("license"),
+                    "images",
+                    lambda im: F.struct(
+                        im["id"].alias("id"),
+                        im["url"].alias("url"),
+                        im["title"].alias("title"),
+                        im["description"].alias("description"),
+                        im["author"].alias("author"),
+                        im["license"].alias("license"),
                         F.lit(None).cast("string").alias("text"),
                         F.lit(None).cast("string").alias("localFilename"),
                         F.lit(False).alias("hasError"),
                     ),
                 ).alias("images"),
+                F.col("raw"),
                 "seed_idx",
                 "page_no",
                 "in_page_idx",

@@ -93,6 +93,9 @@ RECORDS = T.StructType(
         T.StructField("url", T.StringType(), False),
         T.StructField("fields", T.ArrayType(FIELD), False),
         T.StructField("images", T.ArrayType(IMAGE), False),
+        # original response blob for connectors that keep it
+        # (paris-musees.js:164-165 record.raw)
+        T.StructField("raw", T.StringType(), True),
         # crawl-order parity tuple (SURVEY.md §4.3.3)
         T.StructField("seed_idx", T.IntegerType(), False),
         T.StructField("page_no", T.IntegerType(), False),

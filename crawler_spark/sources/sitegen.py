@@ -45,6 +45,8 @@ class SiteSpec:
     unknown_total_hosts: tuple[int, ...] = ()  # artic/europeana-style hosts
     offset_hosts: tuple[int, ...] = ()  # offset+perPage paging (met-museum.js:30)
     json_hosts: tuple[int, ...] = ()  # S3 JSON-API connectors (vam.js shape)
+    msearch_hosts: tuple[int, ...] = ()  # S4 ES _msearch (joconde.js shape)
+    graphql_hosts: tuple[int, ...] = ()  # S5 GraphQL (paris-musees.js shape)
     latin1_hosts: tuple[int, ...] = ()  # latin1 bodies (ceres-mcu.js:121)
     seeds_per_host: int = 1  # U1 seed-list rotation (vam.js:10-14,38-46)
     seed: int = 42
@@ -175,6 +177,108 @@ def _render_detail_json(
     return body, "\n".join(lines), img_urls
 
 
+def _render_detail_msearch(
+    rng: random.Random, base: str, ref: str, related_refs: list[str]
+) -> tuple[str, str, list[str]]:
+    """S4 single-hit ``_msearch`` response (joconde.js downloadRelatedRecord
+    shape, :91-126) → (json, golden_text, image_urls).
+
+    Golden text mirrors the reference's addField walk over ``_source``
+    (joconde.js:145-156): every scalar key is a field (REF included), arrays
+    of scalars element-wise, objects dropped; title line = REF.
+    """
+    tech = " ".join(rng.sample(WORDS, rng.randint(1, 3)))
+    mesr = f"{rng.randint(5, 300)} x {rng.randint(5, 300)} cm"
+    n_img = rng.randint(0, 2)
+    imgs = [f"/img/{ref}_{k}.jpg" for k in range(n_img)]
+    src: dict = {"REF": ref, "DOMN": "textile", "TECH": tech, "MESR": mesr}
+    if related_refs:
+        src["HIST"] = "acquis " + " ; voir ".join(related_refs)
+    src["POP_COORDONNEES"] = {"lat": 48.85, "lon": 2.35}  # object → P3 drop
+    src["IMG"] = imgs
+    body = json.dumps(
+        {"responses": [{"hits": {"total": 1, "hits": [{"_source": src}]}}]}
+    )
+    lines = [ref, f"REF\t{ref}", "DOMN\ttextile", f"TECH\t{tech}",
+             f"MESR\t{mesr}"]
+    if related_refs:
+        lines.append(f"HIST\t{src['HIST']}")
+    lines.extend(f"IMG\t{u}" for u in imgs)
+    img_urls = [f"{base}{u}" for u in imgs]
+    return body, "\n".join(lines), img_urls
+
+
+def _render_search_msearch(count_known: int, refs: list[str]) -> str:
+    """S4 search response: ``responses[0].hits`` with total + one
+    ``_source`` per hit (joconde.js:57-60,78-79)."""
+    return json.dumps(
+        {
+            "responses": [
+                {
+                    "hits": {
+                        "total": count_known,
+                        "hits": [{"_source": {"REF": r}} for r in refs],
+                    }
+                }
+            ]
+        }
+    )
+
+
+def _graphql_entity(
+    rng: random.Random, base: str, rec_id: str, related: list[str]
+) -> tuple[dict, str, list[str]]:
+    """S5 entity (paris-musees.js:204-520 selection-set shape) →
+    (entity_dict, golden_text, image_urls). Golden text mirrors
+    flattenObject + addField over the entity minus fieldVisuels."""
+    title = f"Oeuvre {rec_id}"
+    mat = " ".join(rng.sample(WORDS, 2))
+    deno = rng.choice(WORDS)
+    n_img = rng.randint(0, 2)
+    ent: dict = {
+        "entityId": int(rec_id),
+        "title": title,
+        "absolutePath": f"{base}/oeuvre/{rec_id}",
+        "fieldMateriauxTechnique": {"entity": {"name": mat}},
+        "fieldDenominations": {"entity": {"name": deno}},
+        "fieldVisuels": [
+            {
+                "entity": {
+                    "entityId": f"v{rec_id}{k}",
+                    "vignette": f"/img/{rec_id}_{k}.jpg",
+                    "name": f"View {k}",
+                    "fieldLegende": f"legende {rec_id}",
+                    "fieldCopyright": "Musee Test",
+                    "fieldImageDroits": "CC0",
+                }
+            }
+            for k in range(n_img)
+        ],
+        "related": [f"/oeuvre/{r}" for r in related],
+    }
+    lines = [
+        title,
+        f"entityId\t{int(rec_id)!r}",
+        f"title\t{title}",
+        f"absolutePath\t{base}/oeuvre/{rec_id}",
+        f"fieldMateriauxTechnique.entity.name\t{mat}",
+        f"fieldDenominations.entity.name\t{deno}",
+    ]
+    lines.extend(f"related\t/oeuvre/{r}" for r in related)
+    img_urls = [f"{base}/img/{rec_id}_{k}.jpg" for k in range(n_img)]
+    return ent, "\n".join(lines), img_urls
+
+
+def _render_search_graphql(
+    count_known: int, entities: list[dict | None]
+) -> str:
+    """S5 search response: ``data.nodeQuery`` with count + entities
+    (nulls included — the P5 filter target, paris-musees.js:102-107)."""
+    return json.dumps(
+        {"data": {"nodeQuery": {"count": count_known, "entities": entities}}}
+    )
+
+
 def _render_search_json(count_known: int | None, links: list[str]) -> str:
     return json.dumps(
         {
@@ -229,6 +333,78 @@ def generate_site(spec: SiteSpec):
 
     for h in range(spec.n_hosts):
         base = _base(h)
+
+        # ---- S4/S5 POST-style hosts (offset paging, JSON record payloads)
+        if h in spec.msearch_hosts or h in spec.graphql_hosts:
+            is_msearch = h in spec.msearch_hosts
+            n_details = spec.details_per_host
+            if is_msearch:
+                refs = [f"7.{h}.{i}" for i in range(1, n_details + 1)]
+                rel_refs = [
+                    f"7.{h}.{90 + j}" for j in range(1, spec.related_per_host + 1)
+                ]
+            else:
+                refs = [str(i) for i in range(1, n_details + 1)]
+                rel_refs = [
+                    str(900 + j) for j in range(1, spec.related_per_host + 1)
+                ]
+            for rid in refs + rel_refs:
+                rel = (
+                    rng.sample(rel_refs, rng.randint(1, 2))
+                    if rel_refs and rid in refs and rng.random() < 0.3
+                    else ([rel_refs[0]] if rid in rel_refs and rel_refs else [])
+                )
+                if is_msearch:
+                    body, text, _ = _render_detail_msearch(rng, base, rid, rel)
+                    emit(f"{base}/notice/{rid}", body, text)
+                else:
+                    ent, text, _ = _graphql_entity(rng, base, rid, rel)
+                    emit(f"{base}/oeuvre/{rid}", json.dumps(ent), text)
+            total_pages = math.ceil(len(refs) / spec.limit) or 1
+            for p in range(total_pages):
+                chunk = refs[p * spec.limit : (p + 1) * spec.limit]
+                if is_msearch:
+                    body = _render_search_msearch(len(refs), chunk)
+                    emit(f"{base}/search?offset={p * spec.limit}", body, "")
+                else:
+                    ents: list = [
+                        {"entityId": int(r), "absolutePath": f"/oeuvre/{r}"}
+                        for r in chunk
+                    ]
+                    # null entity injected (P5 — paris-musees.js:102-107)
+                    ents.insert(min(1, len(ents)), None)
+                    body = _render_search_graphql(len(refs), ents)
+                    emit(f"{base}/graphql?offset={p * spec.limit}", body, "")
+            path = "/search" if is_msearch else "/graphql"
+            seeds_rows.append(
+                {
+                    "connector_id": f"c{h}",
+                    "seed_idx": 0,
+                    "url": f"{base}{path}?offset=0",
+                    "paging_style": "offset",
+                    "limit": spec.limit,
+                    "start_page": 0,
+                    "max_offset": None,
+                    "related_policy": (
+                        "before_parent_write" if is_msearch
+                        else "after_parent_write"
+                    ),
+                }
+            )
+            connectors[f"c{h}"] = ConnectorConfig(
+                connector_id=f"c{h}",
+                body_format="es_msearch" if is_msearch else "graphql",
+            )
+            pol_rows.append(
+                {
+                    "host": _host(h),
+                    "crawl_delay_ms": spec.crawl_delay_ms,
+                    "budget_per_round": spec.budget_per_round,
+                    "disallow": spec.disallow.get(h, []),
+                }
+            )
+            continue
+
         is_json = h in spec.json_hosts
         is_latin1 = h in spec.latin1_hosts
         encoding = "latin-1" if is_latin1 else "utf-8"

@@ -75,19 +75,25 @@ def test_fetch_assets_validation_and_skip(spark, records, source):
 
     targets = image_targets(records)
     assets = fetch_assets(targets, source)
-    by_url = {r["url"]: r for r in assets.collect()}
-    assert len(by_url) == 3  # shared i2 deduped within run
-    assert not by_url["http://a.test/i1.jpg"]["has_error"]  # valid JPEG
-    assert by_url["http://a.test/i2.jpg"]["has_error"]  # magic-byte fail (S13)
-    assert by_url["http://a.test/i3.jpg"]["has_error"]  # missing → error
-    assert by_url["http://a.test/i3.jpg"]["bytes"] is None
+    rows = assets.collect()
+    by_fname = {r["filename"]: r for r in rows}
+    # shared i2 url → one file per record (base.js keys on <id>_<idx>.jpg)
+    assert len(rows) == 4
+    assert {r["url"] for r in rows if r["filename"].startswith("rec!1")} == {
+        "http://a.test/i1.jpg", "http://a.test/i2.jpg"
+    }
+    assert not by_fname["rec!1_0.jpg"]["has_error"]  # valid JPEG
+    assert by_fname["rec!1_1.jpg"]["has_error"]  # magic-byte fail (S13)
+    assert by_fname["rec2_0.jpg"]["has_error"]  # same url, own file
+    assert by_fname["rec2_1.jpg"]["has_error"]  # missing → error
+    assert by_fname["rec2_1.jpg"]["bytes"] is None
 
-    # skip-if-exists: url already stored is not fetched again (base.js:135-138)
+    # skip-if-exists keys on the destination file (base.js:135-138 existsSync)
     existing = spark.createDataFrame(
-        [("http://a.test/i1.jpg",)], "url string"
+        [("http://a.test/i1.jpg", "rec!1_0.jpg")], "url string, filename string"
     )
     again = fetch_assets(targets, source, existing=existing)
-    assert "http://a.test/i1.jpg" not in {r["url"] for r in again.collect()}
+    assert "rec!1_0.jpg" not in {r["filename"] for r in again.collect()}
 
 
 def test_recheck_errored_repairs(spark, records, source):

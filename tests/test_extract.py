@@ -48,7 +48,7 @@ DETAIL = """
 <tr class="field"><td class="label">Description</td><td class="value">  one<br>two </td></tr>
 <tr class="field"><td class="label">Empty</td><td class="value">   </td></tr>
 </table>
-<div class="images"><img src="/i/1.jpg"><img src="/i/2.jpg"><img src="/i/1.jpg"></div>
+<div class="images"><img src="/i/1.jpg" title="Front" alt="front view"><img src="/i/2.jpg"><img src="/i/1.jpg"></div>
 <div class="related"><a href="/record/r1">rel</a></div>
 </body></html>
 """
@@ -64,7 +64,13 @@ def test_detail_semantics():
     # empty value dropped (record.js:14-21)
     assert all(label != "Empty" for label, _ in rec["fields"])
     # image url dedup preserving first-seen order (record.js:47-50)
-    assert rec["images"] == ["http://h.io/i/1.jpg", "http://h.io/i/2.jpg"]
+    assert [i["url"] for i in rec["images"]] == [
+        "http://h.io/i/1.jpg", "http://h.io/i/2.jpg"
+    ]
+    # metadata from tag attrs (mfa-boston.js:105-114 title/alt)
+    assert rec["images"][0]["title"] == "Front"
+    assert rec["images"][0]["description"] == "front view"
+    assert rec["images"][1]["title"] is None
     assert rec["related"] == ["http://h.io/record/r1"]
     assert rec["text"] == (
         "My Record\nMaterial\tsilk\nMaterial\tvelvet\nDescription\tone\ntwo"
