@@ -39,6 +39,12 @@ N_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "6000000"))
 # (session spin-up amortized out, Python worker fork, bloom broadcast) don't
 # mask the scaling signal
 N_URLS_SCALING = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_URLS", "6000000"))
+# scaling efficiency = min-of-K wall times per core count, runs interleaved
+# (4,16),(4,16),…: a loaded benchmark box only ever ADDS wall time, so the
+# per-config minimum is the closest observable to the unloaded machine, and
+# interleaving keeps a load burst from biasing one config. K=1 measured 0.67
+# on a busy box vs 0.98 idle for the identical build.
+SCALING_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_RUNS", "3"))
 PARTS = os.environ.get("SPARK_GRAFT_BENCH_PARTS", "scaling,headline,queries").split(",")
 
 HEADLINE = [
@@ -228,20 +234,29 @@ def main() -> None:
     # local[32] below.
     scaling = {}
     if "scaling" in PARTS:
-        rates = {}
-        for master, cores in (("local[4]", 4), ("local[16]", 16)):
-            # identical shuffle-partition count at both sizes → identical
-            # physical plans; ONLY the core count varies between the runs
-            spark = _session(master, shuffle=32)
-            rates[cores] = macro_round(spark, N_URLS_SCALING)
-            spark.stop()
-        eff = round(rates[4]["seconds"] / rates[16]["seconds"] / 4.0, 3)
+        runs: dict[int, list[float]] = {4: [], 16: []}
+        links_rate: dict[int, float] = {}
+        for _ in range(SCALING_RUNS):
+            for master, cores in (("local[4]", 4), ("local[16]", 16)):
+                # identical shuffle-partition count at both sizes → identical
+                # physical plans; ONLY the core count varies between runs
+                spark = _session(master, shuffle=32)
+                r = macro_round(spark, N_URLS_SCALING)
+                spark.stop()
+                runs[cores].append(r["seconds"])
+                links_rate[cores] = r["urls_per_sec"]
+        t4, t16 = min(runs[4]), min(runs[16])
+        eff = round(t4 / t16 / 4.0, 3)
+        urls = N_URLS_SCALING - (N_URLS_SCALING + 2) // 3
         scaling = {
             "n_urls": N_URLS_SCALING,
-            "local4_urls_per_sec": rates[4]["urls_per_sec"],
-            "local4_seconds": rates[4]["seconds"],
-            "local16_urls_per_sec": rates[16]["urls_per_sec"],
-            "local16_seconds": rates[16]["seconds"],
+            "runs": SCALING_RUNS,
+            "local4_all_seconds": runs[4],
+            "local16_all_seconds": runs[16],
+            "local4_urls_per_sec": round(urls / t4, 1),
+            "local4_seconds": t4,
+            "local16_urls_per_sec": round(urls / t16, 1),
+            "local16_seconds": t16,
             "efficiency_n_to_4n": eff,
         }
 

@@ -350,6 +350,214 @@ class SeenSet:
         return fresh.unionByName(confirmed_new)
 
 
+class BloomTable:
+    """Executor-side Bloom sidecar: bitsets live in a parquet TABLE, not in
+    driver memory.
+
+    The driver-dict path (``SeenSet``) collects every round's hashes to the
+    driver and re-broadcasts all bitsets as a pickled dict each round — at
+    10^10 URLs (1024 partitions × ~100 MB bitsets) that serializes on the
+    driver. Here the full lifecycle is distributed:
+
+    * **build**: grouped ``applyInPandas`` over the seen table — each
+      ``url_hash % P`` bucket builds its bitset on the executor holding it
+      and writes a (pid, bits) parquet row; nothing returns to the driver;
+    * **update**: cogroup(current bitsets, round delta) — each pid's bitset
+      is OR-updated where its delta lands, untouched pids stream through;
+      the delta is read back from the round's committed ``seen_delta``
+      parquet, so the loop never collects hashes;
+    * **query**: cogroup(candidates by pid, bitsets by pid) — each bitset is
+      shipped ONCE per pid group to the executor holding that pid's
+      candidates (a broadcast-join would duplicate the bitset per row).
+      "Maybe seen" survivors go to the exact anti-join; false positives can
+      never violate URL-seen parity, and a bloom row is only trusted when
+      its version == the latest committed round (a stale bitset could say
+      "definitely new" for a committed hash — the unsafe direction).
+
+    Versioned dirs ``v{round}`` under ``root``; the previous version is kept
+    for crash safety and older ones are pruned.
+    """
+
+    SCHEMA = (
+        "partition_id int, bits binary, n_bits long, n_hashes int, "
+        "n_items long"
+    )
+
+    def __init__(self, root: str, n_partitions: int = 16, fpp: float = 0.01,
+                 expected_per_part: int = 100_000):
+        self.root = root
+        self.n_partitions = n_partitions
+        self.fpp = fpp
+        self.expected_per_part = expected_per_part
+
+    # -- version bookkeeping ------------------------------------------------
+    def _vdir(self, version: int) -> str:
+        import os
+
+        return os.path.join(self.root, f"v{version}")
+
+    def latest_version(self) -> int | None:
+        import os
+
+        if not os.path.isdir(self.root):
+            return None
+        vs = [
+            int(d[1:])
+            for d in os.listdir(self.root)
+            if d.startswith("v") and d[1:].isdigit()
+            and os.path.exists(os.path.join(self.root, d, "_SUCCESS"))
+        ]
+        return max(vs) if vs else None
+
+    def load(self, spark: SparkSession, version: int) -> DataFrame:
+        return spark.read.parquet(self._vdir(version))
+
+    def _prune(self, keep_from: int) -> None:
+        import os
+        import shutil
+
+        if not os.path.isdir(self.root):
+            return
+        for d in os.listdir(self.root):
+            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < keep_from:
+                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+
+    # -- build / update (both fully executor-side) --------------------------
+    def build(self, seen: DataFrame, version: int) -> None:
+        """Full (re)build from the exact seen table → ``v{version}``."""
+        P, fpp, expected = self.n_partitions, self.fpp, self.expected_per_part
+
+        def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+            pid = int(pdf["pid"].iloc[0])
+            bf = BloomFilter.sized_for(max(len(pdf), expected), fpp)
+            bf.add_many(pdf["url_hash"].to_numpy(dtype=np.int64))
+            return pd.DataFrame(
+                {
+                    "partition_id": [pid], "bits": [bf.to_bytes()],
+                    "n_bits": [bf.n_bits], "n_hashes": [bf.n_hashes],
+                    "n_items": [len(pdf)],
+                }
+            )
+
+        (
+            seen.select("url_hash")
+            .withColumn("pid", F.pmod(F.col("url_hash"), F.lit(P)).cast("int"))
+            .groupBy("pid")
+            .applyInPandas(_build, self.SCHEMA)
+            .write.mode("overwrite")
+            .parquet(self._vdir(version))
+        )
+        self._prune(version - 1)
+
+    def update(
+        self, spark: SparkSession, from_version: int, delta: DataFrame,
+        version: int,
+    ) -> None:
+        """OR the round delta into the bitsets → ``v{version}``.
+
+        cogroup keeps untouched pids streaming through unchanged; pids whose
+        delta outgrew the sizing are rebuilt bigger from scratch is NOT done
+        here (the periodic full rebuild re-sizes — same policy as the
+        driver-dict path).
+        """
+        P, fpp, expected = self.n_partitions, self.fpp, self.expected_per_part
+        current = self.load(spark, from_version)
+        d = delta.select("url_hash").withColumn(
+            "pid", F.pmod(F.col("url_hash"), F.lit(P)).cast("int")
+        )
+
+        def _merge(key, bloom_pdf: pd.DataFrame, delta_pdf: pd.DataFrame):
+            if len(bloom_pdf) == 0:
+                bf = BloomFilter.sized_for(
+                    max(len(delta_pdf), expected), fpp
+                )
+                n_prev = 0
+            else:
+                row = bloom_pdf.iloc[0]
+                bf = BloomFilter.from_bytes(
+                    bytes(row["bits"]), int(row["n_bits"]), int(row["n_hashes"])
+                )
+                n_prev = int(row["n_items"])
+            if len(delta_pdf):
+                bf.add_many(delta_pdf["url_hash"].to_numpy(dtype=np.int64))
+            return pd.DataFrame(
+                {
+                    "partition_id": [int(key[0])], "bits": [bf.to_bytes()],
+                    "n_bits": [bf.n_bits], "n_hashes": [bf.n_hashes],
+                    "n_items": [n_prev + len(delta_pdf)],
+                }
+            )
+
+        (
+            current.groupBy("partition_id")
+            .cogroup(d.groupBy("pid"))
+            .applyInPandas(_merge, self.SCHEMA)
+            .write.mode("overwrite")
+            .parquet(self._vdir(version))
+        )
+        self._prune(version - 1)
+
+    # -- query ---------------------------------------------------------------
+    def filter_unseen(
+        self,
+        candidates: DataFrame,
+        seen: DataFrame,
+        version: int,
+        deleted: "CuckooFilter | None" = None,
+        hash_col: str = "url_hash",
+    ) -> DataFrame:
+        """J1 with the table-backed Bloom pre-filter (exact confirm after)."""
+        spark = candidates.sparkSession
+        bloom_df = self.load(spark, version)
+        cand = candidates.withColumn(
+            "__pid",
+            F.pmod(F.col(hash_col), F.lit(self.n_partitions)).cast("int"),
+        )
+        out_schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in cand.schema.fields
+        ) + ", __maybe boolean"
+        cuckoo_payload = (
+            (deleted.to_bytes(), deleted.n_buckets)
+            if deleted is not None
+            else None
+        )
+        bc = spark.sparkContext.broadcast(cuckoo_payload)
+
+        def _flag(key, cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame):
+            if len(cand_pdf) == 0:
+                return cand_pdf.assign(__maybe=pd.Series([], dtype=bool))
+            arr = cand_pdf[hash_col].to_numpy(dtype=np.int64)
+            if len(bloom_pdf) == 0:
+                maybe = np.zeros(len(arr), dtype=bool)
+            else:
+                row = bloom_pdf.iloc[0]
+                bf = BloomFilter.from_bytes(
+                    bytes(row["bits"]), int(row["n_bits"]), int(row["n_hashes"])
+                )
+                maybe = bf.maybe_contains(arr)
+            raw = bc.value
+            if raw is not None:
+                cf = CuckooFilter.from_bytes(*raw)
+                maybe &= ~cf.contains_many(arr)
+            return cand_pdf.assign(__maybe=maybe)
+
+        flagged = (
+            cand.groupBy("__pid")
+            .cogroup(bloom_df.groupBy("partition_id"))
+            .applyInPandas(_flag, out_schema)
+            .drop("__pid")
+        )
+        fresh = flagged.where(~F.col("__maybe")).drop("__maybe")
+        suspect = flagged.where(F.col("__maybe")).drop("__maybe")
+        confirmed_new = suspect.join(
+            seen.select(F.col("url_hash").alias("__seen_h")),
+            F.col(hash_col) == F.col("__seen_h"),
+            "left_anti",
+        )
+        return fresh.unionByName(confirmed_new)
+
+
 def exact_antijoin_unseen(
     candidates: DataFrame, seen: DataFrame, hash_col: str = "url_hash"
 ) -> DataFrame:

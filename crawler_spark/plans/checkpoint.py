@@ -93,6 +93,43 @@ class Checkpointer:
         os.replace(tmp, os.path.join(rdir, self.MANIFEST))
         return manifest
 
+    # -- delta compaction ----------------------------------------------------
+    # A 10^4-round crawl would otherwise union 10^4 parquet dirs every round
+    # just to read the seen set. ``compact`` folds all deltas ≤ K into ONE
+    # table; readers then touch compact + the few later deltas. Raw round
+    # dirs are NOT deleted — they stay the authoritative checkpoint (at
+    # production scale they'd be expired once the compaction horizon passes;
+    # keeping them makes kill-anywhere resume trivially correct here).
+
+    def _compact_dir(self, name: str) -> str:
+        return os.path.join(self.root, "compact", name)
+
+    def compacted_upto(self, name: str) -> int | None:
+        """Round covered by the newest VALID compact for ``name``."""
+        d = self._compact_dir(name)
+        if not os.path.isdir(d):
+            return None
+        vs = [
+            int(s.split("=", 1)[1])
+            for s in os.listdir(d)
+            if s.startswith("upto=")
+            and os.path.exists(os.path.join(d, s, "_SUCCESS"))
+        ]
+        return max(vs) if vs else None
+
+    def compact(self, spark: SparkSession, name: str, upto: int) -> None:
+        """Fold deltas of rounds ≤ ``upto`` into one table (distributed
+        read+write, nothing on the driver); prune older compacts."""
+        df = self.load_all_deltas(spark, name, upto=upto, use_compact=True)
+        if df is None:
+            return
+        out = os.path.join(self._compact_dir(name), f"upto={upto}")
+        df.write.mode("overwrite").parquet(out)
+        d = self._compact_dir(name)
+        for s in os.listdir(d):
+            if s.startswith("upto=") and int(s.split("=", 1)[1]) < upto:
+                shutil.rmtree(os.path.join(d, s), ignore_errors=True)
+
     # -- readers --------------------------------------------------------------
     def load(self, spark: SparkSession, round_no: int, name: str) -> DataFrame:
         return spark.read.parquet(os.path.join(self.round_dir(round_no), name))
@@ -103,18 +140,34 @@ class Checkpointer:
         name: str,
         upto: int | None = None,
         after: int | None = None,
+        use_compact: bool = True,
     ) -> DataFrame | None:
-        """Union of a delta table across committed rounds (≤ upto, > after)."""
+        """Union of a delta table across committed rounds (≤ upto, > after).
+
+        When a valid compact covers rounds ≤ K and the requested window
+        allows it (no ``after`` below K; ``upto`` ≥ K), the compact replaces
+        those K+1 dir reads; otherwise the raw per-round dirs are used.
+        """
         rounds = self.committed_rounds()
         if upto is not None:
             rounds = [r for r in rounds if r <= upto]
         if after is not None:
             rounds = [r for r in rounds if r > after]
+
+        compact_path = None
+        if use_compact and after is None:
+            k = self.compacted_upto(name)
+            if k is not None and (upto is None or k <= upto):
+                compact_path = os.path.join(self._compact_dir(name), f"upto={k}")
+                rounds = [r for r in rounds if r > k]
+
         paths = [
             os.path.join(self.round_dir(r), name)
             for r in rounds
             if os.path.isdir(os.path.join(self.round_dir(r), name))
         ]
+        if compact_path is not None:
+            paths.insert(0, compact_path)
         if not paths:
             return None
         return spark.read.parquet(*paths)

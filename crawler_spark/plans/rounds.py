@@ -59,7 +59,7 @@ from crawler_spark.operators.politeness import (
     pop_batch,
     salted_host_repartition,
 )
-from crawler_spark.operators.seen import SeenSet
+from crawler_spark.operators.seen import BloomTable, SeenSet
 from crawler_spark.plans.checkpoint import Checkpointer
 
 
@@ -72,6 +72,10 @@ class EngineConfig:
     use_bloom: bool = False
     bloom_partitions: int = 16
     bloom_rebuild_every: int = 8
+    # seen-delta compaction cadence (None → bloom_rebuild_every): folds the
+    # O(rounds) per-round delta dirs into one table so a 10^4-round crawl
+    # doesn't read 10^4 directories per round
+    compact_every: int | None = None
     use_opic: bool = False
     opic_initial_cash: float = 1.0
     target_per_task: int = 200
@@ -114,7 +118,15 @@ class CrawlEngine:
         # encoding); shipped inside the extractor task closures
         self.connectors = connectors
         self.ckpt = Checkpointer(self.cfg.ckpt_dir)
+        # cuckoo holder for revoked-seen (forced recrawl) hashes — tiny,
+        # driver-held; bitsets themselves live in the executor-side table
         self.seen_filter = SeenSet(self.cfg.bloom_partitions)
+        import os as _os
+
+        self.bloom_table = BloomTable(
+            _os.path.join(self.cfg.ckpt_dir, "blooms"),
+            self.cfg.bloom_partitions,
+        )
         # per-connector paging/related config — a handful of rows, broadcastable
         self.seed_cfg = seeds.select(
             "connector_id",
@@ -182,6 +194,8 @@ class CrawlEngine:
             )
 
         start_latest = latest if latest is not None else -1
+        # the round whose commit the bloom table must cover to be trusted
+        last_committed: int | None = latest
 
         def seen_df() -> DataFrame:
             if cfg.force:
@@ -546,12 +560,26 @@ class CrawlEngine:
             # ---- J1: new candidates minus seen minus this round's fetches
             cands = record_cands.unionByName(next_pages).unionByName(related_cands)
             seen_plus = seen.unionByName(ok.select("url_hash"))
-            if cfg.use_bloom:
+            bloom_v = (
+                self.bloom_table.latest_version() if cfg.use_bloom else None
+            )
+            # a bitset is only trusted when it covers EVERY committed round
+            # (version == last commit): a stale bloom could answer
+            # "definitely new" for a committed hash — the unsafe direction
+            bloom_ok = (
+                cfg.use_bloom
+                and last_committed is not None
+                and bloom_v == last_committed
+            )
+            if bloom_ok:
                 # Bloom covers only COMMITTED rounds — a candidate discovered
                 # in the same round that fetched it would pass the "definitely
                 # new" shortcut, so the bounded round batch gets its own exact
                 # anti-join (broadcast at scale: |ok| ≤ sum of host budgets).
-                fresh = self.seen_filter.filter_unseen(cands, seen)
+                fresh = self.bloom_table.filter_unseen(
+                    cands, seen, version=bloom_v,
+                    deleted=self.seen_filter.deleted,
+                )
                 fresh = fresh.join(
                     ok.select(F.col("url_hash").alias("__ok_h")),
                     fresh["url_hash"] == F.col("__ok_h"),
@@ -635,21 +663,42 @@ class CrawlEngine:
             metrics_log.append({"round": round_no, **metrics})
 
             if cfg.use_bloom:
-                delta = [
-                    r["url_hash"] for r in ok.select("url_hash").collect()
-                ]
-                if self.seen_filter.deleted is not None:
-                    # a re-fetched recrawl URL is seen again: drop its
-                    # revocation so the cuckoo override stops admitting it
-                    for h in delta:
-                        self.seen_filter.deleted.delete(int(h))
+                # ALL bitset maintenance is executor-side: the delta is read
+                # back from the just-committed seen_delta parquet — the loop
+                # never collects round hashes to the driver
                 if (
-                    round_no % cfg.bloom_rebuild_every == 0
-                    or not self.seen_filter.blooms
+                    self.seen_filter.deleted is not None
+                    and recrawl_hashes is not None
                 ):
-                    self.seen_filter.build_blooms(seen_df())
+                    # a re-fetched recrawl URL is seen again: drop its
+                    # revocation so the cuckoo override stops admitting it.
+                    # Bounded driver work: only the (small) revoked set can
+                    # intersect the round batch.
+                    refetched = recrawl_hashes.join(
+                        ok.select(F.col("url_hash").alias("__f_h")),
+                        recrawl_hashes["url_hash"] == F.col("__f_h"),
+                        "left_semi",
+                    ).collect()
+                    for r in refetched:
+                        self.seen_filter.deleted.delete(int(r["url_hash"]))
+                if (
+                    last_committed is None
+                    or round_no % cfg.bloom_rebuild_every == 0
+                    or self.bloom_table.latest_version() != last_committed
+                ):
+                    # periodic re-size / first build / stale-after-crash
+                    self.bloom_table.build(seen_df(), version=round_no)
                 else:
-                    self.seen_filter.add_local(np.array(delta, dtype=np.int64))
+                    self.bloom_table.update(
+                        spark,
+                        from_version=last_committed,
+                        delta=self.ckpt.load(spark, round_no, "seen_delta"),
+                        version=round_no,
+                    )
+            last_committed = round_no
+            ce = cfg.compact_every or cfg.bloom_rebuild_every
+            if round_no > 0 and round_no % ce == 0:
+                self.ckpt.compact(spark, "seen_delta", upto=round_no)
 
             popped.unpersist()
             fetched.unpersist()

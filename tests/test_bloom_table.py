@@ -1,0 +1,125 @@
+"""Executor-side Bloom sidecar (BloomTable) + checkpoint delta compaction.
+
+The table-backed path must answer exactly like the exact anti-join (false
+positives routed to the exact confirm; never a false "definitely new" from a
+CURRENT bitset), stay correct across incremental updates, and expose only
+_SUCCESS-committed versions. Compaction must be invisible to readers: the
+compact+tail read equals the raw union for every (upto, after) window the
+engine uses.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def seen_and_cands(spark):
+    seen = spark.range(0, 3000, 3).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+    cands = spark.range(0, 3000).select(
+        F.col("id"),
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+    )
+    return seen, cands
+
+
+def test_build_and_query_matches_exact(spark, tmp_path, seen_and_cands):
+    from crawler_spark.operators.seen import BloomTable
+
+    seen, cands = seen_and_cands
+    bt = BloomTable(str(tmp_path / "blooms"), n_partitions=8)
+    bt.build(seen, version=0)
+    assert bt.latest_version() == 0
+
+    got = {r["id"] for r in bt.filter_unseen(cands, seen, version=0).collect()}
+    want = {i for i in range(3000) if i % 3 != 0}
+    assert got == want
+
+
+def test_incremental_update(spark, tmp_path, seen_and_cands):
+    from crawler_spark.operators.seen import BloomTable
+
+    seen, cands = seen_and_cands
+    bt = BloomTable(str(tmp_path / "blooms2"), n_partitions=8)
+    bt.build(seen, version=0)
+    # round 1 fetches ids 1 mod 3 → new delta
+    delta = spark.range(1, 3000, 3).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+    bt.update(spark, from_version=0, delta=delta, version=1)
+    assert bt.latest_version() == 1
+    seen2 = seen.unionByName(delta)
+    got = {r["id"] for r in bt.filter_unseen(cands, seen2, version=1).collect()}
+    assert got == {i for i in range(3000) if i % 3 == 2}
+    # old version pruned (crash-safety keeps only version-1 back)
+    import os
+
+    assert not os.path.isdir(str(tmp_path / "blooms2" / "v-1"))
+
+
+def test_cuckoo_override_readmits_revoked(spark, tmp_path, seen_and_cands):
+    """A revoked-seen (forced recrawl) hash passes the Bloom as new."""
+    import numpy as np
+
+    from crawler_spark.operators.seen import BloomTable, SeenSet
+
+    seen, cands = seen_and_cands
+    bt = BloomTable(str(tmp_path / "blooms3"), n_partitions=8)
+    bt.build(seen, version=0)
+    revoked = [r["url_hash"] for r in seen.limit(5).collect()]
+    ss = SeenSet()
+    ss.mark_deleted(np.array(revoked, dtype=np.int64))
+    # revoke from the exact table too (the engine anti-joins old deltas)
+    seen_minus = seen.join(
+        spark.createDataFrame([(h,) for h in revoked], "h long"),
+        seen["url_hash"] == F.col("h"),
+        "left_anti",
+    )
+    got = bt.filter_unseen(cands, seen_minus, version=0, deleted=ss.deleted)
+    got_hashes = {r["url_hash"] for r in got.collect()}
+    assert set(revoked) <= got_hashes
+
+
+def test_compaction_invisible_to_readers(spark, tmp_path):
+    from crawler_spark.plans.checkpoint import Checkpointer
+
+    ck = Checkpointer(str(tmp_path / "ck"))
+    for r in range(6):
+        df = spark.range(r * 10, r * 10 + 10).select(
+            F.col("id").alias("url_hash")
+        )
+        ck.commit_round(r, {"seen_delta": df}, {})
+
+    raw = {
+        r["url_hash"]
+        for r in ck.load_all_deltas(
+            spark, "seen_delta", use_compact=False
+        ).collect()
+    }
+    ck.compact(spark, "seen_delta", upto=3)
+    assert ck.compacted_upto("seen_delta") == 3
+    # full read = compact(≤3) + raw deltas 4-5
+    got = {
+        r["url_hash"] for r in ck.load_all_deltas(spark, "seen_delta").collect()
+    }
+    assert got == raw == set(range(60))
+    # upto window below the compact → raw dirs (compact covers too much)
+    upto2 = {
+        r["url_hash"]
+        for r in ck.load_all_deltas(spark, "seen_delta", upto=2).collect()
+    }
+    assert upto2 == set(range(30))
+    # after window → raw dirs (compact can't split)
+    after3 = {
+        r["url_hash"]
+        for r in ck.load_all_deltas(spark, "seen_delta", after=3).collect()
+    }
+    assert after3 == set(range(40, 60))
+    # incremental re-compaction folds the old compact + tail
+    ck.compact(spark, "seen_delta", upto=5)
+    assert ck.compacted_upto("seen_delta") == 5
+    got5 = {
+        r["url_hash"] for r in ck.load_all_deltas(spark, "seen_delta").collect()
+    }
+    assert got5 == set(range(60))
