@@ -42,6 +42,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bloom-partitions", type=int, default=64)
     p.add_argument("--opic", action="store_true", help="enable OPIC cash priority (A7)")
     p.add_argument("--no-resume", action="store_true", help="ignore existing checkpoint")
+    # sink gating (base.js:185-187: argv.records === false skips writeRecord;
+    # the --no-files twin gates downloadFile): the crawl itself — fetches,
+    # URL-seen updates, checkpoints — is unaffected, only the sink writes are
+    p.add_argument("--no-records", dest="records", action="store_false",
+                   help="crawl but skip the records sink")
+    p.add_argument("--no-files", dest="files", action="store_false",
+                   help="skip the image/file sink")
+    p.add_argument("--assets-source", default=None,
+                   help="parquet (url, bytes): fetch record images from this "
+                        "source into <out>/assets (gated by --no-files)")
     return p
 
 
@@ -69,6 +79,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from crawler_spark.plans.rounds import CrawlEngine, EngineConfig
 
+    owned = SparkSession.getActiveSession() is None
     spark = (
         SparkSession.builder.appName("crawler_spark")
         .config("spark.sql.adaptive.enabled", "true")
@@ -100,22 +111,35 @@ def main(argv: list[str] | None = None) -> int:
     )
     res = eng.run(resume=not args.no_resume)
 
-    for name, df in (
-        ("records", res.records),
+    outputs = [
         ("webtext", res.webtext),
         ("url_seen", res.url_seen),
         ("fetch_log", res.fetch_log),
-    ):
+    ]
+    if args.records:  # --no-records: crawl ran, sink skipped (base.js:185-187)
+        outputs.insert(0, ("records", res.records))
+    for name, df in outputs:
         df.write.mode("overwrite").parquet(f"{args.out}/{name}")
+
+    n_assets = None
+    if args.files and args.assets_source:
+        from crawler_spark.operators.assets import fetch_assets, image_targets
+
+        source = spark.read.parquet(args.assets_source)
+        assets = fetch_assets(image_targets(res.records), source)
+        assets.write.mode("overwrite").parquet(f"{args.out}/assets")
+        n_assets = assets.count()
 
     print(json.dumps({
         "rounds": res.rounds,
-        "records": res.records.count(),
+        "records": res.records.count() if args.records else None,
         "webtext": res.webtext.count(),
         "url_seen": res.url_seen.count(),
+        "assets": n_assets,
         "metrics": res.metrics,
     }))
-    spark.stop()
+    if owned:  # embedding callers (tests) keep their session
+        spark.stop()
     return 0
 
 
