@@ -96,11 +96,16 @@ def canonicalize_url(
     scheme = parts.scheme.lower()
     if scheme not in ("http", "https"):
         return None  # non-fetchable (mailto:, javascript:, data:)
-    host = parts.hostname or ""
+    try:
+        # .hostname/.port are lazy properties that can themselves raise on
+        # malformed netlocs (e.g. 'http://0::') — found by fuzzing
+        host = parts.hostname or ""
+        port = parts.port
+    except ValueError:
+        return None
     if not host:
         return None
     host = host.lower().rstrip(".")
-    port = parts.port
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORT.get(scheme):
         netloc = f"{host}:{port}"
@@ -129,22 +134,67 @@ def host_of(url: str | None) -> str | None:
         return None
 
 
+# Fast-path predicate: a URL matching this (plus the vector checks below) is
+# PROVABLY a fixed point of canonicalize_url, so the whole row skips the
+# per-element Python loop. Conservative on purpose — any doubt (explicit
+# port, %-escape, '#', dot-segments, uppercase host, base to resolve,
+# droppable query) falls back to the slow path, so a false negative costs
+# speed, never correctness. At steady state most frontier URLs were emitted
+# by this very canonicalizer, so the fast path covers the bulk.
+_FAST_RE = re.compile(
+    r"^https?://"
+    r"[a-z0-9-]+(?:\.[a-z0-9-]+)*"  # lowercase host, no trailing/empty label
+    r"/[A-Za-z0-9\-._~!$&'()*+,;=:@/]*"  # path: unreserved+sub-delims, no %/#
+    r"(?:\?[A-Za-z0-9\-._~!$&'()*+,;=:@/?]*)?$",
+    re.ASCII,
+)
+
+
+def _canonical_fixed_point_mask(url: pd.Series, base: pd.Series) -> pd.Series:
+    """Rows that are provably already canonical (vectorized str ops only)."""
+    mask = url.str.match(_FAST_RE, na=False)
+    # dot-segments would be rewritten
+    mask &= ~url.str.contains("/./", regex=False, na=True)
+    mask &= ~url.str.contains("/../", regex=False, na=True)
+    mask &= ~(
+        url.str.endswith("/.", na=True) | url.str.endswith("/..", na=True)
+    )
+    # empty query would be dropped
+    mask &= ~url.str.endswith("?", na=True)
+    # a base might resolve the url differently
+    mask &= base.isna() | (base == "")
+    return mask
+
+
+def _canonicalize_batch(
+    url: pd.Series, base: pd.Series, drop_params: frozenset[str]
+) -> pd.Series:
+    mask = _canonical_fixed_point_mask(url, base)
+    if drop_params:
+        # any query at all might carry a droppable param → slow path
+        mask &= ~url.str.contains("?", regex=False, na=True)
+    res = pd.Series(index=url.index, dtype="object")
+    res[mask] = url[mask]
+    slow = ~mask
+    if slow.any():
+        res[slow] = [
+            canonicalize_url(u, b, drop_params)
+            for u, b in zip(url[slow], base[slow])
+        ]
+    return res
+
+
 def canonicalize_urls_udf(drop_params: frozenset[str] = frozenset()):
     """Arrow-vectorized canonicalizer: (url, base) -> canonical url.
 
-    One pandas UDF call handles a whole Arrow batch — no per-row Python
-    dispatch (input_hint requirement).
-    """
+    One pandas UDF call handles a whole Arrow batch; already-canonical rows
+    are detected with vectorized string ops and bypass the per-element
+    Python loop entirely (the loop is the worst-scaling stage in the bench
+    when every URL is messy)."""
 
     @pandas_udf(StringType())
     def _canon(url: pd.Series, base: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                canonicalize_url(u, b, drop_params)
-                for u, b in zip(url, base)
-            ],
-            dtype="object",
-        )
+        return _canonicalize_batch(url, base, drop_params)
 
     return _canon
 

@@ -76,3 +76,64 @@ def test_spark_path(spark):
         host = r["url"].split("://")[1].split("/")[0].split(":")[0]
         assert r["host"] == host
         assert isinstance(r["url_hash"], int)
+
+
+def test_fast_path_equals_slow_path():
+    """The vectorized already-canonical fast path must be EXACTLY the
+    per-row function: for every input either the mask is off (slow path) or
+    the url is a fixed point of canonicalize_url."""
+    import pandas as pd
+
+    from crawler_spark.functions.canonicalize import (
+        _canonical_fixed_point_mask,
+        _canonicalize_batch,
+    )
+
+    urls = [
+        # canonical fixed points (fast path should take these)
+        "http://h0.example.test/record/3",
+        "https://a-b.c9.org/x/y;v=(z)/,@:!$&'*+=~._-",
+        "http://h.io/p?a=1&b=2",
+        "http://h.io/a//b",  # empty segment preserved
+        # NOT fixed points — must route slow and still come out right
+        "HTTP://Example.COM:80/a/../b?x=1#f",
+        "http://h.io/a/./b",
+        "http://h.io/a/..",
+        "http://host",  # no path → '/'
+        "http://user@host/p",  # userinfo stripped by urlsplit
+        "http://h.io/p?",  # empty query dropped
+        "http://h.io/%7Euser",  # %7E → ~
+        "http://HOST.example./p",  # trailing-dot + uppercase host
+        "mailto:nope@x",  # non-fetchable → None
+        "",
+        None,
+    ]
+    s = pd.Series(urls, dtype="object")
+    base = pd.Series([None] * len(urls), dtype="object")
+    got = _canonicalize_batch(s, base, frozenset())
+    want = [canonicalize_url(u, None, frozenset()) for u in urls]
+    assert list(got) == want
+    # every fast-path row really is a fixed point
+    mask = _canonical_fixed_point_mask(s, base)
+    for u, m in zip(urls, mask):
+        if m:
+            assert canonicalize_url(u, None, frozenset()) == u, u
+    assert mask.sum() >= 4  # the canonical ones actually took the fast path
+
+
+@given(st.text(min_size=0, max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_fast_path_equals_slow_path_fuzz(raw):
+    """Property: batch path == row path for arbitrary junk, with and
+    without drop_params."""
+    import pandas as pd
+
+    from crawler_spark.functions.canonicalize import _canonicalize_batch
+
+    for prefix in ("", "http://", "http://h.io/"):
+        u = prefix + raw
+        s = pd.Series([u], dtype="object")
+        b = pd.Series([None], dtype="object")
+        for dp in (frozenset(), frozenset({"utm"})):
+            got = _canonicalize_batch(s, b, dp)
+            assert got.iloc[0] == canonicalize_url(u, None, dp)
