@@ -121,3 +121,40 @@ def test_live_crawl_end_to_end_parity(spark, site, server, tmp_path):
     got = {r["url"]: r["text"] for r in res.webtext.collect()}
     assert got == oracle.webtext  # byte-identical over real HTTP
     assert res.records.count() == len(oracle.webtext)
+
+
+def test_live_mode_no_salt_one_worker_per_host(spark):
+    """salt=False (live fetch): every host lands in exactly ONE partition,
+    so the in-worker crawl-delay bounds the host's aggregate request rate —
+    salting would let k workers each honor the delay independently (k× the
+    allowed rate)."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.politeness import salted_host_repartition
+
+    batch = spark.range(900).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 3).cast("string"),
+                 F.lit(".test/p/"), F.col("id").cast("string")).alias("url"),
+        F.concat(F.lit("h"), (F.col("id") % 3).cast("string"),
+                 F.lit(".test")).alias("host"),
+        F.lit(0).alias("depth"), F.lit(0).alias("seed_idx"),
+        F.lit(0).alias("page_no"), F.lit(0).alias("in_page_idx"),
+        F.lit(0).alias("dfs_rank"),
+    )
+    out = salted_host_repartition(batch, target_per_task=10, salt=False)
+    parts = (
+        out.withColumn("pid", F.spark_partition_id())
+        .groupBy("host")
+        .agg(F.countDistinct("pid").alias("n_parts"))
+        .collect()
+    )
+    assert parts and all(r["n_parts"] == 1 for r in parts)
+    # salted default DOES spread a 300-row host over multiple buckets
+    salted = salted_host_repartition(batch, target_per_task=10)
+    sparts = (
+        salted.withColumn("pid", F.spark_partition_id())
+        .groupBy("host")
+        .agg(F.countDistinct("pid").alias("n_parts"))
+        .collect()
+    )
+    assert any(r["n_parts"] > 1 for r in sparts)

@@ -45,3 +45,54 @@ def test_parquet_pushdown_and_pruning(spark, tmp_path):
     assert "PushedFilters: [IsNotNull(k), EqualTo(k,3)]" in plan
     # column pruning: v is not read
     assert "ReadSchema: struct<id:bigint,k:bigint>" in plan
+
+
+def test_page_style_null_total_stops_after_first_page(spark, tmp_path):
+    """A page-style search whose count selector is missing (total=None)
+    must NOT chain next pages: the reference derives totalPages from the
+    count (base.js:68-69) and stops after page 1 without it — chaining
+    would fetch pages the sequential oracle never visits and break
+    crawl-order/URL-seen parity."""
+    import pandas as pd
+
+    from crawler_spark import schemas
+    from crawler_spark.oracle.replay import replay
+    from crawler_spark.plans.rounds import CrawlEngine, EngineConfig
+    from crawler_spark.sources.sitegen import (
+        SiteSpec,
+        _render_search,
+        generate_site,
+        site_to_spark,
+    )
+
+    site = generate_site(SiteSpec(n_hosts=1, details_per_host=8, limit=3))
+    pages_pd = site["pages"]
+    # strip the count element from every search page (count selector misses)
+    def decount(row):
+        if "/search" not in row["url"]:
+            return row["html"]
+        # keep links, drop the count div: re-render without count
+        return row["html"].replace(
+            row["html"][: row["html"].find(b"<ul")], b"<html><body>"
+        )
+
+    pages_pd = pages_pd.assign(html=[decount(r) for _, r in pages_pd.iterrows()])
+    sdfs = site_to_spark(spark, {**site, "pages": pages_pd})
+
+    cfg = EngineConfig(ckpt_dir=str(tmp_path / "ck"), default_budget=10)
+    res = CrawlEngine(
+        spark, sdfs["pages"], sdfs["seeds"], sdfs["politeness"], cfg,
+        connectors=site["connectors"],
+    ).run()
+    fetched = {r["url"] for r in res.fetch_log.collect()}
+    # page 1 fetched, pages 2/3 NEVER fetched despite existing in the corpus
+    assert "http://h0.example.test/search?page=1" in fetched
+    assert "http://h0.example.test/search?page=2" not in fetched
+    assert "http://h0.example.test/search?page=3" not in fetched
+
+    # parity with the sequential replay under the same degraded corpus
+    pages_map = {r["url"]: r["html"] for _, r in pages_pd.iterrows()}
+    oracle = replay(pages_map, site["seeds"].to_dict("records"),
+                    site["connectors"])
+    got = {r["url"]: r["text"] for r in res.webtext.collect()}
+    assert got == oracle.webtext

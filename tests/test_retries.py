@@ -54,3 +54,33 @@ def test_dead_links_retried_then_dropped(spark, site, tmp_path):
         .select(F.xxhash64("url").alias("h")).collect()
     }
     assert not (seen & dead_hashes)
+
+
+def test_backoff_jump_not_masked_by_robots_blocked_rows(spark, tmp_path):
+    """Robots-disallowed rows linger in the frontier with past not_before;
+    the empty-pop backoff jump must ignore them and honor FUTURE retry
+    rounds — pre-fix it took min(not_before) over the whole frontier,
+    concluded nothing was pending, and silently dropped the retries."""
+    from crawler_spark.plans.rounds import CrawlEngine, EngineConfig
+    from crawler_spark.sources.sitegen import SiteSpec, generate_site, site_to_spark
+
+    site = generate_site(
+        SiteSpec(n_hosts=1, details_per_host=6, limit=10,
+                 disallow={0: ["/record/3"]})
+    )
+    dead_url = "http://h0.example.test/record/5"
+    pages_pd = site["pages"][site["pages"].url != dead_url]
+    sdfs = site_to_spark(spark, {**site, "pages": pages_pd})
+    cfg = EngineConfig(
+        ckpt_dir=str(tmp_path / "ck"), default_budget=10, max_attempts=4
+    )
+    res = CrawlEngine(
+        spark, sdfs["pages"], sdfs["seeds"], sdfs["politeness"], cfg,
+        connectors=site["connectors"],
+    ).run()
+    log = res.fetch_log.collect()
+    # the 404 URL exhausted its FULL retry budget (initial + 3 backoff
+    # retries at rounds +1/+2/+4), i.e. the loop jumped over the gaps
+    assert sum(1 for r in log if r["url"] == dead_url) == 4
+    # the robots-blocked path was never fetched
+    assert all("/record/3" not in r["url"] for r in log)
