@@ -1043,7 +1043,10 @@ def _crawl_e2e_webtext(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_spark.sources.sitegen import SiteSpec, generate_site, site_to_spark
 
     site = generate_site(
-        SiteSpec(n_hosts=3, details_per_host=12, limit=6, related_per_host=3)
+        SiteSpec(
+            n_hosts=5, details_per_host=12, limit=6, related_per_host=3,
+            msearch_hosts=(3,), graphql_hosts=(4,),
+        )
     )
     sdfs = site_to_spark(spark, site)
     cfg = EngineConfig(

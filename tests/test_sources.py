@@ -88,8 +88,8 @@ def test_s9_tsv_scan(spark, tmp_path):
 
 def test_s10_docx_table_scan(spark, tmp_path):
     """el-tesoro DOCX table state machine (el-tesoro.js:58-90) over the
-    binaryFile source, with the docx→html conversion injected (the real
-    mammoth converter is stubbed — absent in this container)."""
+    binaryFile source, with an injected docx→html conversion (the
+    stdlib converter has its own round-trip test below)."""
     import base64
 
     from crawler_spark.sources.docx import docx_records, docx_to_html_stub
@@ -122,7 +122,83 @@ def test_s10_docx_table_scan(spark, tmp_path):
         ("Material", "velvet")
     ]  # empty value dropped (P1)
 
-    # the real converter is an explicit stub
-    import pytest as _pytest
-    with _pytest.raises(NotImplementedError):
-        docx_to_html_stub(b"anything")
+    # the converter is real now (stdlib zip+XML); alias retained
+    from crawler_spark.sources.docx import docx_to_html
+    assert docx_to_html_stub is docx_to_html
+
+
+def _build_docx(records, image_bytes=None) -> bytes:
+    """Minimal real .docx (zip of WordprocessingML) with one table:
+    colspan-3 separator rows + (label, value) rows + an optional embedded
+    image resolved through the rels part — the subset el-tesoro consumes."""
+    import io
+    import zipfile
+
+    W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    A = "http://schemas.openxmlformats.org/drawingml/2006/main"
+    R = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+
+    def cell(text, span=None, img_rid=None):
+        pr = f'<w:tcPr><w:gridSpan w:val="{span}"/></w:tcPr>' if span else ""
+        drawing = (
+            f'<w:p><w:r><w:drawing><a:blip r:embed="{img_rid}"/></w:drawing>'
+            "</w:r></w:p>" if img_rid else ""
+        )
+        return (
+            f"<w:tc>{pr}<w:p><w:r><w:t>{text}</w:t></w:r></w:p>{drawing}</w:tc>"
+        )
+
+    rows = []
+    for rec in records:
+        rows.append(f"<w:tr>{cell(rec['title'], span=3)}</w:tr>")
+        for label, value in rec["fields"]:
+            rows.append(f"<w:tr>{cell(label)}{cell(value)}</w:tr>")
+        if rec.get("image") and image_bytes is not None:
+            rows.append(f"<w:tr>{cell('Image')}{cell('', img_rid='rId9')}</w:tr>")
+    doc = (
+        f'<w:document xmlns:w="{W}" xmlns:a="{A}" xmlns:r="{R}">'
+        f"<w:body><w:tbl>{''.join(rows)}</w:tbl></w:body></w:document>"
+    )
+    rels = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId9" Type="img" Target="media/image1.png"/>'
+        "</Relationships>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", doc)
+        zf.writestr("word/_rels/document.xml.rels", rels)
+        if image_bytes is not None:
+            zf.writestr("word/media/image1.png", image_bytes)
+    return buf.getvalue()
+
+
+def test_s10_real_docx_roundtrip(spark, tmp_path):
+    """End-to-end over a REAL .docx: stdlib zip/XML conversion → state
+    machine → records, embedded image surfaced as a data URI."""
+    from crawler_spark.sources.docx import docx_records
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8
+    data = _build_docx(
+        [
+            {"title": "Chasuble of Toledo",
+             "fields": [("Material", "silk"), ("Century", "XVI")],
+             "image": True},
+            {"title": "Second Record", "fields": [("Material", "velvet")]},
+        ],
+        image_bytes=png,
+    )
+    d = tmp_path / "docx_real"
+    d.mkdir()
+    (d / "r.docx").write_bytes(data)
+
+    out = docx_records(spark, str(d)).collect()
+    assert len(out) == 2
+    first = next(r for r in out if r["record_idx"] == 0)
+    assert first["title"] == "Chasuble of Toledo"
+    assert [(f["label"], f["values"][0]) for f in first["fields"]] == [
+        ("Material", "silk"), ("Century", "XVI"),
+    ]
+    assert first["n_images"] == 1  # blip → rels → media → data URI
+    second = next(r for r in out if r["record_idx"] == 1)
+    assert second["title"] == "Second Record" and second["n_images"] == 0

@@ -35,7 +35,10 @@ OUT = os.path.join(
 def main() -> None:
     # MUST mirror __spark_entry__._crawl_e2e_webtext's SiteSpec exactly
     site = generate_site(
-        SiteSpec(n_hosts=3, details_per_host=12, limit=6, related_per_host=3)
+        SiteSpec(
+            n_hosts=5, details_per_host=12, limit=6, related_per_host=3,
+            msearch_hosts=(3,), graphql_hosts=(4,),
+        )
     )
     pages_pd = site["pages"]
     pages = {r["url"]: r["html"] for _, r in pages_pd.iterrows()}
