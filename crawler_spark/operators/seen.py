@@ -338,7 +338,11 @@ class SeenSet:
                 out &= ~cf.contains_many(arr)
             return pd.Series(out)
 
-        flagged = candidates.withColumn("__maybe", _maybe_seen(F.col(hash_col)))
+        # persist: the fresh/suspect split reads this twice — without it the
+        # pandas flag UDF runs over every candidate twice
+        flagged = candidates.withColumn(
+            "__maybe", _maybe_seen(F.col(hash_col))
+        ).persist()
         fresh = flagged.where(~F.col("__maybe")).drop("__maybe")
         suspect = flagged.where(F.col("__maybe")).drop("__maybe")
         # exact confirm on the (tiny) suspect set — parity guarantee
@@ -547,6 +551,9 @@ class BloomTable:
             .cogroup(bloom_df.groupBy("partition_id"))
             .applyInPandas(_flag, out_schema)
             .drop("__pid")
+            # the fresh/suspect split consumes this twice — without a
+            # persist the whole cogroup+flag stage would EXECUTE twice
+            .persist()
         )
         fresh = flagged.where(~F.col("__maybe")).drop("__maybe")
         suspect = flagged.where(F.col("__maybe")).drop("__maybe")
