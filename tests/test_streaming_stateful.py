@@ -1,0 +1,61 @@
+"""applyInPandasWithState host sessionization (SURVEY.md §2.9): sessions
+close on EVENT-time quiet gaps as the watermark advances across restarts
+of the same checkpointed query."""
+
+import json
+import time
+
+
+def _write_batch(d, rows):
+    p = d / f"b{time.time_ns()}.json"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+
+
+def _run_once(spark, src_dir, ckpt, name):
+    from crawler_spark.streaming.stateful import host_sessions
+
+    stream = spark.readStream.schema(
+        "host string, discovered_ts timestamp"
+    ).json(str(src_dir))
+    sessions = host_sessions(stream, gap="30 seconds")
+    got: list = []
+    q = (
+        sessions.writeStream.foreachBatch(
+            lambda df, _eid: got.extend(df.collect())
+        )
+        .outputMode("update")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return got
+
+
+def test_host_sessions_close_on_event_time_gap(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt"
+
+    # burst on h0 (3 candidates over 10 s) + one candidate on h1
+    _write_batch(src, [
+        {"host": "h0", "discovered_ts": "2026-01-01 00:00:00"},
+        {"host": "h0", "discovered_ts": "2026-01-01 00:00:05"},
+        {"host": "h0", "discovered_ts": "2026-01-01 00:00:10"},
+        {"host": "h1", "discovered_ts": "2026-01-01 00:00:02"},
+    ])
+    out1 = _run_once(spark, src, ckpt, "sess_run1")
+    assert out1 == []  # watermark hasn't passed any gap yet
+
+    # a much later event advances the watermark past both hosts' gaps,
+    # closing their sessions; it opens a fresh h0 session that stays live
+    _write_batch(src, [
+        {"host": "h0", "discovered_ts": "2026-01-01 00:05:00"},
+    ])
+    out2 = _run_once(spark, src, ckpt, "sess_run2")
+    rows = {r["host"]: r for r in out2}
+    assert set(rows) == {"h0", "h1"}
+    h0 = rows["h0"]
+    assert h0["n_candidates"] == 3
+    assert h0["session_start"].second == 0 and h0["session_end"].second == 10
+    assert rows["h1"]["n_candidates"] == 1
