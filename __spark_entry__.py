@@ -1055,7 +1055,10 @@ def _crawl_e2e_webtext(spark: SparkSession, sf_dir: str) -> DataFrame:
         use_bloom=True,
         bloom_partitions=4,
     )
-    eng = CrawlEngine(spark, sdfs["pages"], sdfs["seeds"], sdfs["politeness"], cfg)
+    eng = CrawlEngine(
+        spark, sdfs["pages"], sdfs["seeds"], sdfs["politeness"], cfg,
+        connectors=site["connectors"],
+    )
     return eng.run().webtext
 
 

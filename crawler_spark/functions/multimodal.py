@@ -67,14 +67,53 @@ def image_type_valid(bytes_col: Column) -> Column:
     )
 
 
+def image_dimensions(data: bytes) -> tuple[int | None, int | None]:
+    """REAL header-level (width, height) extraction — pure Python, no
+    decoder library:
+
+    * PNG: IHDR chunk, big-endian u32 pair at bytes 16..24;
+    * GIF: logical screen descriptor, little-endian u16 pair at bytes 6..10;
+    * JPEG: marker scan to the first SOFn segment (C0-CF minus C4/C8/CC),
+      big-endian height/width at +5/+7.
+
+    Returns (None, None) when the container is unknown/truncated.
+    """
+    try:
+        if data[:8] == b"\x89PNG\r\n\x1a\n" and data[12:16] == b"IHDR":
+            return (
+                int.from_bytes(data[16:20], "big"),
+                int.from_bytes(data[20:24], "big"),
+            )
+        if data[:4] == b"GIF8":
+            return (
+                int.from_bytes(data[6:8], "little"),
+                int.from_bytes(data[8:10], "little"),
+            )
+        if data[:3] == b"\xff\xd8\xff":
+            i = 2
+            while i + 9 < len(data):
+                if data[i] != 0xFF:
+                    break
+                code = data[i + 1]
+                if 0xC0 <= code <= 0xCF and code not in (0xC4, 0xC8, 0xCC):
+                    h = int.from_bytes(data[i + 5 : i + 7], "big")
+                    w = int.from_bytes(data[i + 7 : i + 9], "big")
+                    return w, h
+                i += 2 + int.from_bytes(data[i + 2 : i + 4], "big")
+    except (IndexError, ValueError):
+        pass
+    return None, None
+
+
 def decode_image_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas: (url, bytes) → (url, content_type, width, height,
     features array<float>).
 
-    STUB: real decode needs PIL/libvips (absent here). The deterministic
-    fake derives width/height/features from a hash of the bytes so the
-    pipeline shape (schemas, batching, partitioning) is fully exercised;
-    swap ``_fake_decode`` for a real decoder in production.
+    Content type (magic sniff) and width/height (header parse) are REAL;
+    only the pixel-level feature extraction is a clearly-marked
+    deterministic fake (``_fake_features`` — PIL/libvips absent here), so
+    the pipeline shape is exercised end-to-end and the metadata columns
+    carry true values.
     """
     for pdf in it:
         rows = {"url": [], "content_type": [], "width": [], "height": [], "features": []}
@@ -87,10 +126,10 @@ def decode_image_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 rows["height"].append(None)
                 rows["features"].append(None)
                 continue
-            w, h, feats = _fake_decode(bytes(data))
+            w, h = image_dimensions(bytes(data))
             rows["width"].append(w)
             rows["height"].append(h)
-            rows["features"].append(feats)
+            rows["features"].append(_fake_features(bytes(data)))
         yield pd.DataFrame(rows)
 
 
@@ -99,15 +138,14 @@ DECODE_SCHEMA = (
 )
 
 
-def _fake_decode(data: bytes) -> tuple[int, int, list[float]]:
-    """Deterministic stand-in for decode+feature-extract. NOT a real decoder."""
+def _fake_features(data: bytes) -> list[float]:
+    """Deterministic stand-in for pixel-level feature extraction (NOT a
+    real decoder — swap for PIL/CLIP/etc. in production)."""
     import hashlib
 
     digest = hashlib.md5(data).digest()  # deterministic across processes
     rng = np.random.default_rng(np.frombuffer(digest, dtype=np.uint8))
-    return int(rng.integers(16, 4096)), int(rng.integers(16, 4096)), [
-        float(x) for x in rng.standard_normal(8).astype(np.float32)
-    ]
+    return [float(x) for x in rng.standard_normal(8).astype(np.float32)]
 
 
 def decode_images(assets: DataFrame) -> DataFrame:
@@ -118,11 +156,51 @@ def decode_images(assets: DataFrame) -> DataFrame:
     )
 
 
-def frame_sample_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas: (url, bytes, n_frames) → one row per sampled frame.
+FRAME_SCHEMA = "url string, frame_idx int, ts_ms long, frame binary"
 
-    STUB for video frame sampling — raises until a real decoder is wired.
+
+def frame_sample_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas: (url, bytes, n_frames, duration_ms) → one row per
+    sampled frame, evenly spaced over the duration.
+
+    The Spark-side plumbing (schema, batch shape, one-to-many explosion,
+    even-spacing arithmetic) is real; the frame EXTRACTION is a
+    clearly-marked deterministic fake (``ffmpeg``/``pyav`` absent here) —
+    each "frame" is a hash-derived byte payload unique per (url, index).
     """
-    raise NotImplementedError(
-        "video decode requires ffmpeg/pyav, not available in this container"
+    import hashlib
+
+    for pdf in it:
+        rows = {"url": [], "frame_idx": [], "ts_ms": [], "frame": []}
+        for url, data, n_frames, duration_ms in zip(
+            pdf["url"], pdf["bytes"], pdf["n_frames"], pdf["duration_ms"]
+        ):
+            if data is None or not n_frames:
+                continue
+            n = int(n_frames)
+            step = int(duration_ms) // max(n, 1)
+            for k in range(n):
+                rows["url"].append(url)
+                rows["frame_idx"].append(k)
+                rows["ts_ms"].append(k * step + step // 2)
+                # FAKE frame bytes (deterministic per url+idx); a real
+                # decoder seeks to ts_ms and emits the encoded frame
+                rows["frame"].append(
+                    hashlib.md5(bytes(data)[:64] + str(k).encode()).digest()
+                )
+        yield pd.DataFrame(rows)
+
+
+def frame_samples(
+    videos: DataFrame, n_frames: int = 4, duration_ms: int = 60_000
+) -> DataFrame:
+    """(url, bytes) videos → evenly-spaced frame rows (see
+    ``frame_sample_batch``); hash-partitioned like ``decode_images``."""
+    inp = videos.select(
+        "url", "bytes",
+        F.lit(n_frames).alias("n_frames"),
+        F.lit(duration_ms).alias("duration_ms"),
+    )
+    return inp.repartition(F.pmod(F.xxhash64("url"), F.lit(64))).mapInPandas(
+        frame_sample_batch, FRAME_SCHEMA
     )

@@ -290,7 +290,11 @@ class SeenSet:
 
     # -- query ---------------------------------------------------------------
     def filter_unseen(
-        self, candidates: DataFrame, seen: DataFrame, hash_col: str = "url_hash"
+        self,
+        candidates: DataFrame,
+        seen: DataFrame,
+        hash_col: str = "url_hash",
+        cache_registry: list | None = None,
     ) -> DataFrame:
         """Rows of ``candidates`` whose hash is NOT in the seen set (exact)."""
         spark = candidates.sparkSession
@@ -343,6 +347,8 @@ class SeenSet:
         flagged = candidates.withColumn(
             "__maybe", _maybe_seen(F.col(hash_col))
         ).persist()
+        if cache_registry is not None:
+            cache_registry.append(flagged)
         fresh = flagged.where(~F.col("__maybe")).drop("__maybe")
         suspect = flagged.where(F.col("__maybe")).drop("__maybe")
         # exact confirm on the (tiny) suspect set — parity guarantee
@@ -509,8 +515,15 @@ class BloomTable:
         version: int,
         deleted: "CuckooFilter | None" = None,
         hash_col: str = "url_hash",
+        cache_registry: list | None = None,
     ) -> DataFrame:
-        """J1 with the table-backed Bloom pre-filter (exact confirm after)."""
+        """J1 with the table-backed Bloom pre-filter (exact confirm after).
+
+        The internal flagged frame is persisted (consumed by both the fresh
+        and suspect branches); pass ``cache_registry`` to receive it so the
+        caller can unpersist once the round's outputs are materialized —
+        otherwise 10^4 rounds would each leave a candidate-set-sized block
+        in the cache."""
         spark = candidates.sparkSession
         bloom_df = self.load(spark, version)
         cand = candidates.withColumn(
@@ -555,6 +568,8 @@ class BloomTable:
             # persist the whole cogroup+flag stage would EXECUTE twice
             .persist()
         )
+        if cache_registry is not None:
+            cache_registry.append(flagged)
         fresh = flagged.where(~F.col("__maybe")).drop("__maybe")
         suspect = flagged.where(F.col("__maybe")).drop("__maybe")
         confirmed_new = suspect.join(

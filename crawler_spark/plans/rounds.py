@@ -571,6 +571,7 @@ class CrawlEngine:
                 and last_committed is not None
                 and bloom_v == last_committed
             )
+            round_caches: list = []
             if bloom_ok:
                 # Bloom covers only COMMITTED rounds — a candidate discovered
                 # in the same round that fetched it would pass the "definitely
@@ -579,6 +580,7 @@ class CrawlEngine:
                 fresh = self.bloom_table.filter_unseen(
                     cands, seen, version=bloom_v,
                     deleted=self.seen_filter.deleted,
+                    cache_registry=round_caches,
                 )
                 fresh = fresh.join(
                     ok.select(F.col("url_hash").alias("__ok_h")),
@@ -704,6 +706,8 @@ class CrawlEngine:
             fetched.unpersist()
             links.unpersist()
             recs.unpersist()
+            for df in round_caches:
+                df.unpersist()
             # re-read from checkpoint: cuts lineage + is the resume point
             frontier = self.ckpt.load(spark, round_no, "frontier")
             round_no += 1

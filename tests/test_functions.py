@@ -137,22 +137,45 @@ def test_embedding_neardup(spark, vecs):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 100)}
 
 
+# minimal REAL image containers: JPEG SOI+SOF0, PNG signature+IHDR, GIF
+# logical screen descriptor — enough header for true dimension parsing
+JPEG_128x256 = (
+    b"\xff\xd8\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+    + (256).to_bytes(2, "big") + (128).to_bytes(2, "big") + b"\x01\x00\x00\x00"
+)
+PNG_64x32 = (
+    b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+    + (64).to_bytes(4, "big") + (32).to_bytes(4, "big") + b"\x08\x02\x00\x00\x00"
+)
+GIF_320x200 = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" * 6
+
+
 def test_multimodal_sniff_and_decode(spark):
     from crawler_spark.functions.multimodal import (
         decode_images,
+        image_dimensions,
         image_type_valid,
         sniff_content_type,
     )
 
-    jpeg = b"\xff\xd8\xff\xe0" + b"x" * 20
-    png = b"\x89PNG\r\n\x1a\n" + b"y" * 20
     bad = b"not an image"
-    assert sniff_content_type(jpeg) == "image/jpeg"
-    assert sniff_content_type(png) == "image/png"
+    assert sniff_content_type(JPEG_128x256) == "image/jpeg"
+    assert sniff_content_type(PNG_64x32) == "image/png"
+    assert sniff_content_type(GIF_320x200) == "image/gif"
     assert sniff_content_type(bad) is None
+    # REAL header-level dimension extraction (no decoder library)
+    assert image_dimensions(JPEG_128x256) == (128, 256)
+    assert image_dimensions(PNG_64x32) == (64, 32)
+    assert image_dimensions(GIF_320x200) == (320, 200)
+    assert image_dimensions(bad) == (None, None)
+    assert image_dimensions(PNG_64x32[:10]) == (None, None)  # truncated
 
     df = spark.createDataFrame(
-        [("u1", bytearray(jpeg)), ("u2", bytearray(png)), ("u3", bytearray(bad))],
+        [
+            ("u1", bytearray(JPEG_128x256)),
+            ("u2", bytearray(PNG_64x32)),
+            ("u3", bytearray(bad)),
+        ],
         "url string, bytes binary",
     )
     valid = {
@@ -163,8 +186,33 @@ def test_multimodal_sniff_and_decode(spark):
 
     decoded = {r["url"]: r for r in decode_images(df).collect()}
     assert decoded["u1"]["content_type"] == "image/jpeg"
-    assert decoded["u1"]["width"] > 0 and len(decoded["u1"]["features"]) == 8
+    assert (decoded["u1"]["width"], decoded["u1"]["height"]) == (128, 256)
+    assert (decoded["u2"]["width"], decoded["u2"]["height"]) == (64, 32)
+    assert len(decoded["u1"]["features"]) == 8
     assert decoded["u3"]["content_type"] is None and decoded["u3"]["width"] is None
+
+
+def test_multimodal_frame_sampling(spark):
+    """Frame-sample plumbing: one row per (url, evenly-spaced frame);
+    extraction is the declared deterministic fake."""
+    from crawler_spark.functions.multimodal import frame_samples
+
+    vids = spark.createDataFrame(
+        [("v1", bytearray(b"\x00videobytes1")), ("v2", bytearray(b"\x00videobytes2"))],
+        "url string, bytes binary",
+    )
+    rows = frame_samples(vids, n_frames=4, duration_ms=40_000).collect()
+    assert len(rows) == 8
+    v1 = sorted((r for r in rows if r["url"] == "v1"), key=lambda r: r["frame_idx"])
+    assert [r["ts_ms"] for r in v1] == [5000, 15000, 25000, 35000]  # even spacing
+    assert len({bytes(r["frame"]) for r in v1}) == 4  # distinct per index
+    # deterministic across runs
+    again = sorted(
+        (r for r in frame_samples(vids, n_frames=4, duration_ms=40_000).collect()
+         if r["url"] == "v1"),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [bytes(r["frame"]) for r in again] == [bytes(r["frame"]) for r in v1]
 
 
 def test_ivf_topk_exact_when_probing_all_cells(spark):
