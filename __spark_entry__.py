@@ -805,6 +805,22 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥5 distinct 8-gram
+    shingles with a (broadcast) benchmark set — every 25th doc, re-keyed,
+    plays the leaked eval set, so each one must flag its own source doc."""
+    from crawler_spark.functions.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 9_000_000).alias("doc_id"), "text"
+    )
+    out = decontaminate(docs, bench, n=8, min_overlap=5)
+    return out.select(
+        F.col("id").alias("corpus_id"), "bench_id", F.col("n_shared")
+    )
+
+
 def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup (shingle→minhash→band→bucket-join→verify), md5
     variant: DuckDB replays the ENTIRE pipeline — minhash signatures, band
@@ -1101,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprints": _dedup_fingerprints,
         "dedup_exact_groups": _dedup_exact_groups,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_decontaminate": _dedup_decontaminate,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         "sim_topk_brute": _sim_topk_brute,
@@ -1136,6 +1153,10 @@ def oracle_sql() -> dict[str, str]:
     grams4 = (
         "list_distinct(list_transform("
         "generate_series(1, greatest(len({t}) - 3, 0)), i -> substr({t}, i, 4)))"
+    )
+    grams8 = (
+        "list_distinct(list_transform("
+        "generate_series(1, greatest(len({t}) - 7, 0)), i -> substr({t}, i, 8)))"
     )
     norm_t = "trim(regexp_replace(lower(t.text), '\\s+', ' ', 'g'))"
     return {
@@ -1394,6 +1415,20 @@ def oracle_sql() -> dict[str, str]:
             FROM g a JOIN g b ON a.source = b.source AND a.id < b.id
             WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.62
+        """,
+        "dedup_decontaminate": f"""
+            WITH c AS (
+              SELECT doc_id AS corpus_id, {grams8.format(t=_NORM)} AS g
+              FROM documents
+            ),
+            b AS (
+              SELECT doc_id + 9000000 AS bench_id, {grams8.format(t=_NORM)} AS g
+              FROM documents WHERE doc_id % 25 = 0
+            )
+            SELECT corpus_id, bench_id,
+                   CAST(len(list_intersect(c.g, b.g)) AS BIGINT) AS n_shared
+            FROM c, b
+            WHERE len(list_intersect(c.g, b.g)) >= 5
         """,
         "dedup_minhash_lsh": f"""
             WITH t AS (

@@ -311,6 +311,40 @@ def simhash64_from_hashes_udf():
     return _simhash
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Training-data decontamination: flag corpus documents sharing ≥
+    ``min_overlap`` distinct character ``n``-grams with any benchmark doc.
+
+    The benchmark side is small by construction (eval sets), so its gram
+    set BROADCASTS and the probe is a map-side hash join against the
+    corpus's exploded grams — no shuffle of the big side beyond the
+    per-doc count aggregation. Returns (id, bench_id, n_shared) pairs.
+    """
+    cg = gram_hash_rows(corpus, n, id_col, text_col).dropDuplicates(
+        ["id", "gram"]
+    )
+    bg = (
+        gram_hash_rows(benchmark, n, bench_id_col, bench_text_col)
+        .dropDuplicates(["id", "gram"])
+        .select(F.col("id").alias("bench_id"), "gram")
+    )
+    hits = cg.join(F.broadcast(bg), "gram")
+    return (
+        hits.groupBy("id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_overlap)
+    )
+
+
 def simhash_md5_bits_udf():
     """SimHash majority vote over md5 gram digests → 64-char '0'/'1' string.
 
