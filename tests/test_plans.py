@@ -96,3 +96,45 @@ def test_page_style_null_total_stops_after_first_page(spark, tmp_path):
                     site["connectors"])
     got = {r["url"]: r["text"] for r in res.webtext.collect()}
     assert got == oracle.webtext
+
+
+def test_result_cap_compiles_to_take_ordered(spark):
+    """O2/W2 driver queries: orderBy().limit() must stay a
+    TakeOrderedAndProject (per-partition heaps) — a global single-partition
+    Sort here would be the 100×-unsafe plan."""
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    for q in ("o2_result_cap", "w2_crawl_order_rank"):
+        plan = _executed_plan(entry_mod.queries()[q](spark, sf))
+        assert "TakeOrderedAndProject" in plan, q
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark gram set must BROADCAST (map-side probe); a
+    sort-merge join would shuffle the full corpus gram table."""
+    from crawler_spark.functions.dedup import decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.limit(5)
+    plan = _executed_plan(decontaminate(docs, bench, n=8, min_overlap=2))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_table_filter_is_cogrouped(spark, tmp_path):
+    """Table-backed Bloom filtering runs as a cogroup (bitset shipped once
+    per pid group), never as a row-duplicating broadcast join of bitsets."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.seen import BloomTable
+
+    seen = spark.range(0, 100, 2).select(F.col("id").alias("url_hash"))
+    cands = spark.range(100).select(F.col("id").alias("url_hash"))
+    bt = BloomTable(str(tmp_path / "b"), n_partitions=4)
+    bt.build(seen, version=0)
+    out = bt.filter_unseen(cands, seen, version=0)
+    plan = _executed_plan(out)
+    assert "FlatMapCoGroupsInPandas" in plan
+    got = {r["url_hash"] for r in out.collect()}
+    assert got == set(range(1, 100, 2))
