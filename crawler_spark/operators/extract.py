@@ -245,13 +245,21 @@ def extract_search_json(
         data = json.loads(_decode(body, cfg.encoding))
     except ValueError:
         return None, []
+    if not isinstance(data, dict):
+        return None, []
     total = data.get("total")
+    recs = data.get("records")
     urls: list[str] = []
-    for rec in data.get("records", []):
-        u = canonicalize_url(rec.get("url"), base_url, cfg.drop_params)
+    for rec in recs if isinstance(recs, list) else []:
+        if not isinstance(rec, dict):
+            continue
+        url = rec.get("url")
+        u = canonicalize_url(
+            url if isinstance(url, str) else None, base_url, cfg.drop_params
+        )
         if u:
             urls.append(u)
-    return (int(total) if total is not None else None), urls
+    return (int(total) if isinstance(total, (int, float)) else None), urls
 
 
 def extract_detail_json(
@@ -274,13 +282,20 @@ def extract_detail_json(
         data = json.loads(_decode(body, cfg.encoding))
     except ValueError:
         data = {}
-    title = (data.get("title") or "").strip()
+    if not isinstance(data, dict):
+        data = {}
+    title = str(data.get("title") or "").strip()
     fields: list[tuple[str, list[str]]] = []
     by_label: dict[str, list[str]] = {}
     lines: list[str] = [title]
-    for f in data.get("fields", []):
-        label = (f.get("label") or "").strip()
+    raw_fields = data.get("fields")
+    for f in raw_fields if isinstance(raw_fields, list) else []:
+        if not isinstance(f, dict):
+            continue
+        label = str(f.get("label") or "").strip()
         raw = f["values"] if "values" in f else [f.get("value")]
+        if not isinstance(raw, list):
+            raw = [raw]
         clean: list[str] = []
         for v in raw or []:
             if isinstance(v, bool) or v is None:
@@ -305,14 +320,20 @@ def extract_detail_json(
 
     images: list[dict] = []
     img_seen: set[str] = set()
-    for src in data.get("images", []):
+    raw_imgs = data.get("images")
+    for src in raw_imgs if isinstance(raw_imgs, list) else []:
+        if not isinstance(src, str):
+            continue
         u = canonicalize_url(src, base_url, cfg.drop_params)
         if u and u not in img_seen:
             img_seen.add(u)
             images.append(_image(u))
 
     related: list[str] = []
-    for href in data.get("related", []):
+    raw_rel = data.get("related")
+    for href in raw_rel if isinstance(raw_rel, list) else []:
+        if not isinstance(href, str):
+            continue
         u = canonicalize_url(href, base_url, cfg.drop_params)
         if u:
             related.append(u)
@@ -477,12 +498,18 @@ def _msearch_hits(data: dict) -> tuple[int | None, list[dict]]:
         hits = data["responses"][0]["hits"]
     except (KeyError, IndexError, TypeError):
         return None, []
+    if not isinstance(hits, dict):
+        return None, []
     total = hits.get("total")
+    raw_hits = hits.get("hits")
     sources = [
-        h["_source"] for h in hits.get("hits", []) if isinstance(h, dict)
-        and isinstance(h.get("_source"), dict)
+        h["_source"]
+        for h in (raw_hits if isinstance(raw_hits, list) else [])
+        if isinstance(h, dict) and isinstance(h.get("_source"), dict)
     ]
-    return (int(total) if total is not None else None), sources
+    return (
+        int(total) if isinstance(total, (int, float)) else None
+    ), sources
 
 
 def extract_search_es_msearch(
@@ -503,7 +530,7 @@ def extract_search_es_msearch(
     urls: list[str] = []
     for src in sources:
         ref = src.get(cfg.record_id_key)
-        if ref is None:
+        if not isinstance(ref, (str, int, float)) or isinstance(ref, bool):
             continue
         u = canonicalize_url(
             f"{cfg.record_url_base}{ref}", base_url, cfg.drop_params
@@ -653,9 +680,17 @@ def _graphql_entities(data: dict) -> tuple[int | None, list[dict]]:
         nq = data["data"]["nodeQuery"]
     except (KeyError, TypeError):
         return None, []
+    if not isinstance(nq, dict):
+        return None, []
     total = nq.get("count")
-    entities = [e for e in nq.get("entities", []) if isinstance(e, dict)]
-    return (int(total) if total is not None else None), entities
+    raw_ents = nq.get("entities")
+    entities = [
+        e for e in (raw_ents if isinstance(raw_ents, list) else [])
+        if isinstance(e, dict)
+    ]
+    return (
+        int(total) if isinstance(total, (int, float)) else None
+    ), entities
 
 
 def extract_search_graphql(
@@ -671,8 +706,9 @@ def extract_search_graphql(
     total, entities = _graphql_entities(data)
     urls: list[str] = []
     for ent in entities:
+        path = ent.get("absolutePath")
         u = canonicalize_url(
-            ent.get("absolutePath"), base_url, cfg.drop_params
+            path if isinstance(path, str) else None, base_url, cfg.drop_params
         )
         if u:
             urls.append(u)

@@ -103,3 +103,62 @@ def test_sitegen_golden_text_matches_parser():
         assert rec["text"] == row.text, row.url
         n_checked += 1
     assert n_checked > 30
+
+
+def test_extractors_never_raise_on_junk():
+    """Extraction runs inside the fetch hot path — one raising row would
+    fail a whole Arrow batch/round. Every body format must degrade to an
+    empty record on arbitrary junk, never raise."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crawler_spark.operators.extract import (
+        ConnectorConfig,
+        extract_detail,
+        extract_search,
+    )
+
+    formats = ["html", "json", "es_msearch", "graphql"]
+
+    @given(st.binary(max_size=200), st.sampled_from(formats))
+    @settings(max_examples=200, deadline=None)
+    def run(junk, fmt):
+        cfg = ConnectorConfig(connector_id="fz", body_format=fmt)
+        total, urls = extract_search(junk, "http://h.io/s?page=1", cfg)
+        assert total is None or isinstance(total, int)
+        assert isinstance(urls, list)
+        rec = extract_detail(junk, "http://h.io/r/1", cfg)
+        assert isinstance(rec["fields"], list)
+        assert isinstance(rec["text"], str)
+
+    run()
+
+
+def test_extractors_never_raise_on_jsonish():
+    """Valid JSON of the WRONG shape (arrays, scalars, nulls in odd
+    places) must also degrade gracefully in the typed paths."""
+    import json as _json
+
+    from crawler_spark.operators.extract import (
+        ConnectorConfig,
+        extract_detail,
+        extract_search,
+    )
+
+    shapes = [
+        "[]", "1", "null", '"str"', "{}",
+        '{"responses": []}', '{"responses": [{}]}',
+        '{"responses": [{"hits": null}]}',
+        '{"responses": [{"hits": {"hits": [null, {"_source": null}]}}]}',
+        '{"data": null}', '{"data": {"nodeQuery": null}}',
+        '{"data": {"nodeQuery": {"entities": [null, 1, "x"]}}}',
+        '{"records": null}', '{"fields": null, "images": null}',
+        '{"fields": [{"label": null, "value": {}}], "related": [null]}',
+        '{"title": 7, "fieldVisuels": [null, {"entity": null}]}',
+    ]
+    for fmt in ("json", "es_msearch", "graphql"):
+        cfg = ConnectorConfig(connector_id="fz", body_format=fmt)
+        for s in shapes:
+            extract_search(s, "http://h.io/s?page=1", cfg)
+            rec = extract_detail(s, "http://h.io/r/1", cfg)
+            assert isinstance(rec["text"], str)
