@@ -805,6 +805,20 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_ngram_jaccard_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-block decomposition of blocked n-gram Jaccard: per-(block,
+    gram-shard) partial intersections summed exactly — same output as
+    `dedup_ngram_jaccard` (same oracle), different physical plan (the one
+    a hot blocking key needs at scale)."""
+    from crawler_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, block_cols=["source"], threshold=0.62, n=3,
+        id_col="doc_id", text_col="text", gram_shards=8,
+    )
+
+
 def _dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing ≥5 distinct 8-gram
     shingles with a (broadcast) benchmark set — every 25th doc, re-keyed,
@@ -1117,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprints": _dedup_fingerprints,
         "dedup_exact_groups": _dedup_exact_groups,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_ngram_jaccard_sharded": _dedup_ngram_jaccard_sharded,
         "dedup_decontaminate": _dedup_decontaminate,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
@@ -1159,7 +1174,7 @@ def oracle_sql() -> dict[str, str]:
         "generate_series(1, greatest(len({t}) - 7, 0)), i -> substr({t}, i, 8)))"
     )
     norm_t = "trim(regexp_replace(lower(t.text), '\\s+', ' ', 'g'))"
-    return {
+    out = {
         "w1_perhost_budget_pop": """
             SELECT c_nationkey, c_custkey, c_acctbal, rn FROM (
               SELECT c_nationkey, c_custkey, c_acctbal,
@@ -1663,3 +1678,6 @@ def oracle_sql() -> dict[str, str]:
               '/root/repo/tests/fixtures/crawl_e2e_webtext_golden.parquet')
         """,
     }
+    # identical semantics, different physical plan (hot-block sharding)
+    out["dedup_ngram_jaccard_sharded"] = out["dedup_ngram_jaccard"]
+    return out

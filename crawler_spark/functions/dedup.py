@@ -111,6 +111,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    gram_shards: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard within blocking buckets.
 
@@ -119,11 +120,23 @@ def ngram_jaccard_pairs(
     incidence matrix and gets every pairwise intersection from ONE integer
     matmul (``M @ M.T``) — O(docs²·grams) numpy ops instead of per-pair
     array_intersect calls (~20× faster at 250-doc blocks), and the shuffle
-    carries only (block, id, gram) triples. Blocks must stay bounded (the
-    blocking key IS the scale contract; a hot block would need sub-salting
-    upstream like hot hosts do).
+    carries only (block, id, gram) triples.
+
+    ``gram_shards``: HOT-BLOCK path. A block too large for one task is
+    decomposed EXACTLY by the identity
+    ``|A∩B| = Σ_s |A_s ∩ B_s|`` over a hash partition of the gram space:
+    each (block, gram_shard) group computes partial intersections, a
+    hash-aggregation sums them, and Jaccard is finished with per-doc gram
+    counts. Same output as the single-task path (pinned by test); per-task
+    memory drops from O(docs·grams) to O(docs·grams/shards), at the cost
+    of shuffling the candidate-pair partials — the standard trade when a
+    blocking key runs hot.
     """
     rows = gram_hash_rows(df, n, id_col, text_col, extra_cols=block_cols)
+    if gram_shards is not None:
+        return _sharded_jaccard(
+            df, rows, block_cols, threshold, id_col, gram_shards
+        )
     # output id type follows the input id column (string doc ids would
     # otherwise hit an Arrow cast failure against a hardcoded 'long')
     id_type = df.schema[id_col].dataType.simpleString()
@@ -155,6 +168,66 @@ def ngram_jaccard_pairs(
 
     return rows.groupBy(*block_cols).applyInPandas(
         _block, f"id_a {id_type}, id_b {id_type}, jaccard_sim double"
+    )
+
+
+def _sharded_jaccard(
+    df: DataFrame,
+    rows: DataFrame,
+    block_cols: list[str],
+    threshold: float,
+    id_col: str,
+    shards: int,
+) -> DataFrame:
+    """Exact hot-block decomposition of blocked Jaccard (see
+    ``ngram_jaccard_pairs``): per-(block, gram-shard) partial intersections
+    summed by a hash aggregation, finished with per-doc gram counts.
+    Requires threshold > 0 (zero-intersection pairs never materialize)."""
+    if threshold <= 0:
+        raise ValueError("sharded path requires threshold > 0")
+    id_type = df.schema[id_col].dataType.simpleString()
+    distinct = rows.dropDuplicates([*block_cols, "id", "gram"])
+    sizes = distinct.groupBy("id").agg(F.count("*").alias("n_grams"))
+    sharded = distinct.withColumn(
+        "__shard", F.pmod(F.col("gram"), F.lit(shards)).cast("int")
+    )
+
+    def _partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids_arr = pdf["id"].to_numpy()
+        grams_arr = pdf["gram"].to_numpy()
+        ids, id_inv = np.unique(ids_arr, return_inverse=True)
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "inter": []})
+        _, g_inv = np.unique(grams_arr, return_inverse=True)
+        M = np.zeros((len(ids), g_inv.max() + 1), dtype=np.int32)
+        M[id_inv, g_inv] = 1
+        inter = M @ M.T
+        iu = np.triu_indices(len(ids), k=1)
+        keep = inter[iu] > 0
+        a, b = ids[iu[0]][keep], ids[iu[1]][keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "inter": inter[iu][keep].astype("int64")}
+        )
+
+    partials = sharded.groupBy(*block_cols, "__shard").applyInPandas(
+        _partial, f"id_a {id_type}, id_b {id_type}, inter long"
+    )
+    summed = partials.groupBy("id_a", "id_b").agg(
+        F.sum("inter").alias("inter")
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
+    sim = F.round(
+        F.col("inter").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("inter")),
+        6,
+    )
+    return (
+        summed.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", sim.alias("jaccard_sim"))
+        .where(F.col("jaccard_sim") >= threshold)
     )
 
 

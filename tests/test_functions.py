@@ -246,3 +246,28 @@ def test_ivf_topk_exact_when_probing_all_cells(spark):
         1 for r in ivf_1 if exact.get((r["query_id"], r["rank"])) == r["neighbor_id"]
     ) / len(ivf_1)
     assert recall > 0.2  # approximate by design, not garbage
+
+
+def test_sharded_jaccard_equals_single_task(spark):
+    """Hot-block decomposition: the gram-sharded path must emit EXACTLY the
+    single-task blocked result (|A∩B| = Σ_s |A_s∩B_s| over a gram-space
+    partition)."""
+    from crawler_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = {
+        (r["id_a"], r["id_b"]): r["jaccard_sim"]
+        for r in ngram_jaccard_pairs(
+            docs, block_cols=["source"], threshold=0.3, n=3
+        ).collect()
+    }
+    for shards in (1, 7):
+        sharded = {
+            (r["id_a"], r["id_b"]): r["jaccard_sim"]
+            for r in ngram_jaccard_pairs(
+                docs, block_cols=["source"], threshold=0.3, n=3,
+                gram_shards=shards,
+            ).collect()
+        }
+        assert sharded == base, shards
+    assert len(base) > 0
