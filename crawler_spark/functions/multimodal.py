@@ -156,6 +156,65 @@ def decode_images(assets: DataFrame) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = (
+    "url string, content_type string, src_width int, src_height int, "
+    "out_width int, out_height int, thumb binary"
+)
+
+
+def resize_image_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas: (url, bytes, max_dim) → fit-within-box thumbnail rows.
+
+    REAL: container sniff, header-level source dimensions, and the
+    aspect-preserving fit arithmetic (scale = max_dim / max(w, h), never
+    upscale). FAKE (declared): the pixel resample — the thumb payload is a
+    deterministic hash of (bytes, out dims) until a real decoder is wired.
+    """
+    import hashlib
+
+    for pdf in it:
+        rows = {
+            "url": [], "content_type": [], "src_width": [], "src_height": [],
+            "out_width": [], "out_height": [], "thumb": [],
+        }
+        for url, data, max_dim in zip(pdf["url"], pdf["bytes"], pdf["max_dim"]):
+            ctype = sniff_content_type(data)
+            rows["url"].append(url)
+            rows["content_type"].append(ctype)
+            if ctype is None:
+                for k in ("src_width", "src_height", "out_width", "out_height",
+                          "thumb"):
+                    rows[k].append(None)
+                continue
+            w, h = image_dimensions(bytes(data))
+            rows["src_width"].append(w)
+            rows["src_height"].append(h)
+            if w is None or h is None or w <= 0 or h <= 0:
+                rows["out_width"].append(None)
+                rows["out_height"].append(None)
+                rows["thumb"].append(None)
+                continue
+            scale = min(1.0, int(max_dim) / max(w, h))  # never upscale
+            ow, oh = max(1, round(w * scale)), max(1, round(h * scale))
+            rows["out_width"].append(ow)
+            rows["out_height"].append(oh)
+            # FAKE resample payload (deterministic); a real decoder emits
+            # the re-encoded thumbnail here
+            rows["thumb"].append(
+                hashlib.md5(bytes(data) + f"{ow}x{oh}".encode()).digest()
+            )
+        yield pd.DataFrame(rows)
+
+
+def resize_images(assets: DataFrame, max_dim: int = 256) -> DataFrame:
+    """(url, bytes) → fit-within-``max_dim`` thumbnails (see
+    ``resize_image_batch``); hash-partitioned like ``decode_images``."""
+    inp = assets.select("url", "bytes", F.lit(max_dim).alias("max_dim"))
+    return inp.repartition(F.pmod(F.xxhash64("url"), F.lit(64))).mapInPandas(
+        resize_image_batch, RESIZE_SCHEMA
+    )
+
+
 FRAME_SCHEMA = "url string, frame_idx int, ts_ms long, frame binary"
 
 

@@ -271,3 +271,26 @@ def test_sharded_jaccard_equals_single_task(spark):
         }
         assert sharded == base, shards
     assert len(base) > 0
+
+
+def test_multimodal_resize(spark):
+    """Resize plumbing: real dims + aspect-preserving fit arithmetic,
+    declared-fake resample payload."""
+    from crawler_spark.functions.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [
+            ("big", bytearray(GIF_320x200)),     # 320x200 → 256x160
+            ("small", bytearray(PNG_64x32)),     # already fits → unchanged
+            ("junk", bytearray(b"nope")),
+        ],
+        "url string, bytes binary",
+    )
+    rows = {r["url"]: r for r in resize_images(df, max_dim=256).collect()}
+    big = rows["big"]
+    assert (big["src_width"], big["src_height"]) == (320, 200)
+    assert (big["out_width"], big["out_height"]) == (256, 160)
+    assert big["thumb"] is not None
+    small = rows["small"]
+    assert (small["out_width"], small["out_height"]) == (64, 32)  # no upscale
+    assert rows["junk"]["content_type"] is None and rows["junk"]["thumb"] is None
