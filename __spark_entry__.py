@@ -1045,6 +1045,42 @@ def _images_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Streaming-concept analog (SURVEY.md §2.9): tumbling window over events
 
 
+def _events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (the session-window analog of
+    streaming/stateful.py, §2.9): per event_type, a new session starts
+    after a >30-minute event-time gap; lag + running sum assigns session
+    ids, then one row per session. Partitioned by the session key — at
+    scale that key is a high-cardinality user/host column, so the window
+    parallelizes; the tiny type cardinality here is the test shape."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    # integer MICROSECONDS (exact on both engines — second-truncation or
+    # double rounding would flip splits near exactly-30-min gaps); only
+    # differences matter, so the fixed zone of the NTZ cast cancels
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(
+        gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = (
+        events.withColumn("__new", new_sess)
+        .withColumn(
+            "session_id",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).cast("long"),
+        )
+    )
+    return sess.groupBy("event_type", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+
+
 def _events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     return (
@@ -1143,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _text_token_stats,
         "text_bpe_tokens": _text_bpe_tokens,
         "text_quality": _text_quality,
+        "events_sessions": _events_sessions,
         "events_tumbling": _events_tumbling,
         "fields_lister_report": _fields_lister_report,
         "images_audit": _images_audit,
@@ -1662,6 +1699,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'stored_not_referenced',
                    'http://img.test/' || CAST(doc_id AS VARCHAR) || '.jpg'
             FROM documents WHERE doc_id % 3 = 0 AND doc_id % 4 = 0
+        """,
+        "events_sessions": """
+            WITH g AS (
+              SELECT event_type, event_id, ts, value,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT event_type, ts, value,
+                     CAST(sum(new_sess) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM g
+            )
+            SELECT event_type, session_id, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+            FROM s GROUP BY event_type, session_id
         """,
         "events_tumbling": """
             SELECT event_type, date_trunc('hour', ts) AS window_start,
