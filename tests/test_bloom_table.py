@@ -123,3 +123,50 @@ def test_compaction_invisible_to_readers(spark, tmp_path):
         r["url_hash"] for r in ck.load_all_deltas(spark, "seen_delta").collect()
     }
     assert got5 == set(range(60))
+
+
+def test_engine_resumes_with_missing_stale_blooms(spark, tmp_path):
+    """Crash between round commit and bloom write leaves a stale (or
+    deleted) bitset table. A stale bloom could answer 'definitely new' for
+    a committed hash — the engine must refuse it, fall back to the exact
+    anti-join for the round, rebuild, and keep full replay parity."""
+    import shutil
+
+    from crawler_spark.oracle.replay import replay
+    from crawler_spark.plans.rounds import CrawlEngine, EngineConfig
+    from crawler_spark.sources.sitegen import (
+        SiteSpec,
+        generate_site,
+        site_to_spark,
+    )
+
+    site = generate_site(SiteSpec(n_hosts=2, details_per_host=10, limit=5))
+    sdfs = site_to_spark(spark, site)
+    ck = str(tmp_path / "ck")
+    cfg_kill = EngineConfig(
+        ckpt_dir=ck, default_budget=6, use_bloom=True, bloom_partitions=4,
+        max_rounds=2,
+    )
+    CrawlEngine(
+        spark, sdfs["pages"], sdfs["seeds"], sdfs["politeness"], cfg_kill,
+        connectors=site["connectors"],
+    ).run()
+    # simulate the crash window: bitsets gone, commits intact
+    shutil.rmtree(f"{ck}/blooms", ignore_errors=True)
+
+    cfg = EngineConfig(
+        ckpt_dir=ck, default_budget=6, use_bloom=True, bloom_partitions=4
+    )
+    res = CrawlEngine(
+        spark, sdfs["pages"], sdfs["seeds"], sdfs["politeness"], cfg,
+        connectors=site["connectors"],
+    ).run()
+    pages = {r["url"]: r["html"] for _, r in site["pages"].iterrows()}
+    oracle = replay(pages, site["seeds"].to_dict("records"),
+                    site["connectors"])
+    got = {r["url"]: r["text"] for r in res.webtext.collect()}
+    assert got == oracle.webtext  # no double-crawl, no lost records
+    # and the table was rebuilt for the resumed rounds
+    from crawler_spark.operators.seen import BloomTable
+
+    assert BloomTable(f"{ck}/blooms", 4).latest_version() is not None
