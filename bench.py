@@ -45,7 +45,9 @@ N_URLS_SCALING = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_URLS", "6000000")
 # interleaving keeps a load burst from biasing one config. K=1 measured 0.67
 # on a busy box vs 0.98 idle for the identical build.
 SCALING_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_RUNS", "3"))
-PARTS = os.environ.get("SPARK_GRAFT_BENCH_PARTS", "scaling,headline,queries").split(",")
+PARTS = os.environ.get(
+    "SPARK_GRAFT_BENCH_PARTS", "scaling,headline,loop,queries"
+).split(",")
 
 HEADLINE = [
     "w1_perhost_budget_pop",
