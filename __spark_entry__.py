@@ -819,6 +819,16 @@ def _dedup_ngram_jaccard_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (rolling k-gram window minima, Schleimer et
+    al. 2003) — (doc_id, fp) rows, selection replayed exactly by DuckDB."""
+    from crawler_spark.functions.dedup import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    out = winnow_fingerprints(docs, k=5, w=4)
+    return out.select(F.col("id").alias("doc_id"), "fp")
+
+
 def _dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing ≥5 distinct 8-gram
     shingles with a (broadcast) benchmark set — every 25th doc, re-keyed,
@@ -1167,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprints": _dedup_fingerprints,
         "dedup_exact_groups": _dedup_exact_groups,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_winnow_fp": _dedup_winnow_fp,
         "dedup_ngram_jaccard_sharded": _dedup_ngram_jaccard_sharded,
         "dedup_decontaminate": _dedup_decontaminate,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
@@ -1467,6 +1478,28 @@ def oracle_sql() -> dict[str, str]:
             FROM g a JOIN g b ON a.source = b.source AND a.id < b.id
             WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.62
+        """,
+        "dedup_winnow_fp": f"""
+            WITH t AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+            h AS (
+              SELECT doc_id,
+                CASE WHEN len(nt) >= 5
+                  THEN list_transform(generate_series(1, len(nt) - 4),
+                                      i -> md5(substr(nt, i, 5)))
+                  ELSE [] END AS hs
+              FROM t
+            ),
+            s AS (
+              SELECT doc_id,
+                CASE WHEN len(hs) = 0 THEN []
+                     WHEN len(hs) < 4 THEN [list_min(hs)]
+                     ELSE list_distinct(list_transform(
+                            generate_series(1, len(hs) - 3),
+                            j -> list_min(hs[j:j+3])))
+                END AS sel
+              FROM h
+            )
+            SELECT doc_id, unnest(sel) AS fp FROM s
         """,
         "dedup_decontaminate": f"""
             WITH c AS (

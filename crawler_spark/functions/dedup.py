@@ -384,6 +384,49 @@ def simhash64_from_hashes_udf():
     return _simhash
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003): hash every positional k-gram, keep the minimum of each
+    length-``w`` sliding window, dedupe the selections. Guarantees any
+    match of length ≥ k+w-1 shares a fingerprint — the rolling-hash
+    fingerprint family, vs the whole-document md5 in ``fingerprint_md5``.
+
+    Hashes are md5 hex strings: fixed-length lowercase hex makes
+    lexicographic MIN ≡ numeric min, so both engines (and the DuckDB
+    oracle) replay the selection identically. Pure JVM expressions.
+    Returns (id, fp) rows.
+    """
+    t = normalized(F.col(text_col))
+    hashes = F.when(
+        F.length(t) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - (k - 1)),
+            lambda i: F.md5(F.substring(t, i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(F.col(id_col).alias("id"), hashes.alias("hs"))
+    m = F.size("hs")
+    sel = (
+        F.when(m == 0, F.array().cast("array<string>"))
+        .when(m < w, F.array(F.array_min("hs")))
+        .otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), m - (w - 1)),
+                    lambda j: F.array_min(F.slice("hs", j, F.lit(w))),
+                )
+            )
+        )
+    )
+    return base.select("id", F.explode(sel).alias("fp"))
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -294,3 +294,24 @@ def test_multimodal_resize(spark):
     small = rows["small"]
     assert (small["out_width"], small["out_height"]) == (64, 32)  # no upscale
     assert rows["junk"]["content_type"] is None and rows["junk"]["thumb"] is None
+
+
+def test_winnow_fingerprint_guarantee(spark):
+    """Winnowing property (Schleimer et al. 2003): two docs sharing a
+    substring of length >= k + w - 1 share at least one fingerprint; docs
+    with no common k-grams share none."""
+    from crawler_spark.functions.dedup import winnow_fingerprints
+
+    shared = "the silk road caravan crossed the desert at dawn"
+    rows = [
+        (1, "prologue text then " + shared + " and an epilogue"),
+        (2, shared + " entirely different continuation afterwards"),
+        (3, "zzzz qqqq wwww completely disjoint vocabulary here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = {}
+    for r in winnow_fingerprints(df, k=5, w=4).collect():
+        fps.setdefault(r["id"], set()).add(r["fp"])
+    assert fps[1] & fps[2]  # shared substring → shared fingerprint
+    assert not (fps[1] & fps[3])
+    assert all(len(v) > 0 for v in fps.values())
