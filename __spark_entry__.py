@@ -906,14 +906,22 @@ def _sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (coarse k-means cells + nprobe search);
-    nprobe==n_cells degenerates to exact brute force — pinned in
-    tests/test_functions.py. Approximate → rows-only driver check."""
+    """IVF top-k (coarse k-means cells + nprobe search) run at its
+    correctness anchor nprobe == n_cells: the full machinery executes —
+    Lloyd iterations, cell assignment, probe routing, in-cell scoring —
+    and the result PROVABLY equals exact brute force (cell boundaries
+    can't drop a candidate when every cell is probed), so the driver gets
+    a complete value-hash oracle. The approximate nprobe < n_cells
+    configuration keeps its recall pins in tests/test_functions.py."""
     from crawler_spark.functions.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(
-        emb, k=3, n_cells=8, nprobe=2, query_filter=F.col("vec_id") < 50
+    out = ivf_topk(
+        emb, k=3, n_cells=8, nprobe=8, query_filter=F.col("vec_id") < 50
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim",
+        F.col("rank").cast("long").alias("rank"),
     )
 
 
@@ -1604,6 +1612,28 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 0.0 END, 6) AS cos_sim
                    FROM e a JOIN e b
                      ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+                 ranked AS (
+                   SELECT query_id, neighbor_id, cos_sim,
+                          CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+                   FROM scored)
+            SELECT query_id, neighbor_id, cos_sim, rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "sim_ivf_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 50),
+                 c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+                 scored AS (
+                   SELECT query_id, neighbor_id,
+                          round(CASE WHEN sqrt(list_reduce(list_transform(qv, x -> CAST(x*x AS DOUBLE)), (s, v) -> s + v))
+                                        * sqrt(list_reduce(list_transform(cv, x -> CAST(x*x AS DOUBLE)), (s, v) -> s + v)) > 0
+                            THEN list_reduce(list_transform(list_zip(qv, cv),
+                                          p -> CAST(p[1]*p[2] AS DOUBLE)), (s, v) -> s + v)
+                                 / (sqrt(list_reduce(list_transform(qv, x -> CAST(x*x AS DOUBLE)), (s, v) -> s + v))
+                                    * sqrt(list_reduce(list_transform(cv, x -> CAST(x*x AS DOUBLE)), (s, v) -> s + v)))
+                            ELSE 0.0 END, 6) AS cos_sim
+                   FROM q JOIN c ON query_id <> neighbor_id),
                  ranked AS (
                    SELECT query_id, neighbor_id, cos_sim,
                           CAST(row_number() OVER (PARTITION BY query_id
