@@ -4,9 +4,12 @@ Every entry in ``queries()`` exercises one operator family from
 ``SURVEY.md §2`` (the ✦-marked inventory) through the *engine's own
 modules* (``crawler_spark.*``), over the driver-generated synthetic
 tables at ``sf_dir``. ``oracle_sql()`` holds the DuckDB-equivalent ANSI
-SQL; keys without an oracle are genuinely non-SQL-expressible
-(MinHash/SimHash banding, LSH bucketing, the iterative crawl loop) and
-get the driver's rows-only check.
+SQL for EVERY key (52/52): hash-dependent pipelines run md5 variants both
+engines compute identically (MinHash/SimHash), approximate searches run
+at deterministic or provably-exact anchors (coordinate-sign LSH; IVF at
+nprobe == n_cells), and the iterative crawl loop is checked against a
+golden parquet materialized from the independent pure-Python replay
+oracle.
 
 Float-parity policy: multi-row SUMs go through DECIMAL (exact) and are
 cast to DOUBLE only at the end; per-row float expressions evaluate the
