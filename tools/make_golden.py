@@ -24,7 +24,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from crawler_spark.oracle.replay import replay
-from crawler_spark.sources.sitegen import SiteSpec, generate_site
+from crawler_spark.sources.sitegen import generate_site
 
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -33,13 +33,11 @@ OUT = os.path.join(
 
 
 def main() -> None:
-    # MUST mirror __spark_entry__._crawl_e2e_webtext's SiteSpec exactly
-    site = generate_site(
-        SiteSpec(
-            n_hosts=5, details_per_host=12, limit=6, related_per_host=3,
-            msearch_hosts=(3,), graphql_hosts=(4,),
-        )
-    )
+    # the ONE shared spec — imported from the driver contract so the golden
+    # can never drift from the query it oracles
+    from __spark_entry__ import _e2e_sitespec
+
+    site = generate_site(_e2e_sitespec())
     pages_pd = site["pages"]
     pages = {r["url"]: r["html"] for _, r in pages_pd.iterrows()}
     meta = {
