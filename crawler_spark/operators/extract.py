@@ -191,6 +191,31 @@ class ConnectorConfig:
         "{{ nodeQuery(filter: {{conditions: []}}, "
         "offset: {offset}, limit: {limit}) {{ count entities }} }}"
     )
+    # ---- live-mode request shape (the reference's biggest connectors POST:
+    # joconde.js:44-51 NDJSON _msearch, paris-musees.js:65-80 GraphQL,
+    # ceres-mcu.js:111-118 form-encoded page fields, mtmad.js:80-93 JSON
+    # pagination). The frontier URL stays the canonical identity (paging
+    # params live in its query string for url_hash/seen semantics); at send
+    # time the templates move them into the request body:
+    #   method          — "GET" (default) or "POST"
+    #   content_type    — request Content-Type when a template fires
+    #   body_template   — str.format template for kind="search" rows; the
+    #                     placeholder namespace is the URL's query params
+    #                     (+ body_defaults, + {id} = last path segment);
+    #                     missing keys render as ''
+    #   detail_body_template — same, for record/related rows (paris-musees
+    #                     per-entity GraphQL POST; joconde single-hit
+    #                     _msearch) — None ⇒ details go as GET
+    #   strip_params    — query params removed from the SENT url (identity-
+    #                     only markers the real endpoint never sees)
+    #   body_defaults   — static placeholder values not carried in the URL
+    #                     (e.g. the page size the connector config fixes)
+    method: str = "GET"
+    content_type: str | None = None
+    body_template: str | None = None
+    detail_body_template: str | None = None
+    strip_params: tuple[str, ...] = ()
+    body_defaults: dict = field(default_factory=dict)
 
 
 SYNTH = ConnectorConfig(connector_id="synth")

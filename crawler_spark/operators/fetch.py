@@ -5,11 +5,13 @@ batch equi-joins the ``pages`` table on url. Catalyst picks broadcast vs
 sort-merge; at 100 TB the pages side is the big one, so the (much smaller)
 round batch broadcasts and the scan prunes to the joined keys.
 
-Live mode would replace the join with a host-grouped ``mapInPandas`` HTTP
-worker (keepAlive session per host, 60 s timeout, 10 retries with exponential
-backoff, 50 MB cap — base.js:38-56); the sandbox has no network, so that
-worker is a clearly-marked stub with the same signature. Retry/backoff is
-modelled batch-iteratively: failed URLs re-enqueue with ``attempts+1`` and are
+Live mode replaces the join with a host-grouped ``mapInPandas`` HTTP worker
+(stdlib urllib: keepAlive opener + cookie jar per host, 60 s timeout, 50 MB
+cap — base.js:38-56; tested against a localhost server in
+tests/test_live_fetch.py). POST connectors — _msearch NDJSON, GraphQL,
+form-encoded, JSON pagination — get their request body from per-connector
+templates via ``build_request``. Retry/backoff is modelled
+batch-iteratively: failed URLs re-enqueue with ``attempts+1`` and are
 dropped after ``max_attempts`` (the watermark analog, §2.9).
 """
 
@@ -96,11 +98,58 @@ def split_retries(
     return ok, retry, dead
 
 
+class _SafeDict(dict):
+    """format_map namespace where unknown placeholders render as ''."""
+
+    def __missing__(self, key):  # pragma: no cover - trivial
+        return ""
+
+
+def build_request(url: str, kind: str, cfg) -> tuple[str, bytes | None, dict]:
+    """(send_url, data, extra_headers) for one frontier row.
+
+    GET connectors (or no config) pass through untouched. POST connectors
+    (joconde.js:44-51 _msearch NDJSON, paris-musees.js:65-80 GraphQL,
+    ceres-mcu.js:111-118 form fields, mtmad.js:80-93 JSON) fill the
+    kind-appropriate body template from the frontier URL's query params
+    (plus ``body_defaults`` and ``{id}`` = last path segment), then strip
+    the identity-only params from the sent URL."""
+    if cfg is None or cfg.method == "GET":
+        return url, None, {}
+    tpl = (
+        cfg.body_template
+        if kind == "search"
+        else cfg.detail_body_template
+    )
+    if tpl is None:
+        return url, None, {}
+    from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
+
+    sp = urlsplit(url)
+    params = dict(parse_qsl(sp.query))
+    ns = _SafeDict(cfg.body_defaults)
+    ns.update(params)
+    ns["id"] = sp.path.rsplit("/", 1)[-1]
+    data = tpl.format_map(ns).encode("utf-8")
+    if cfg.strip_params:
+        kept = [
+            (k, v)
+            for k, v in parse_qsl(sp.query)
+            if k not in cfg.strip_params
+        ]
+        sp = sp._replace(query=urlencode(kept))
+    headers = (
+        {"Content-Type": cfg.content_type} if cfg.content_type else {}
+    )
+    return urlunsplit(sp), data, headers
+
+
 def live_fetch(
     batch: DataFrame,
     timeout_s: float = 60.0,
     max_bytes: int = 50 * 1024 * 1024,
     user_agent: str = "crawler-spark/0.1",
+    connectors: dict | None = None,
 ) -> DataFrame:
     """Live HTTP fetch stage (J2 live mode) — real, stdlib-only.
 
@@ -115,6 +164,11 @@ def live_fetch(
     ``split_retries`` round-by-round (the batch-iterative analog of
     axios-retry's in-process backoff, SURVEY.md §2.9). Statuses: HTTP code,
     ``-1`` network/timeout error, ``413`` body-over-cap.
+
+    ``connectors`` (connector_id → ConnectorConfig) enables POST
+    connectors: each row's request is shaped by ``build_request`` — method,
+    body template, Content-Type, identity-param stripping. The dict is a
+    handful of configs; it ships inside the task closure.
     """
     delay_col = (
         F.col("crawl_delay_ms")
@@ -159,8 +213,18 @@ def live_fetch(
                         _time.sleep(wait)
                 body, status = None, -1
                 try:
+                    cfg = (
+                        connectors.get(getattr(row, "connector_id", None))
+                        if connectors
+                        else None
+                    )
+                    send_url, data, extra = build_request(
+                        row.url, getattr(row, "kind", "record"), cfg
+                    )
                     req = urllib.request.Request(
-                        row.url, headers={"User-Agent": user_agent}
+                        send_url,
+                        data=data,
+                        headers={"User-Agent": user_agent, **extra},
                     )
                     with opener_for(host).open(req, timeout=timeout_s) as r:
                         body = r.read(max_bytes + 1)

@@ -291,7 +291,9 @@ class CrawlEngine:
                         )
                     )
                 fetched = live_fetch(
-                    batch_in, timeout_s=cfg.fetch_timeout_s
+                    batch_in,
+                    timeout_s=cfg.fetch_timeout_s,
+                    connectors=self.connectors,
                 ).persist()
                 ok, retry, dead = split_retries(
                     fetched, cfg.max_attempts, live_retryable()

@@ -391,9 +391,42 @@ def generate_site(spec: SiteSpec):
                     ),
                 }
             )
+            # live-mode request shape: both kinds POST (joconde.js:44-51
+            # NDJSON _msearch; paris-musees.js:65-80 GraphQL JSON). The
+            # frontier URL keeps offset= for identity; the template moves it
+            # into the body and strip_params removes it from the sent URL.
+            if is_msearch:
+                live_req = dict(
+                    method="POST",
+                    content_type="application/x-ndjson",
+                    body_template=(
+                        '{{"index":"collection"}}\n'
+                        '{{"from":{offset},"size":{limit},'
+                        '"query":{{"match_all":{{}}}}}}\n'
+                    ),
+                    detail_body_template=(
+                        '{{"index":"collection"}}\n'
+                        '{{"query":{{"term":{{"REF":"{id}"}}}}}}\n'
+                    ),
+                    strip_params=("offset",),
+                    body_defaults={"limit": spec.limit},
+                )
+            else:
+                live_req = dict(
+                    method="POST",
+                    content_type="application/json",
+                    body_template=(
+                        '{{"query":"nodeQuery(offset: {offset}, '
+                        'limit: {limit})"}}'
+                    ),
+                    detail_body_template='{{"query":"entityById({id})"}}',
+                    strip_params=("offset",),
+                    body_defaults={"limit": spec.limit},
+                )
             connectors[f"c{h}"] = ConnectorConfig(
                 connector_id=f"c{h}",
                 body_format="es_msearch" if is_msearch else "graphql",
+                **live_req,
             )
             pol_rows.append(
                 {

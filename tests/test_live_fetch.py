@@ -158,3 +158,137 @@ def test_live_mode_no_salt_one_worker_per_host(spark):
         .collect()
     )
     assert any(r["n_parts"] > 1 for r in sparts)
+
+
+# ---------------------------------------------------------------------------
+# POST connectors (joconde _msearch NDJSON / paris-musees GraphQL /
+# ceres-mcu form fields): request templates + a full live POST crawl
+
+
+def test_build_request_shapes():
+    from crawler_spark.operators.extract import ConnectorConfig
+    from crawler_spark.operators.fetch import build_request
+
+    # no config / GET config: passthrough
+    assert build_request("http://h/x?a=1", "search", None) == (
+        "http://h/x?a=1", None, {},
+    )
+    cfg = ConnectorConfig(
+        connector_id="c",
+        method="POST",
+        content_type="application/x-www-form-urlencoded",
+        body_template="q=silk&page={page}&limit={limit}",
+        detail_body_template="ref={id}",
+        strip_params=("page",),
+        body_defaults={"limit": 24},
+    )
+    # search row: URL param fills {page}, default fills {limit},
+    # identity param stripped from the sent URL (ceres-mcu.js:111-118)
+    url, data, hdrs = build_request("http://h/search?page=3", "search", cfg)
+    assert url == "http://h/search"
+    assert data == b"q=silk&page=3&limit=24"
+    assert hdrs == {"Content-Type": "application/x-www-form-urlencoded"}
+    # detail row: {id} = last path segment (joconde.js:44-51 term query)
+    url, data, _ = build_request("http://h/notice/7.1.2", "record", cfg)
+    assert (url, data) == ("http://h/notice/7.1.2", b"ref=7.1.2")
+    # POST connector without a detail template: details stay GET
+    cfg2 = ConnectorConfig(
+        connector_id="c", method="POST", body_template="x={page}"
+    )
+    assert build_request("http://h/notice/1", "record", cfg2) == (
+        "http://h/notice/1", None, {},
+    )
+
+
+@pytest.fixture(scope="module")
+def post_site():
+    return generate_site(
+        SiteSpec(
+            n_hosts=1, details_per_host=8, limit=4, related_per_host=2,
+            msearch_hosts=(0,),
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def post_server(post_site):
+    """An _msearch-style endpoint: every page is served over POST only —
+    /search resolves the page from the NDJSON body's "from", details from
+    the path. GET returns 405 so any GET regression fails loudly."""
+    import re
+
+    by_key = {}
+    for r in post_site["pages"].itertuples():
+        by_key[r.url.split("example.test", 1)[1]] = bytes(r.html)
+    requests_seen = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n).decode("utf-8")
+            requests_seen.append(
+                (self.path, self.headers.get("Content-Type"), body)
+            )
+            if self.path == "/search":
+                m = re.search(r'"from":(\d+)', body)
+                key = f"/search?offset={m.group(1)}" if m else None
+            else:
+                key = self.path
+            page = by_key.get(key)
+            if page is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(page)
+
+        def do_GET(self):
+            self.send_response(405)  # POST-only endpoint
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", requests_seen
+    srv.shutdown()
+
+
+def test_live_post_crawl_parity(spark, post_site, post_server, tmp_path):
+    """Full live CrawlEngine over a POST-only _msearch host: byte parity vs
+    the sequential replay oracle, and the wire really carried NDJSON POST
+    bodies with the connector's Content-Type."""
+    base, requests_seen = post_server
+    local = _localized(post_site, base)
+    sdfs = site_to_spark(spark, local)
+    cfg = EngineConfig(
+        ckpt_dir=str(tmp_path / "ck"), default_budget=8,
+        fetch_mode="live", fetch_timeout_s=10,
+    )
+    res = CrawlEngine(
+        spark, None, sdfs["seeds"], sdfs["politeness"], cfg,
+        connectors=post_site["connectors"],
+    ).run()
+
+    pages = {
+        r.url.replace("http://h0.example.test", base): r.html
+        for r in post_site["pages"].itertuples()
+    }
+    oracle = replay(
+        pages, local["seeds"].to_dict("records"), post_site["connectors"]
+    )
+    got = {r["url"]: r["text"] for r in res.webtext.collect()}
+    assert got == oracle.webtext and len(got) > 0
+
+    # the wire saw POST NDJSON: search bodies carry "from", detail bodies a
+    # REF term, and every request the connector's content type
+    assert requests_seen
+    assert all(ct == "application/x-ndjson" for _, ct, _ in requests_seen)
+    search_bodies = [b for p, _, b in requests_seen if p == "/search"]
+    assert search_bodies and all('"from":' in b for b in search_bodies)
+    detail_bodies = [b for p, _, b in requests_seen if p != "/search"]
+    assert detail_bodies and all('"term":{"REF":"' in b for b in detail_bodies)
