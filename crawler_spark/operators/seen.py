@@ -419,6 +419,47 @@ class BloomTable:
         ]
         return max(vs) if vs else None
 
+    META = "_bloom_meta.json"
+
+    def _write_meta(self, version: int) -> None:
+        import json
+        import os
+
+        meta = {"n_partitions": self.n_partitions, "fpp": self.fpp}
+        tmp = os.path.join(self._vdir(version), self.META + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, os.path.join(self._vdir(version), self.META))
+
+    def meta(self, version: int) -> dict | None:
+        import json
+        import os
+
+        p = os.path.join(self._vdir(version), self.META)
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
+
+    def compatible(self, version: int | None) -> bool:
+        """A version is trustworthy only if it was built under THIS config.
+
+        Bitsets are keyed ``pid = url_hash % n_partitions``; resuming with a
+        different partition count would route candidates to the wrong bitset
+        row and report committed hashes 'definitely new' — the unsafe
+        direction. A missing meta (pre-meta table, or crash between parquet
+        commit and meta write) or any field mismatch ⇒ treat like a stale
+        version: the caller falls back to the exact anti-join and triggers a
+        full rebuild."""
+        if version is None:
+            return False
+        m = self.meta(version)
+        return (
+            m is not None
+            and m.get("n_partitions") == self.n_partitions
+            and m.get("fpp") == self.fpp
+        )
+
     def load(self, spark: SparkSession, version: int) -> DataFrame:
         return spark.read.parquet(self._vdir(version))
 
@@ -457,6 +498,7 @@ class BloomTable:
             .write.mode("overwrite")
             .parquet(self._vdir(version))
         )
+        self._write_meta(version)
         self._prune(version - 1)
 
     def update(
@@ -505,6 +547,7 @@ class BloomTable:
             .write.mode("overwrite")
             .parquet(self._vdir(version))
         )
+        self._write_meta(version)
         self._prune(version - 1)
 
     # -- query ---------------------------------------------------------------

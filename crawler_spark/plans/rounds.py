@@ -566,12 +566,17 @@ class CrawlEngine:
                 self.bloom_table.latest_version() if cfg.use_bloom else None
             )
             # a bitset is only trusted when it covers EVERY committed round
-            # (version == last commit): a stale bloom could answer
-            # "definitely new" for a committed hash — the unsafe direction
+            # (version == last commit) AND was built under THIS config
+            # (persisted n_partitions/fpp meta): a stale bloom — or one whose
+            # pid routing differs from the current bloom_partitions — could
+            # answer "definitely new" for a committed hash, the unsafe
+            # direction. Either mismatch falls back to the exact anti-join
+            # for this round; the maintenance step below then full-rebuilds.
             bloom_ok = (
                 cfg.use_bloom
                 and last_committed is not None
                 and bloom_v == last_committed
+                and self.bloom_table.compatible(bloom_v)
             )
             round_caches: list = []
             if bloom_ok:
@@ -689,8 +694,13 @@ class CrawlEngine:
                     last_committed is None
                     or round_no % cfg.bloom_rebuild_every == 0
                     or self.bloom_table.latest_version() != last_committed
+                    or not self.bloom_table.compatible(
+                        self.bloom_table.latest_version()
+                    )
                 ):
-                    # periodic re-size / first build / stale-after-crash
+                    # periodic re-size / first build / stale-after-crash /
+                    # config-mismatch (resume with different bloom_partitions
+                    # must NOT incrementally OR into wrong-routed bitsets)
                     self.bloom_table.build(seen_df(), version=round_no)
                 else:
                     self.bloom_table.update(

@@ -170,3 +170,74 @@ def test_engine_resumes_with_missing_stale_blooms(spark, tmp_path):
     from crawler_spark.operators.seen import BloomTable
 
     assert BloomTable(f"{ck}/blooms", 4).latest_version() is not None
+
+
+def test_meta_persisted_and_config_mismatch_rejected(spark, tmp_path, seen_and_cands):
+    """Bitsets are keyed pid = url_hash % n_partitions, so a table is only
+    trustworthy under the config that built it. build/update persist
+    (n_partitions, fpp); any mismatch — or a missing meta — reads as
+    incompatible, the same treatment as a stale version."""
+    from crawler_spark.operators.seen import BloomTable
+
+    seen, _ = seen_and_cands
+    bt = BloomTable(str(tmp_path / "bm"), n_partitions=4, fpp=0.01)
+    bt.build(seen, version=0)
+    assert bt.meta(0) == {"n_partitions": 4, "fpp": 0.01}
+    assert bt.compatible(0)
+    bt.update(spark, from_version=0, delta=seen.limit(1), version=1)
+    assert bt.compatible(1)
+    # same dir opened under a different partition count → incompatible
+    assert not BloomTable(str(tmp_path / "bm"), n_partitions=8).compatible(1)
+    assert not BloomTable(
+        str(tmp_path / "bm"), n_partitions=4, fpp=0.001
+    ).compatible(1)
+    assert not bt.compatible(None)
+    # missing meta (pre-meta table / crash between parquet and meta write)
+    import os
+
+    os.remove(os.path.join(str(tmp_path / "bm"), "v1", BloomTable.META))
+    assert not bt.compatible(1)
+
+
+def test_engine_resume_with_different_bloom_partitions(spark, tmp_path):
+    """Resuming a crawl with a different bloom_partitions config must NOT
+    trust the old table (wrong pid routing would report committed hashes
+    'definitely new' → duplicate fetches): the engine falls back to the
+    exact anti-join, full-rebuilds under the new config, and keeps replay
+    parity."""
+    from crawler_spark.operators.seen import BloomTable
+    from crawler_spark.oracle.replay import replay
+    from crawler_spark.plans.rounds import CrawlEngine, EngineConfig
+    from crawler_spark.sources.sitegen import (
+        SiteSpec,
+        generate_site,
+        site_to_spark,
+    )
+
+    site = generate_site(SiteSpec(n_hosts=2, details_per_host=10, limit=5))
+    sdfs = site_to_spark(spark, site)
+    ck = str(tmp_path / "ck")
+    CrawlEngine(
+        spark, sdfs["pages"], sdfs["seeds"], sdfs["politeness"],
+        EngineConfig(ckpt_dir=ck, default_budget=6, use_bloom=True,
+                     bloom_partitions=4, max_rounds=2),
+        connectors=site["connectors"],
+    ).run()
+    assert BloomTable(f"{ck}/blooms", 4).meta(1)["n_partitions"] == 4
+
+    # resume under a DIFFERENT partition count
+    res = CrawlEngine(
+        spark, sdfs["pages"], sdfs["seeds"], sdfs["politeness"],
+        EngineConfig(ckpt_dir=ck, default_budget=6, use_bloom=True,
+                     bloom_partitions=7),
+        connectors=site["connectors"],
+    ).run()
+    pages = {r["url"]: r["html"] for _, r in site["pages"].iterrows()}
+    oracle = replay(pages, site["seeds"].to_dict("records"),
+                    site["connectors"])
+    got = {r["url"]: r["text"] for r in res.webtext.collect()}
+    assert got == oracle.webtext  # no duplicate fetches, no lost records
+    # table rebuilt under the NEW config
+    bt7 = BloomTable(f"{ck}/blooms", 7)
+    v = bt7.latest_version()
+    assert v is not None and bt7.meta(v)["n_partitions"] == 7
