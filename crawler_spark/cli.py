@@ -30,7 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fetch-mode", choices=["fixture", "live"], default="fixture",
                    help="fixture = join the pages table; live = real HTTP (urllib) with per-host crawl-delay")
     p.add_argument("--fetch-timeout", type=float, default=60.0)
-    p.add_argument("--seeds", required=True, help="parquet: connector seed rows")
+    p.add_argument("--seeds", default=None,
+                   help="parquet: connector seed rows (required unless "
+                        "--list-fields / --check-images)")
     p.add_argument("--politeness", default=None, help="parquet: host, crawl_delay_ms, budget_per_round, disallow")
     p.add_argument("--connectors", default=None, help="JSON file: connector_id -> ConnectorConfig fields")
     p.add_argument("--ckpt", required=True, help="checkpoint dir (resume point)")
@@ -52,6 +54,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--assets-source", default=None,
                    help="parquet (url, bytes): fetch record images from this "
                         "source into <out>/assets (gated by --no-files)")
+    # the reference's three user-facing modes (silknow-crawler.js:34-40,
+    # base.js:165)
+    p.add_argument("--force", action="store_true",
+                   help="ignore the URL-seen set and re-crawl everything "
+                        "(base.js:165)")
+    p.add_argument("--list-fields", action="store_true",
+                   help="no crawl: print the fields report (markdown) over "
+                        "the checkpointed records and exit "
+                        "(silknow-crawler.js:34-36, fields-lister.js)")
+    p.add_argument("--check-images", action="store_true",
+                   help="no crawl: audit referenced-vs-stored image urls for "
+                        "the checkpointed records, re-fetch errored assets "
+                        "from --assets-source, and exit "
+                        "(silknow-crawler.js:37-40, images-checker)")
     return p
 
 
@@ -72,6 +88,71 @@ def load_connectors(path: str | None):
     return out
 
 
+def _report_mode(spark, args) -> int:
+    """--list-fields / --check-images: the reference's no-crawl modes run
+    over the records already checkpointed under --ckpt
+    (silknow-crawler.js:34-40)."""
+    from crawler_spark.plans.checkpoint import Checkpointer
+
+    ckpt = Checkpointer(args.ckpt)
+    records = ckpt.load_all_deltas(spark, "records_delta")
+    if records is None:
+        raise SystemExit("no checkpointed records under --ckpt")
+
+    if args.list_fields:
+        from crawler_spark.plans.reports import (
+            fields_report,
+            fields_report_markdown,
+        )
+
+        print(fields_report_markdown(fields_report(records)))
+        return 0
+
+    # --check-images: both-direction audit + errored-asset recheck (J3)
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from crawler_spark.plans.reports import missing_images
+
+    assets_path = os.path.join(args.out, "assets")
+    have_assets = os.path.isdir(assets_path)
+    assets = (
+        spark.read.parquet(assets_path)
+        if have_assets
+        else spark.createDataFrame(
+            [], "url string, record_id string, img_idx int, "
+                "filename string, bytes binary, has_error boolean"
+        )
+    )
+    audit = missing_images(records, assets).groupBy("direction").count()
+    counts = {r["direction"]: r["count"] for r in audit.collect()}
+    errored_before = assets.where(F.col("has_error")).count()
+    errored_after = errored_before
+    if have_assets and args.assets_source and errored_before:
+        from crawler_spark.operators.assets import recheck_errored
+
+        source = spark.read.parquet(args.assets_source)
+        repaired = recheck_errored(assets, source)
+        tmp = assets_path + "__recheck"
+        repaired.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(assets_path)
+        os.replace(tmp, assets_path)
+        errored_after = (
+            spark.read.parquet(assets_path)
+            .where(F.col("has_error"))
+            .count()
+        )
+    print(json.dumps({
+        "referenced_not_stored": counts.get("referenced_not_stored", 0),
+        "stored_not_referenced": counts.get("stored_not_referenced", 0),
+        "errored_before": errored_before,
+        "errored_after": errored_after,
+    }))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -88,6 +169,14 @@ def main(argv: list[str] | None = None) -> int:
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
+    if args.list_fields or args.check_images:
+        rc = _report_mode(spark, args)
+        if owned:
+            spark.stop()
+        return rc
+
+    if not args.seeds:
+        raise SystemExit("--seeds is required to crawl")
     if args.fetch_mode == "fixture" and not args.pages:
         raise SystemExit("--pages is required in fixture mode")
     pages = spark.read.parquet(args.pages) if args.pages else None
@@ -102,6 +191,7 @@ def main(argv: list[str] | None = None) -> int:
         use_bloom=args.bloom,
         bloom_partitions=args.bloom_partitions,
         use_opic=args.opic,
+        force=args.force,
         fetch_mode=args.fetch_mode,
         fetch_timeout_s=args.fetch_timeout,
     )
@@ -109,7 +199,9 @@ def main(argv: list[str] | None = None) -> int:
         spark, pages, seeds, politeness, cfg,
         connectors=load_connectors(args.connectors),
     )
-    res = eng.run(resume=not args.no_resume)
+    # --force re-crawls from the seeds (the seen set is ignored by the
+    # engine; resuming an exhausted frontier would end immediately)
+    res = eng.run(resume=not (args.no_resume or args.force))
 
     outputs = [
         ("webtext", res.webtext),

@@ -78,3 +78,67 @@ def test_cli_no_records_no_files(spark, inputs, tmp_path, capsys):
     assert not os.path.isdir(f"{out}/records")
     assert not os.path.isdir(f"{out}/assets")
     assert os.path.isdir(f"{out}/webtext")
+
+
+def test_cli_force_recrawls(spark, inputs, tmp_path, capsys):
+    """--force (base.js:165): a second run over the same inputs re-crawls
+    everything instead of no-op'ing against the seen set."""
+    out1 = _run(inputs, tmp_path, [])
+    stats1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # plain re-run with the same ckpt: frontier exhausted → nothing fetched
+    _run(inputs, tmp_path, [])
+    stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sum(m["fetched_ok"] for m in stats2["metrics"]) == 0
+    # forced re-run: everything fetched again, same record set
+    _run(inputs, tmp_path, ["--force"])
+    stats3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats3["records"] == stats1["records"] > 0
+    assert sum(m["fetched_ok"] for m in stats3["metrics"]) > 0
+    assert out1  # same out dir rewritten
+
+
+def test_cli_list_fields(spark, inputs, tmp_path, capsys):
+    """--list-fields (silknow-crawler.js:34-36): no crawl — markdown fields
+    report over the checkpointed records."""
+    from crawler_spark.cli import main
+
+    _run(inputs, tmp_path, [])
+    capsys.readouterr()
+    rc = main([
+        "--ckpt", str(tmp_path / "ckpt"),
+        "--out", str(tmp_path / "out"),
+        "--list-fields",
+    ])
+    assert rc == 0
+    md = capsys.readouterr().out
+    assert md.startswith("| label | records | multi-value | sample |")
+    assert "| Material |" in md and "| Dimensions |" in md
+
+
+def test_cli_check_images(spark, inputs, tmp_path, capsys):
+    """--check-images (silknow-crawler.js:37-40): audit both directions and
+    re-fetch errored assets from the source."""
+    from crawler_spark.cli import main
+
+    _run(inputs, tmp_path, ["--assets-source", inputs["assets_src"]])
+    capsys.readouterr()
+    out = str(tmp_path / "out")
+    before = spark.read.parquet(f"{out}/assets")
+    n_before = before.count()
+    n_err = before.where(F.col("has_error")).count()
+    assert n_err > 0  # related-record images are absent from the source
+    rc = main([
+        "--ckpt", str(tmp_path / "ckpt"),
+        "--out", out,
+        "--assets-source", inputs["assets_src"],
+        "--check-images",
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["errored_before"] == n_err
+    # source still lacks those urls → counts unchanged, rows preserved
+    assert stats["errored_after"] == n_err
+    after = spark.read.parquet(f"{out}/assets")  # rewritten in place
+    assert after.count() == n_before
+    assert stats["referenced_not_stored"] >= 0
+    assert stats["stored_not_referenced"] >= 0
