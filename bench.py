@@ -131,7 +131,7 @@ def macro_round(spark: SparkSession, n: int) -> dict:
     from crawler_spark.functions.canonicalize import canonicalize_urls_udf
     from crawler_spark.operators.extract import LINKS_OUT_SCHEMA, extract_links_batch
     from crawler_spark.operators.politeness import salted_host_repartition
-    from crawler_spark.operators.seen import SeenSet
+    from crawler_spark.operators.seen import BloomTable
 
     pages, frontier = synth_corpus(spark, n)
     pages = pages.persist()
@@ -164,9 +164,13 @@ def macro_round(spark: SparkSession, n: int) -> dict:
             ).alias("url_hash")
         )
     )
-    ss = SeenSet(n_partitions=32)
-    ss.build_blooms(seen)
-    fresh = ss.filter_unseen(cand, seen).persist()
+    # the ONE seen-set API: executor-side BloomTable (build timed — the
+    # engine builds/updates it inside rounds too)
+    import tempfile
+
+    bt = BloomTable(tempfile.mkdtemp(prefix="bench_blooms_"), n_partitions=32)
+    bt.build(seen, version=0)
+    fresh = bt.filter_unseen(cand, seen, version=0).persist()
     # politeness: generous per-host budget, salt spreads the hot host
     batch = salted_host_repartition(
         fresh.select("url", "url_hash", "host",
@@ -281,8 +285,13 @@ def main() -> None:
 
     headline = {}
     if "headline" in PARTS:
+        # best-of-2 (min wall): box load only inflates wall time, so the
+        # minimum is the least-contended estimate — same protocol as the
+        # interleaved scaling section
         spark = _session(f"local[{CPUS}]", shuffle=2 * CPUS)
-        headline = macro_round(spark, N_URLS)
+        runs = [macro_round(spark, N_URLS) for _ in range(2)]
+        headline = min(runs, key=lambda r: r["seconds"])
+        headline["all_seconds"] = [r["seconds"] for r in runs]
         spark.stop()
 
     loop = {}

@@ -158,12 +158,14 @@ def ngram_jaccard_pairs(
             sim = np.where(
                 union[iu] > 0, inter[iu] / union[iu], 0.0
             )
-        sim = np.round(sim, 6)
+        # threshold the UNROUNDED ratio (same contract as the sharded path
+        # and the DuckDB oracles); round only the emitted column — rounding
+        # first would flip pairs sitting exactly on a 6-dp boundary
         keep = sim >= threshold
         a, b = ids[iu[0]][keep], ids[iu[1]][keep]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame(
-            {"id_a": lo, "id_b": hi, "jaccard_sim": sim[keep]}
+            {"id_a": lo, "id_b": hi, "jaccard_sim": np.round(sim[keep], 6)}
         )
 
     return rows.groupBy(*block_cols).applyInPandas(
@@ -218,16 +220,16 @@ def _sharded_jaccard(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
-    sim = F.round(
-        F.col("inter").cast("double")
-        / (F.col("na") + F.col("nb") - F.col("inter")),
-        6,
+    # threshold the UNROUNDED ratio (matches the unsharded path and the
+    # shared DuckDB oracle); round only the emitted column
+    raw = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
     )
     return (
         summed.join(sa, "id_a")
         .join(sb, "id_b")
-        .select("id_a", "id_b", sim.alias("jaccard_sim"))
-        .where(F.col("jaccard_sim") >= threshold)
+        .where(raw >= threshold)
+        .select("id_a", "id_b", F.round(raw, 6).alias("jaccard_sim"))
     )
 
 

@@ -41,16 +41,35 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
 
 
+BRUTE_FORCE_MAX_CORPUS = 1_000_000  # rows the corpus broadcast may hold
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allow_full_scan: bool = False,
 ) -> DataFrame:
-    """Exact cosine top-k per query. The corpus side should be the smaller
-    one (it broadcasts); at 100 TB you flip which side broadcasts or move to
-    the LSH path. Deterministic tiebreak: (sim desc, neighbor id asc)."""
+    """Exact cosine top-k per query — the documented EXACT BASELINE.
+
+    The whole corpus broadcasts and every query row scans it, so this is
+    O(|queries|·|corpus|) and driver/executor memory is bounded by the
+    corpus broadcast: correct and fast for a bounded corpus, an OOM at 10⁹
+    vectors. Like ``embedding_neardup_pairs``'s block_col requirement, the
+    scale footgun is guarded: a corpus above ``BRUTE_FORCE_MAX_CORPUS`` rows
+    raises unless ``allow_full_scan=True`` — use ``lsh_topk`` / ``ivf_topk``
+    (the scale paths) instead. Deterministic tiebreak: (sim desc, id asc).
+    """
+    n_corpus = corpus.count()
+    if n_corpus > BRUTE_FORCE_MAX_CORPUS and not allow_full_scan:
+        raise ValueError(
+            f"brute_force_topk: corpus has {n_corpus} rows — broadcasting it"
+            f" past {BRUTE_FORCE_MAX_CORPUS} would OOM and the per-query"
+            " full scan is quadratic. Use lsh_topk/ivf_topk, or pass"
+            " allow_full_scan=True if you really mean it."
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )

@@ -593,6 +593,15 @@ def _fold_fields(
     return fields, by_label, lines
 
 
+def _num_str(v) -> str:
+    """JS ``String(value)`` semantics for JSON numbers (joconde.js:145-156):
+    integral floats print without the trailing '.0' (1.0 → '1'); Python's
+    repr would emit '1.0' and diverge from the reference's field text."""
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    return repr(v)
+
+
 def _scalar_pairs(record: dict, cfg: ConnectorConfig) -> list[tuple[str, list[str]]]:
     """Dict record → (label, values) pairs with reference key/type rules:
     scalars verbatim, arrays-of-scalars element-wise (joconde.js:145-156),
@@ -606,12 +615,12 @@ def _scalar_pairs(record: dict, cfg: ConnectorConfig) -> list[tuple[str, list[st
         if isinstance(value, bool) or value is None:
             continue
         if isinstance(value, (int, float)):
-            pairs.append((key, [repr(value)]))
+            pairs.append((key, [_num_str(value)]))
         elif isinstance(value, str):
             pairs.append((key, [value]))
         elif isinstance(value, list):
             vals = [
-                repr(v) if isinstance(v, (int, float)) and not isinstance(v, bool)
+                _num_str(v) if isinstance(v, (int, float)) and not isinstance(v, bool)
                 else v
                 for v in value
                 if isinstance(v, (str, int, float)) and not isinstance(v, bool)

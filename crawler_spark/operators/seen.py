@@ -190,184 +190,15 @@ class CuckooFilter:
 # Spark-side seen set
 
 
-class SeenSet:
-    """Exact seen table + partitioned Bloom sidecar.
-
-    ``filter_unseen`` is the J1 anti-join: Bloom pre-filter (broadcast bitsets,
-    numpy-vectorized over Arrow batches) routes "maybe seen" candidates — a
-    tiny fraction — to the exact left-anti join; "definitely new" candidates
-    skip the join entirely. On a 1000-executor cluster the Bloom rows are a
-    few hundred MB broadcast once per round, versus shuffling the 10^10-row
-    seen table every round.
-    """
-
-    def __init__(self, n_partitions: int = 16, fpp: float = 0.01):
-        self.n_partitions = n_partitions
-        self.fpp = fpp
-        self.blooms: dict[int, BloomFilter] = {}
-        # deletable subset (--force / images-checker re-crawls): Bloom can't
-        # delete, so deletions spill to a cuckoo filter (Fan et al. 2014);
-        # membership there overrides the Bloom's "maybe seen"
-        self.deleted: CuckooFilter | None = None
-        self._deleted_hashes: list[int] = []
-
-    def mark_deleted(self, hashes: np.ndarray) -> None:
-        """Record hashes whose 'seen' status is revoked (re-crawl).
-
-        The deletable subset is small by construction (flagged/forced URLs);
-        on cuckoo overflow the filter rebuilds doubled from the full list.
-        """
-        hashes = np.asarray(hashes, dtype=np.int64)
-        if len(hashes) == 0:
-            return
-        self._deleted_hashes.extend(int(h) for h in hashes)
-        n = len(self._deleted_hashes)
-        if self.deleted is None:
-            self.deleted = CuckooFilter(max(64, 2 * n))
-        todo = [int(h) for h in hashes]
-        while todo:
-            h = todo[0]
-            if self.deleted.add(h):
-                todo.pop(0)
-                continue
-            # overflow → rebuild doubled from the complete deleted list
-            self.deleted = CuckooFilter(self.deleted.n_buckets * 2)
-            todo = list(self._deleted_hashes)
-
-    # -- build / update ----------------------------------------------------
-    def build_blooms(self, seen: DataFrame, expected_per_part: int = 100_000) -> None:
-        """(Re)build per-partition blooms from the exact seen table.
-
-        Grouped Arrow aggregation: each ``url_hash % P`` bucket builds its
-        bitset on the executor that holds it; only the bitsets come back.
-        """
-        P = self.n_partitions
-        fpp = self.fpp
-
-        def _build(pdf: pd.DataFrame) -> pd.DataFrame:
-            pid = int(pdf["pid"].iloc[0])
-            bf = BloomFilter.sized_for(max(len(pdf), expected_per_part), fpp)
-            bf.add_many(pdf["url_hash"].to_numpy(dtype=np.int64))
-            return pd.DataFrame(
-                {
-                    "partition_id": [pid],
-                    "bits": [bf.to_bytes()],
-                    "n_bits": [bf.n_bits],
-                    "n_hashes": [bf.n_hashes],
-                    "n_items": [len(pdf)],
-                }
-            )
-
-        rows = (
-            seen.select("url_hash")
-            .withColumn("pid", F.pmod(F.col("url_hash"), F.lit(P)).cast("int"))
-            .groupBy("pid")
-            .applyInPandas(
-                _build,
-                "partition_id int, bits binary, n_bits long, n_hashes int, n_items long",
-            )
-            .collect()
-        )
-        self.blooms = {
-            r["partition_id"]: BloomFilter.from_bytes(
-                bytes(r["bits"]), r["n_bits"], r["n_hashes"]
-            )
-            for r in rows
-        }
-
-    def add_local(self, hashes: np.ndarray) -> None:
-        """Fold a (small) round delta into the driver-held blooms."""
-        if len(hashes) == 0:
-            return
-        hashes = np.asarray(hashes, dtype=np.int64)
-        pids = np.mod(hashes, self.n_partitions)
-        for pid in np.unique(pids):
-            bf = self.blooms.get(int(pid))
-            if bf is None:
-                bf = BloomFilter.sized_for(100_000, self.fpp)
-                self.blooms[int(pid)] = bf
-            bf.add_many(hashes[pids == pid])
-
-    # -- query ---------------------------------------------------------------
-    def filter_unseen(
-        self,
-        candidates: DataFrame,
-        seen: DataFrame,
-        hash_col: str = "url_hash",
-        cache_registry: list | None = None,
-    ) -> DataFrame:
-        """Rows of ``candidates`` whose hash is NOT in the seen set (exact)."""
-        spark = candidates.sparkSession
-        if not self.blooms:
-            # no sidecar yet → plain exact anti-join (small-scale path)
-            return candidates.join(
-                seen.select(F.col("url_hash").alias("__seen_h")),
-                F.col(hash_col) == F.col("__seen_h"),
-                "left_anti",
-            )
-
-        payload = {
-            pid: (bf.to_bytes(), bf.n_bits, bf.n_hashes)
-            for pid, bf in self.blooms.items()
-        }
-        cuckoo_payload = (
-            (self.deleted.to_bytes(), self.deleted.n_buckets)
-            if self.deleted is not None
-            else None
-        )
-        bc = spark.sparkContext.broadcast((payload, cuckoo_payload))
-        P = self.n_partitions
-
-        from pyspark.sql.functions import pandas_udf
-
-        @pandas_udf("boolean")
-        def _maybe_seen(h: pd.Series) -> pd.Series:
-            blooms_raw, cuckoo_raw = bc.value
-            filters = {
-                pid: BloomFilter.from_bytes(b, nb, nh)
-                for pid, (b, nb, nh) in blooms_raw.items()
-            }
-            arr = h.to_numpy(dtype=np.int64)
-            pids = np.mod(arr, P)
-            out = np.zeros(len(arr), dtype=bool)
-            for pid in np.unique(pids):
-                bf = filters.get(int(pid))
-                if bf is None:
-                    continue
-                m = pids == pid
-                out[m] = bf.maybe_contains(arr[m])
-            if cuckoo_raw is not None:
-                # deleted (revoked-seen) entries override the Bloom
-                cf = CuckooFilter.from_bytes(*cuckoo_raw)
-                out &= ~cf.contains_many(arr)
-            return pd.Series(out)
-
-        # persist: the fresh/suspect split reads this twice — without it the
-        # pandas flag UDF runs over every candidate twice
-        flagged = candidates.withColumn(
-            "__maybe", _maybe_seen(F.col(hash_col))
-        ).persist()
-        if cache_registry is not None:
-            cache_registry.append(flagged)
-        fresh = flagged.where(~F.col("__maybe")).drop("__maybe")
-        suspect = flagged.where(F.col("__maybe")).drop("__maybe")
-        # exact confirm on the (tiny) suspect set — parity guarantee
-        confirmed_new = suspect.join(
-            seen.select(F.col("url_hash").alias("__seen_h")),
-            F.col(hash_col) == F.col("__seen_h"),
-            "left_anti",
-        )
-        return fresh.unionByName(confirmed_new)
-
-
 class BloomTable:
-    """Executor-side Bloom sidecar: bitsets live in a parquet TABLE, not in
+    """THE URL-seen sidecar: bitsets live in a parquet TABLE, not in
     driver memory.
 
-    The driver-dict path (``SeenSet``) collects every round's hashes to the
-    driver and re-broadcasts all bitsets as a pickled dict each round — at
-    10^10 URLs (1024 partitions × ~100 MB bitsets) that serializes on the
-    driver. Here the full lifecycle is distributed:
+    (A driver-dict variant that collected hashes to the driver and
+    re-broadcast pickled bitsets each round was retired — at 10^10 URLs,
+    1024 partitions × ~100 MB bitsets serialize on the driver. Below the
+    Bloom threshold the engine just uses the exact anti-join.) The full
+    lifecycle is distributed:
 
     * **build**: grouped ``applyInPandas`` over the seen table — each
       ``url_hash % P`` bucket builds its bitset on the executor holding it
@@ -399,6 +230,35 @@ class BloomTable:
         self.n_partitions = n_partitions
         self.fpp = fpp
         self.expected_per_part = expected_per_part
+        # deletable subset (--force / images-checker re-crawls, J3): Bloom
+        # can't delete, so revocations spill to a cuckoo filter (Fan et al.
+        # 2014) whose membership overrides "maybe seen". Driver-held but
+        # tiny by construction (only explicitly revoked URLs); ships to the
+        # query via broadcast in filter_unseen.
+        self.deleted: CuckooFilter | None = None
+        self._deleted_hashes: list[int] = []
+
+    def mark_deleted(self, hashes: np.ndarray) -> None:
+        """Record hashes whose 'seen' status is revoked (re-crawl).
+
+        On cuckoo overflow the filter rebuilds doubled from the full list.
+        """
+        hashes = np.asarray(hashes, dtype=np.int64)
+        if len(hashes) == 0:
+            return
+        self._deleted_hashes.extend(int(h) for h in hashes)
+        n = len(self._deleted_hashes)
+        if self.deleted is None:
+            self.deleted = CuckooFilter(max(64, 2 * n))
+        todo = [int(h) for h in hashes]
+        while todo:
+            h = todo[0]
+            if self.deleted.add(h):
+                todo.pop(0)
+                continue
+            # overflow → rebuild doubled from the complete deleted list
+            self.deleted = CuckooFilter(self.deleted.n_buckets * 2)
+            todo = list(self._deleted_hashes)
 
     # -- version bookkeeping ------------------------------------------------
     def _vdir(self, version: int) -> str:
@@ -551,6 +411,13 @@ class BloomTable:
         self._prune(version - 1)
 
     # -- query ---------------------------------------------------------------
+    # total bitset bytes up to which the flag stage broadcasts the bitsets
+    # (map-side, no candidate shuffle) instead of cogroup-routing candidates
+    # to the executors holding their pid's bitset. Spark broadcasts of this
+    # order are routine; past it, shipping each bitset once per pid group
+    # beats duplicating all bitsets to every executor.
+    BROADCAST_MAX_BYTES = 64 * 1024 * 1024
+
     def filter_unseen(
         self,
         candidates: DataFrame,
@@ -559,16 +426,67 @@ class BloomTable:
         deleted: "CuckooFilter | None" = None,
         hash_col: str = "url_hash",
         cache_registry: list | None = None,
+        strategy: str = "auto",
     ) -> DataFrame:
         """J1 with the table-backed Bloom pre-filter (exact confirm after).
+
+        Physical strategy is picked like Catalyst picks broadcast joins:
+        ``auto`` broadcasts the bitsets when their total size (known from
+        the table's n_bits column — a metadata aggregate, no bitset bytes
+        move) fits ``BROADCAST_MAX_BYTES``, flagging candidates map-side
+        with ZERO candidate shuffle; bigger tables switch to cogroup
+        routing, where each bitset ships once per pid group instead of once
+        per executor. Both strategies return identical rows (parity-tested).
 
         The internal flagged frame is persisted (consumed by both the fresh
         and suspect branches); pass ``cache_registry`` to receive it so the
         caller can unpersist once the round's outputs are materialized —
         otherwise 10^4 rounds would each leave a candidate-set-sized block
-        in the cache."""
+        in the cache. ``deleted`` defaults to this table's own revocation
+        cuckoo (``mark_deleted``)."""
         spark = candidates.sparkSession
+        if deleted is None:
+            deleted = self.deleted
         bloom_df = self.load(spark, version)
+        cuckoo_payload = (
+            (deleted.to_bytes(), deleted.n_buckets)
+            if deleted is not None
+            else None
+        )
+
+        if strategy == "auto":
+            total_bits = bloom_df.agg(F.sum("n_bits")).first()[0] or 0
+            strategy = (
+                "broadcast"
+                if total_bits // 8 <= self.BROADCAST_MAX_BYTES
+                else "cogroup"
+            )
+
+        if strategy == "broadcast":
+            flagged = self._flag_broadcast(
+                spark, candidates, bloom_df, cuckoo_payload, hash_col
+            ).persist()
+        elif strategy == "cogroup":
+            flagged = self._flag_cogroup(
+                spark, candidates, bloom_df, cuckoo_payload, hash_col
+            ).persist()
+        else:
+            raise ValueError(f"unknown strategy {strategy!r}")
+        if cache_registry is not None:
+            cache_registry.append(flagged)
+        fresh = flagged.where(~F.col("__maybe")).drop("__maybe")
+        suspect = flagged.where(F.col("__maybe")).drop("__maybe")
+        confirmed_new = suspect.join(
+            seen.select(F.col("url_hash").alias("__seen_h")),
+            F.col(hash_col) == F.col("__seen_h"),
+            "left_anti",
+        )
+        return fresh.unionByName(confirmed_new)
+
+    def _flag_cogroup(
+        self, spark, candidates, bloom_df, cuckoo_payload, hash_col
+    ) -> DataFrame:
+        """Route candidates to their pid's bitset (big-table strategy)."""
         cand = candidates.withColumn(
             "__pid",
             F.pmod(F.col(hash_col), F.lit(self.n_partitions)).cast("int"),
@@ -577,11 +495,6 @@ class BloomTable:
             f"`{f.name}` {f.dataType.simpleString()}"
             for f in cand.schema.fields
         ) + ", __maybe boolean"
-        cuckoo_payload = (
-            (deleted.to_bytes(), deleted.n_buckets)
-            if deleted is not None
-            else None
-        )
         bc = spark.sparkContext.broadcast(cuckoo_payload)
 
         def _flag(key, cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame):
@@ -602,25 +515,48 @@ class BloomTable:
                 maybe &= ~cf.contains_many(arr)
             return cand_pdf.assign(__maybe=maybe)
 
-        flagged = (
+        return (
             cand.groupBy("__pid")
             .cogroup(bloom_df.groupBy("partition_id"))
             .applyInPandas(_flag, out_schema)
             .drop("__pid")
-            # the fresh/suspect split consumes this twice — without a
-            # persist the whole cogroup+flag stage would EXECUTE twice
-            .persist()
         )
-        if cache_registry is not None:
-            cache_registry.append(flagged)
-        fresh = flagged.where(~F.col("__maybe")).drop("__maybe")
-        suspect = flagged.where(F.col("__maybe")).drop("__maybe")
-        confirmed_new = suspect.join(
-            seen.select(F.col("url_hash").alias("__seen_h")),
-            F.col(hash_col) == F.col("__seen_h"),
-            "left_anti",
-        )
-        return fresh.unionByName(confirmed_new)
+
+    def _flag_broadcast(
+        self, spark, candidates, bloom_df, cuckoo_payload, hash_col
+    ) -> DataFrame:
+        """Broadcast the (bounded) bitsets; flag map-side — no candidate
+        shuffle. The collect here is gated by BROADCAST_MAX_BYTES."""
+        from pyspark.sql.functions import pandas_udf
+
+        payload = {
+            int(r["partition_id"]): (
+                bytes(r["bits"]), int(r["n_bits"]), int(r["n_hashes"])
+            )
+            for r in bloom_df.collect()
+        }
+        bc = spark.sparkContext.broadcast((payload, cuckoo_payload))
+        P = self.n_partitions
+
+        @pandas_udf("boolean")
+        def _maybe_seen(h: pd.Series) -> pd.Series:
+            blooms_raw, cuckoo_raw = bc.value
+            arr = h.to_numpy(dtype=np.int64)
+            pids = np.mod(arr, P)
+            out = np.zeros(len(arr), dtype=bool)
+            for pid in np.unique(pids):
+                raw = blooms_raw.get(int(pid))
+                if raw is None:
+                    continue
+                bf = BloomFilter.from_bytes(*raw)
+                m = pids == pid
+                out[m] = bf.maybe_contains(arr[m])
+            if cuckoo_raw is not None:
+                cf = CuckooFilter.from_bytes(*cuckoo_raw)
+                out &= ~cf.contains_many(arr)
+            return pd.Series(out)
+
+        return candidates.withColumn("__maybe", _maybe_seen(F.col(hash_col)))
 
 
 def exact_antijoin_unseen(

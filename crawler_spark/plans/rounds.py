@@ -59,7 +59,7 @@ from crawler_spark.operators.politeness import (
     pop_batch,
     salted_host_repartition,
 )
-from crawler_spark.operators.seen import BloomTable, SeenSet
+from crawler_spark.operators.seen import BloomTable
 from crawler_spark.plans.checkpoint import Checkpointer
 
 
@@ -118,9 +118,6 @@ class CrawlEngine:
         # encoding); shipped inside the extractor task closures
         self.connectors = connectors
         self.ckpt = Checkpointer(self.cfg.ckpt_dir)
-        # cuckoo holder for revoked-seen (forced recrawl) hashes — tiny,
-        # driver-held; bitsets themselves live in the executor-side table
-        self.seen_filter = SeenSet(self.cfg.bloom_partitions)
         import os as _os
 
         self.bloom_table = BloomTable(
@@ -186,7 +183,8 @@ class CrawlEngine:
             )
             frontier = add_candidates(frontier, rows)
             recrawl_hashes = rows.select("url_hash").persist()
-            self.seen_filter.mark_deleted(
+            # revoked-seen hashes go to the table's cuckoo override
+            self.bloom_table.mark_deleted(
                 np.array(
                     [r["url_hash"] for r in recrawl_hashes.collect()],
                     dtype=np.int64,
@@ -586,7 +584,6 @@ class CrawlEngine:
                 # anti-join (broadcast at scale: |ok| ≤ sum of host budgets).
                 fresh = self.bloom_table.filter_unseen(
                     cands, seen, version=bloom_v,
-                    deleted=self.seen_filter.deleted,
                     cache_registry=round_caches,
                 )
                 fresh = fresh.join(
@@ -676,7 +673,7 @@ class CrawlEngine:
                 # back from the just-committed seen_delta parquet — the loop
                 # never collects round hashes to the driver
                 if (
-                    self.seen_filter.deleted is not None
+                    self.bloom_table.deleted is not None
                     and recrawl_hashes is not None
                 ):
                     # a re-fetched recrawl URL is seen again: drop its
@@ -689,7 +686,7 @@ class CrawlEngine:
                         "left_semi",
                     ).collect()
                     for r in refetched:
-                        self.seen_filter.deleted.delete(int(r["url_hash"]))
+                        self.bloom_table.deleted.delete(int(r["url_hash"]))
                 if (
                     last_committed is None
                     or round_no % cfg.bloom_rebuild_every == 0

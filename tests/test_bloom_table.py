@@ -62,21 +62,20 @@ def test_cuckoo_override_readmits_revoked(spark, tmp_path, seen_and_cands):
     """A revoked-seen (forced recrawl) hash passes the Bloom as new."""
     import numpy as np
 
-    from crawler_spark.operators.seen import BloomTable, SeenSet
+    from crawler_spark.operators.seen import BloomTable
 
     seen, cands = seen_and_cands
     bt = BloomTable(str(tmp_path / "blooms3"), n_partitions=8)
     bt.build(seen, version=0)
     revoked = [r["url_hash"] for r in seen.limit(5).collect()]
-    ss = SeenSet()
-    ss.mark_deleted(np.array(revoked, dtype=np.int64))
+    bt.mark_deleted(np.array(revoked, dtype=np.int64))
     # revoke from the exact table too (the engine anti-joins old deltas)
     seen_minus = seen.join(
         spark.createDataFrame([(h,) for h in revoked], "h long"),
         seen["url_hash"] == F.col("h"),
         "left_anti",
     )
-    got = bt.filter_unseen(cands, seen_minus, version=0, deleted=ss.deleted)
+    got = bt.filter_unseen(cands, seen_minus, version=0)  # own cuckoo
     got_hashes = {r["url_hash"] for r in got.collect()}
     assert set(revoked) <= got_hashes
 

@@ -162,3 +162,18 @@ def test_extractors_never_raise_on_jsonish():
             extract_search(s, "http://h.io/s?page=1", cfg)
             rec = extract_detail(s, "http://h.io/r/1", cfg)
             assert isinstance(rec["text"], str)
+
+
+def test_scalar_pairs_js_number_semantics():
+    """JSON numbers stringify like JS String(value): 1.0 → '1' (integral
+    floats drop the trailing .0), non-integral floats keep their digits —
+    joconde.js:145-156 folds _source numbers into field text this way."""
+    from crawler_spark.operators.extract import SYNTH, _scalar_pairs
+
+    rec = {"a": 1.0, "b": 1.5, "c": 7, "d": ["x", 2.0, 2.25], "e": True}
+    got = dict(_scalar_pairs(rec, SYNTH))
+    assert got["a"] == ["1"]
+    assert got["b"] == ["1.5"]
+    assert got["c"] == ["7"]
+    assert got["d"] == ["x", "2", "2.25"]
+    assert "e" not in got  # booleans skipped

@@ -119,6 +119,30 @@ def test_brute_force_topk(spark, vecs):
     assert len(top) == 2 and top[0]["rank"] == 1
 
 
+def test_brute_force_topk_guards_huge_corpus(spark, vecs):
+    """The exact baseline refuses to broadcast an unbounded corpus — the
+    same footgun-guard as embedding_neardup_pairs' block_col requirement."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from crawler_spark.functions.similarity import (
+        BRUTE_FORCE_MAX_CORPUS,
+        brute_force_topk,
+    )
+
+    huge = spark.range(BRUTE_FORCE_MAX_CORPUS + 1).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(0.0)).alias("embedding"),
+    )
+    with _pytest.raises(ValueError, match="lsh_topk/ivf_topk"):
+        brute_force_topk(vecs, huge, k=2)
+    # the escape hatch stays available for deliberate full scans
+    out = brute_force_topk(
+        vecs.where("vec_id = 0"), vecs, k=2, allow_full_scan=True
+    )
+    assert out.count() == 2
+
+
 def test_lsh_topk_finds_obvious_neighbor(spark, vecs):
     from crawler_spark.functions.similarity import lsh_topk
 

@@ -4,7 +4,7 @@ import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from crawler_spark.operators.seen import BloomFilter, CuckooFilter, SeenSet
+from crawler_spark.operators.seen import BloomFilter, CuckooFilter
 
 
 @settings(max_examples=50, deadline=None)
@@ -48,9 +48,13 @@ def test_cuckoo_add_contains_delete():
     assert deleted_still <= 5  # only fingerprint collisions may linger
 
 
-def test_seenset_exact_parity(spark):
-    """Bloom pre-filter + exact confirm == plain anti-join, always."""
+def test_bloomtable_exact_parity(spark, tmp_path):
+    """Bloom pre-filter + exact confirm == plain anti-join, always.
+    (The ONE seen-set API: BloomTable; the driver-dict SeenSet was
+    retired — exact anti-join is the small-scale path.)"""
     from pyspark.sql import functions as F
+
+    from crawler_spark.operators.seen import BloomTable
 
     seen = spark.range(0, 5000).select(
         F.xxhash64(F.col("id").cast("string")).alias("url_hash")
@@ -59,9 +63,28 @@ def test_seenset_exact_parity(spark):
         F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
         F.col("id").alias("payload"),
     )
-    ss = SeenSet(n_partitions=8)
-    ss.build_blooms(seen)
+    bt = BloomTable(str(tmp_path / "blooms"), n_partitions=8)
+    bt.build(seen, version=0)
     got = sorted(
-        r["payload"] for r in ss.filter_unseen(cands, seen).collect()
+        r["payload"]
+        for r in bt.filter_unseen(cands, seen, version=0).collect()
     )
     assert got == list(range(5000, 7500))
+
+
+def test_bloomtable_mark_deleted_overflow_rebuild():
+    """mark_deleted survives cuckoo overflow by rebuilding doubled from the
+    complete revocation list (no hash may be lost — a lost revocation would
+    suppress a forced re-crawl)."""
+    import numpy as np
+
+    from crawler_spark.operators.seen import BloomTable
+
+    bt = BloomTable("/tmp/unused_bloomtable_dir", n_partitions=4)
+    rng = np.random.default_rng(3)
+    hashes = rng.integers(-(2**62), 2**62, 3000, dtype=np.int64)
+    bt.mark_deleted(hashes[:100])
+    first_size = bt.deleted.n_buckets
+    bt.mark_deleted(hashes[100:])  # forces ≥1 overflow rebuild
+    assert bt.deleted.n_buckets > first_size
+    assert bt.deleted.contains_many(hashes).all()
