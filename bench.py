@@ -170,7 +170,10 @@ def macro_round(spark: SparkSession, n: int) -> dict:
 
     bt = BloomTable(tempfile.mkdtemp(prefix="bench_blooms_"), n_partitions=32)
     bt.build(seen, version=0)
-    fresh = bt.filter_unseen(cand, seen, version=0).persist()
+    caches: list = []  # own filter_unseen's internal persist (ADVICE r2)
+    fresh = bt.filter_unseen(
+        cand, seen, version=0, cache_registry=caches
+    ).persist()
     # politeness: generous per-host budget, salt spreads the hot host
     batch = salted_host_repartition(
         fresh.select("url", "url_hash", "host",
@@ -189,6 +192,8 @@ def macro_round(spark: SparkSession, n: int) -> dict:
     pages.unpersist()
     cand.unpersist()
     fresh.unpersist()
+    for df in caches:
+        df.unpersist()
     return {"seconds": round(dt, 2), "urls": urls, "links": n_links,
             "urls_per_sec": round(urls / dt, 1)}
 
@@ -243,6 +248,52 @@ def run_queries(spark: SparkSession) -> dict:
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         out[name] = round(time.time() - t0, 2)
+    return out
+
+
+def bloom_probe(
+    spark: SparkSession, n: int = 100_000_000, parts=(256, 1024)
+) -> dict:
+    """BloomTable at realistic partition counts over ≥10^8 hashes
+    (VERDICT r2 #6): build / incremental update / query wall times and
+    per-bucket bitset memory. Opt-in part ("bloomprobe") — results recorded
+    in BENCH.md, not rerun per driver round."""
+    import tempfile
+
+    from crawler_spark.operators.seen import BloomTable
+
+    seen = spark.range(0, n, 2).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+    delta = spark.range(1, n, 10).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+    cands = spark.range(n, n + 10_000_000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+    out = {}
+    for P in parts:
+        bt = BloomTable.sized_for(tempfile.mkdtemp(prefix=f"probe{P}_"), n // 2)
+        bt.n_partitions = P
+        bt.expected_per_part = (n // 2) // P + (n // 10) // P
+        t0 = time.time()
+        bt.build(seen, version=0)
+        t_build = time.time() - t0
+        t0 = time.time()
+        bt.update(spark, from_version=0, delta=delta, version=1)
+        t_update = time.time() - t0
+        t0 = time.time()
+        n_new = bt.filter_unseen(cands, seen.unionByName(delta), version=1).count()
+        t_query = time.time() - t0
+        row = bt.load(spark, 1).select(F.max("n_bits").alias("b")).first()
+        out[f"p{P}"] = {
+            "n_hashes": n // 2 + n // 10,
+            "build_s": round(t_build, 1),
+            "update_s": round(t_update, 1),
+            "query_10m_s": round(t_query, 1),
+            "bucket_mb": round(int(row["b"]) / 8 / 1e6, 2),
+            "new_found": n_new,
+        }
     return out
 
 
@@ -305,6 +356,13 @@ def main() -> None:
         spark = _session(f"local[{CPUS}]", shuffle=32)
         queries = run_queries(spark)
         spark.stop()
+
+    probe = {}
+    if "bloomprobe" in PARTS:  # opt-in: ~10^8-hash BloomTable probe
+        spark = _session(f"local[{CPUS}]", shuffle=2 * CPUS)
+        probe = bloom_probe(spark)
+        spark.stop()
+        print(json.dumps({"bloom_probe": probe}))
 
     value = (
         headline.get("urls_per_sec")

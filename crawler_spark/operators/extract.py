@@ -146,6 +146,42 @@ def select(root: Node, selector: str) -> list[Node]:
 
 
 @dataclass(frozen=True)
+class SecondaryFetch:
+    """One typed secondary-fetch hop (gallica.js:83-148).
+
+    Gallica enriches each detail record with up to two EXTRA page fetches
+    whose fields merge into the PARENT record under a ``<kind>.`` prefix:
+    the *notice* URL comes from a parent field value
+    (``getFieldByLabel('Notice du catalogue')``, gallica.js:83-89) and the
+    *book* URL from a link on the notice page itself
+    (``#appartientA a``, gallica.js:116-121) — a typed chain, each hop's
+    page pointing at the next hop's URL. ``ConnectorConfig.
+    secondary_fetches`` is that chain, in order.
+
+    * ``kind`` — field prefix (``notice``, ``book``); the hop also records
+      ``<kind>.url`` itself (gallica.js:85, 120).
+    * ``from_field`` — parent field whose first value is this hop's URL
+      (first hop only).
+    * ``link_selector`` — selector on the PREVIOUS hop's page whose first
+      match's href (resolved against that page) is this hop's URL
+      (chained hops).
+    * ``row_selector``/``label_selector`` — per-row field shape on the
+      secondary page: label element, value = the label's next ``span``
+      sibling; links inside the span each contribute their text as a
+      value, excluding ``.pictos`` decorations (gallica.js:92-103).
+    * ``image_selector`` — first match's src becomes an extra record image
+      unless it starts with the parent record URL (gallica.js:104-114).
+    """
+
+    kind: str
+    from_field: str | None = None
+    link_selector: str | None = None
+    row_selector: str = "div.notice"
+    label_selector: str = "span.notice-label"
+    image_selector: str = "img.grand"
+
+
+@dataclass(frozen=True)
 class ConnectorConfig:
     connector_id: str
     # search page
@@ -216,6 +252,10 @@ class ConnectorConfig:
     detail_body_template: str | None = None
     strip_params: tuple[str, ...] = ()
     body_defaults: dict = field(default_factory=dict)
+    # Gallica-style typed secondary-fetch chain (gallica.js:83-148): extra
+    # per-record fetches whose fields merge into the parent record under a
+    # `<kind>.` prefix — see SecondaryFetch above
+    secondary_fetches: tuple[SecondaryFetch, ...] = ()
 
 
 SYNTH = ConnectorConfig(connector_id="synth")
@@ -326,7 +366,8 @@ def extract_detail_json(
             if isinstance(v, bool) or v is None:
                 continue  # P1 (booleans are flags, never field values — §1.2)
             if isinstance(v, (int, float)):
-                v = repr(v)  # number copied verbatim (vam.js:74-76)
+                # JS String(value) semantics (vam.js:74-76): 1.0 → '1'
+                v = _num_str(v)
             elif not isinstance(v, str):
                 continue  # P3: drop objects/arrays-of-objects
             v = v.strip()
@@ -484,6 +525,142 @@ def extract_detail(
         "keep": keep,
         "raw": None,
     }
+
+
+# ---------------------------------------------------------------------------
+# Gallica-style typed secondary fetches (gallica.js:83-148).
+
+
+def extract_secondary(
+    body: bytes | str,
+    page_url: str,
+    sf: SecondaryFetch,
+    cfg: ConnectorConfig,
+    parent_url: str,
+    next_sf: SecondaryFetch | None = None,
+) -> dict:
+    """One secondary page → prefixed (label, value) pairs, optional image,
+    and the next hop's URL (via ``next_sf.link_selector`` on THIS page —
+    gallica.js:116-121 finds the book link on the notice page)."""
+    root = parse_html(body, cfg.encoding)
+    fields: list[tuple[str, str]] = []
+    for row in select(root, sf.row_selector):
+        labs = select(row, sf.label_selector)
+        if not labs:
+            continue
+        lab = labs[0]
+        # $(label).next('span') — the next element sibling that is a span
+        sibs = (
+            [c for c in lab.parent.children if isinstance(c, Node)]
+            if lab.parent is not None
+            else []
+        )
+        idx = next((i for i, s in enumerate(sibs) if s is lab), None)
+        span = (
+            next((s for s in sibs[idx + 1:] if s.tag == "span"), None)
+            if idx is not None
+            else None
+        )
+        if span is None:
+            continue
+        label = lab.text().strip()
+        links = [
+            a
+            for a in select(span, "a")
+            if "pictos" not in (a.attrs.get("class") or "").split()
+        ]
+        # links in the span → one value per link text; else the span text
+        # (gallica.js:95-103)
+        values = (
+            [a.text().strip() for a in links]
+            if links
+            else [span.text().strip()]
+        )
+        for v in values:
+            if label and v:
+                fields.append((f"{sf.kind}.{label}", v))
+
+    images: list[dict] = []
+    img_nodes = select(root, sf.image_selector)
+    if img_nodes:
+        src = canonicalize_url(
+            img_nodes[0].attr("src"), page_url, cfg.drop_params
+        )
+        # skip when it's the record's own image (gallica.js:108-114)
+        if src and not src.startswith(parent_url):
+            images.append(_image(src))
+
+    next_url: str | None = None
+    if next_sf is not None and next_sf.link_selector:
+        a = select(root, next_sf.link_selector)
+        if a:
+            next_url = canonicalize_url(
+                a[0].attr("href"), page_url, cfg.drop_params
+            )
+    return {"fields": fields, "images": images, "next_url": next_url}
+
+
+def run_secondary_chain(rec: dict, parent_url: str, fetch, cfg: ConnectorConfig) -> list[dict]:
+    """Drive the whole chain sequentially (the replay-oracle / single-record
+    path; the engine runs the same hops as per-round distributed fetch
+    joins). ``fetch(url) -> bytes | None``. Returns hop dicts in chain
+    order: {kind, url, fields, images}."""
+    sfs = cfg.secondary_fetches
+    if not sfs or sfs[0].from_field is None:
+        return []
+    by = {l: v for l, v in rec["fields"]}
+    vals = by.get(sfs[0].from_field)
+    url = vals[0] if vals else None
+    out: list[dict] = []
+    for i, sf in enumerate(sfs):
+        if not url:
+            break
+        hop = {"kind": sf.kind, "url": url, "fields": [], "images": []}
+        out.append(hop)
+        body = fetch(url)
+        if body is None:  # <kind>.url still recorded (added pre-fetch,
+            break  # gallica.js:85-89)
+        next_sf = sfs[i + 1] if i + 1 < len(sfs) else None
+        parsed = extract_secondary(body, url, sf, cfg, parent_url, next_sf)
+        hop["fields"] = parsed["fields"]
+        hop["images"] = parsed["images"]
+        url = parsed["next_url"]
+    return out
+
+
+def merge_secondaries(rec: dict, chain: list[dict]) -> dict:
+    """Fold a secondary chain into the parent record with the reference's
+    addField/addImage semantics: ``<kind>.url`` first (gallica.js:85,120),
+    then the hop's fields, repeated labels appending (record.js:22-37),
+    empties skipped (record.js:14-21), image URLs deduped
+    (record.js:47-50); ``text`` gains one ``label\\tvalue`` line per added
+    value. Shared by the replay oracle and the engine's merge stage — the
+    two sides cannot drift."""
+    if not chain:
+        return rec
+    fields = rec["fields"]
+    by = {l: v for l, v in fields}
+    lines = [rec["text"]]  # existing text block (title + field lines)
+    img_seen = {im["url"] for im in rec["images"]}
+    for hop in chain:
+        for label, value in [(f"{hop['kind']}.url", hop["url"])] + list(
+            hop["fields"]
+        ):
+            if not label or not value:
+                continue
+            lines.append(f"{label}\t{value}")
+            if label in by:
+                by[label].append(value)
+            else:
+                vals = [value]
+                by[label] = vals
+                fields.append((label, vals))
+        for im in hop["images"]:
+            if im["url"] not in img_seen:
+                img_seen.add(im["url"])
+                rec["images"].append(im)
+    rec["text"] = "\n".join(lines)
+    return rec
 
 
 # ---------------------------------------------------------------------------

@@ -116,6 +116,10 @@ def build_request(url: str, kind: str, cfg) -> tuple[str, bytes | None, dict]:
     the identity-only params from the sent URL."""
     if cfg is None or cfg.method == "GET":
         return url, None, {}
+    if kind == "secondary":
+        # typed secondary fetches are always plain GETs (gallica.js:89,123
+        # axios.get), even on connectors whose records POST
+        return url, None, {}
     tpl = (
         cfg.body_template
         if kind == "search"

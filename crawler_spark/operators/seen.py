@@ -238,6 +238,45 @@ class BloomTable:
         self.deleted: CuckooFilter | None = None
         self._deleted_hashes: list[int] = []
 
+    # hashes per bucket the auto-sizer aims for: a 4M-item bitset at 1% fpp
+    # is ~4.6 MB — small enough to ship per pid group / broadcast in bulk,
+    # big enough that 10^10 URLs need only ~2½k buckets
+    TARGET_PER_PART = 4_000_000
+
+    @classmethod
+    def sized_for(
+        cls, root: str, n_seen: int, fpp: float = 0.01,
+        target_per_part: int | None = None,
+    ) -> "BloomTable":
+        """Size the table from the seen count instead of constants:
+        power-of-two partitions targeting ``TARGET_PER_PART`` hashes per
+        bucket (clamped to [16, 8192]), with 1.25× headroom in each
+        bucket's expected size so incremental updates between the periodic
+        full rebuilds don't blow the fpp."""
+        tpp = target_per_part or cls.TARGET_PER_PART
+        raw = max(1.0, n_seen / tpp)
+        P = 1 << math.ceil(math.log2(raw))
+        P = max(16, min(8192, P))
+        expected = max(1024, math.ceil(n_seen / P * 1.25))
+        return cls(root, n_partitions=P, fpp=fpp, expected_per_part=expected)
+
+    @classmethod
+    def adopt(cls, root: str, fpp: float = 0.01) -> "BloomTable":
+        """Open an existing table under ITS persisted partition count (so a
+        resume doesn't invalidate a healthy table just because the caller
+        didn't repeat the config); falls back to defaults when no committed
+        version exists yet."""
+        t = cls(root, fpp=fpp)
+        v = t.latest_version()
+        if v is not None:
+            m = t.meta(v)
+            if m is not None:
+                return cls(
+                    root, n_partitions=int(m["n_partitions"]),
+                    fpp=float(m["fpp"]),
+                )
+        return t
+
     def mark_deleted(self, hashes: np.ndarray) -> None:
         """Record hashes whose 'seen' status is revoked (re-crawl).
 

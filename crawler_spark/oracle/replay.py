@@ -31,6 +31,8 @@ from crawler_spark.operators.extract import (
     ConnectorConfig,
     extract_detail,
     extract_search,
+    merge_secondaries,
+    run_secondary_chain,
 )
 
 
@@ -97,6 +99,18 @@ def replay(
             return  # fetch error: log-and-continue (per-record try/catch)
         rec = extract_detail(body, url, cfg_for(connector_id))
         res.url_seen.add(url)
+        ccfg = cfg_for(connector_id)
+        if ccfg.secondary_fetches:
+            # typed secondary fetches enrich the record before any write
+            # (gallica.js:83-148: notice → book chain, fields merged under
+            # a `<kind>.` prefix)
+            def _fetch(u: str) -> bytes | None:
+                res.fetches.append(u)
+                return pages.get(u)
+
+            merge_secondaries(
+                rec, run_secondary_chain(rec, url, _fetch, ccfg)
+            )
         related = rec["related"] if (not is_related and policy != "none") else []
 
         def write_parent(rank: int) -> None:

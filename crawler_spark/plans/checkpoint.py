@@ -49,6 +49,15 @@ class Checkpointer:
         rounds = self.committed_rounds()
         return rounds[-1] if rounds else None
 
+    def sum_metric(self, name: str) -> int:
+        """Sum a per-round metric over all committed manifests — manifest
+        reads only, no Spark job (used to size/enable the Bloom sidecar)."""
+        total = 0
+        for r in self.committed_rounds():
+            with open(os.path.join(self.round_dir(r), self.MANIFEST)) as fh:
+                total += int(json.load(fh).get("metrics", {}).get(name, 0) or 0)
+        return total
+
     def cleanup_partial(self) -> None:
         """Remove round dirs that never committed (kill mid-round)."""
         latest = self.latest_round()

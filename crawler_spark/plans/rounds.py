@@ -59,6 +59,7 @@ from crawler_spark.operators.politeness import (
     pop_batch,
     salted_host_repartition,
 )
+from crawler_spark.operators import secondary
 from crawler_spark.operators.seen import BloomTable
 from crawler_spark.plans.checkpoint import Checkpointer
 
@@ -69,8 +70,18 @@ class EngineConfig:
     default_budget: int = 1000
     global_batch: int | None = None
     max_rounds: int = 10_000
-    use_bloom: bool = False
-    bloom_partitions: int = 16
+    # URL-seen strategy: True = always BloomTable, False = always exact
+    # anti-join, "auto" (default) = exact until the seen set crosses
+    # bloom_auto_threshold rows, then the Bloom sidecar switches on — the
+    # 10^10-URL configuration engages itself instead of being opt-in. The
+    # seen count comes from the committed manifests' fetched_ok metrics
+    # (zero extra Spark jobs).
+    use_bloom: bool | str = "auto"
+    bloom_auto_threshold: int = 2_000_000
+    # None (default) = auto-size: adopt an existing table's persisted
+    # partition count on resume, and re-size from the committed seen count
+    # (BloomTable.sized_for) at each full rebuild. An int pins it.
+    bloom_partitions: int | None = None
     bloom_rebuild_every: int = 8
     # seen-delta compaction cadence (None → bloom_rebuild_every): folds the
     # O(rounds) per-round delta dirs into one table so a 10^4-round crawl
@@ -120,10 +131,16 @@ class CrawlEngine:
         self.ckpt = Checkpointer(self.cfg.ckpt_dir)
         import os as _os
 
-        self.bloom_table = BloomTable(
-            _os.path.join(self.cfg.ckpt_dir, "blooms"),
-            self.cfg.bloom_partitions,
-        )
+        bloom_root = _os.path.join(self.cfg.ckpt_dir, "blooms")
+        if self.cfg.bloom_partitions is None:
+            # auto: adopt the persisted partition count (resume keeps a
+            # healthy table trusted); re-sized from the seen count at the
+            # next full rebuild
+            self.bloom_table = BloomTable.adopt(bloom_root)
+        else:
+            self.bloom_table = BloomTable(
+                bloom_root, self.cfg.bloom_partitions
+            )
         # per-connector paging/related config — a handful of rows, broadcastable
         self.seed_cfg = seeds.select(
             "connector_id",
@@ -194,6 +211,14 @@ class CrawlEngine:
         start_latest = latest if latest is not None else -1
         # the round whose commit the bloom table must cover to be trusted
         last_committed: int | None = latest
+        # running seen-set size from the committed manifests (no Spark job);
+        # drives the use_bloom="auto" exact→Bloom switch
+        seen_count = self.ckpt.sum_metric("fetched_ok") if latest is not None else 0
+
+        def bloom_enabled() -> bool:
+            if cfg.use_bloom == "auto":
+                return seen_count >= cfg.bloom_auto_threshold
+            return bool(cfg.use_bloom)
 
         def seen_df() -> DataFrame:
             if cfg.force:
@@ -446,6 +471,19 @@ class CrawlEngine:
             rec_rows = details.select("url", "body", "connector_id").mapInPandas(
                 extract_records_batch_for(self.connectors), RECORD_OUT_SCHEMA
             )
+            # Gallica-style typed secondary fetches (gallica.js:83-148):
+            # inline enrichment hops merged into the parent records BEFORE
+            # any write; never frontier candidates, never in the seen set
+            sec_caches: list = []
+            if secondary.chain_len(self.connectors):
+                rec_rows, sec_caches = secondary.enrich_secondaries(
+                    rec_rows,
+                    details.select("url", "connector_id"),
+                    self.pages,
+                    self.connectors,
+                    fetch_mode=cfg.fetch_mode,
+                    timeout_s=cfg.fetch_timeout_s,
+                )
             dmeta = details.select(
                 "url",
                 "connector_id",
@@ -560,8 +598,9 @@ class CrawlEngine:
             # ---- J1: new candidates minus seen minus this round's fetches
             cands = record_cands.unionByName(next_pages).unionByName(related_cands)
             seen_plus = seen.unionByName(ok.select("url_hash"))
+            bloom_now = bloom_enabled()
             bloom_v = (
-                self.bloom_table.latest_version() if cfg.use_bloom else None
+                self.bloom_table.latest_version() if bloom_now else None
             )
             # a bitset is only trusted when it covers EVERY committed round
             # (version == last commit) AND was built under THIS config
@@ -571,7 +610,7 @@ class CrawlEngine:
             # direction. Either mismatch falls back to the exact anti-join
             # for this round; the maintenance step below then full-rebuilds.
             bloom_ok = (
-                cfg.use_bloom
+                bloom_now
                 and last_committed is not None
                 and bloom_v == last_committed
                 and self.bloom_table.compatible(bloom_v)
@@ -668,7 +707,8 @@ class CrawlEngine:
             )
             metrics_log.append({"round": round_no, **metrics})
 
-            if cfg.use_bloom:
+            seen_count += n_ok
+            if bloom_enabled():  # re-check: this round may cross the switch
                 # ALL bitset maintenance is executor-side: the delta is read
                 # back from the just-committed seen_delta parquet — the loop
                 # never collects round hashes to the driver
@@ -698,6 +738,18 @@ class CrawlEngine:
                     # periodic re-size / first build / stale-after-crash /
                     # config-mismatch (resume with different bloom_partitions
                     # must NOT incrementally OR into wrong-routed bitsets)
+                    if cfg.bloom_partitions is None:
+                        # auto: re-size from the committed seen count; the
+                        # cuckoo revocations carry over (driver-held state)
+                        resized = BloomTable.sized_for(
+                            self.bloom_table.root, seen_count,
+                            fpp=self.bloom_table.fpp,
+                        )
+                        resized.deleted = self.bloom_table.deleted
+                        resized._deleted_hashes = (
+                            self.bloom_table._deleted_hashes
+                        )
+                        self.bloom_table = resized
                     self.bloom_table.build(seen_df(), version=round_no)
                 else:
                     self.bloom_table.update(
@@ -716,6 +768,8 @@ class CrawlEngine:
             links.unpersist()
             recs.unpersist()
             for df in round_caches:
+                df.unpersist()
+            for df in sec_caches:
                 df.unpersist()
             # re-read from checkpoint: cuts lineage + is the resume point
             frontier = self.ckpt.load(spark, round_no, "frontier")

@@ -54,16 +54,58 @@ def docx_to_html(data: bytes) -> str:
 
     out: list[str] = []
     for tbl in doc.iter(_W + "tbl"):
-        out.append("<table>")
+        # pass 1: grid-position every cell and resolve vertical merges the
+        # way mammoth does — a w:vMerge val="restart" cell opens a span,
+        # continuation cells (w:vMerge with no val / val="continue") in the
+        # same grid column on following rows extend it and are DROPPED from
+        # the emitted HTML; the restart cell gets rowspan="N"
+        # (el-tesoro.js:73-81 keys its image branch on that attribute)
+        grid_rows: list[list[dict]] = []
         for tr in tbl.iter(_W + "tr"):
-            out.append("<tr>")
+            col = 0
+            cells: list[dict] = []
             for tc in tr.iter(_W + "tc"):
                 span = tc.find(f"{_W}tcPr/{_W}gridSpan")
-                colspan = (
-                    f' colspan="{span.get(_W + "val")}"'
-                    if span is not None
-                    else ""
+                colspan = int(span.get(_W + "val")) if span is not None else 1
+                vm = tc.find(f"{_W}tcPr/{_W}vMerge")
+                vmerge = (
+                    (vm.get(_W + "val") or "continue")
+                    if vm is not None
+                    else None
                 )
+                cells.append(
+                    {"tc": tc, "col": col, "colspan": colspan,
+                     "vmerge": vmerge, "rowspan": 1}
+                )
+                col += colspan
+            grid_rows.append(cells)
+        for ri, cells in enumerate(grid_rows):
+            for c in cells:
+                if c["vmerge"] != "restart":
+                    continue
+                for below in grid_rows[ri + 1:]:
+                    cont = next(
+                        (b for b in below
+                         if b["col"] == c["col"] and b["vmerge"] == "continue"),
+                        None,
+                    )
+                    if cont is None:
+                        break
+                    c["rowspan"] += 1
+
+        # pass 2: emit
+        out.append("<table>")
+        for cells in grid_rows:
+            out.append("<tr>")
+            for c in cells:
+                if c["vmerge"] == "continue":
+                    continue  # swallowed by the restart cell above it
+                tc = c["tc"]
+                attrs = ""
+                if c["colspan"] > 1:
+                    attrs += f' colspan="{c["colspan"]}"'
+                if c["rowspan"] > 1:
+                    attrs += f' rowspan="{c["rowspan"]}"'
                 text = "".join(t.text or "" for t in tc.iter(_W + "t"))
                 imgs: list[str] = []
                 for blip in tc.iter(_A + "blip"):
@@ -78,7 +120,7 @@ def docx_to_html(data: bytes) -> str:
                     fmt = name.rsplit(".", 1)[-1].lower()
                     b64 = base64.b64encode(img_bytes).decode("ascii")
                     imgs.append(f'<img src="data:image/{fmt};base64,{b64}">')
-                out.append(f"<td{colspan}>{_h.escape(text)}{''.join(imgs)}</td>")
+                out.append(f"<td{attrs}>{_h.escape(text)}{''.join(imgs)}</td>")
             out.append("</tr>")
         out.append("</table>")
     return "".join(out)
@@ -116,7 +158,17 @@ def parse_record_tables(html: str) -> list[dict]:
                         "bytes": base64.b64decode(m.group(2)),
                     }
                 )
-        if len(tds) >= 2:
+        if tds[0].attr("rowspan") == "10":
+            # el-tesoro.js:73-81: the 10-row-spanning image cell's row
+            # carries the record number two cells over ($td.next.next);
+            # its image was collected above. Later rows of the span omit
+            # the merged cell, so they fall through to the generic
+            # (label, value) branch below with the right first cell.
+            if len(tds) >= 3:
+                value = tds[2].text().strip()
+                if value:
+                    cur["fields"].append(("Nº de Inventario", value))
+        elif len(tds) >= 2:
             label = tds[0].text().strip()
             value = tds[1].text().strip()
             if label and value:

@@ -164,6 +164,26 @@ def test_extractors_never_raise_on_jsonish():
             assert isinstance(rec["text"], str)
 
 
+def test_detail_json_number_semantics():
+    """The fields-list JSON path stringifies numbers like JS String(value)
+    too (vam.js:74-76): 1.0 → '1', non-integral floats unchanged."""
+    import json
+
+    from crawler_spark.operators.extract import SYNTH, extract_detail_json
+
+    body = json.dumps({
+        "title": "T",
+        "fields": [
+            {"label": "a", "value": 1.0},
+            {"label": "b", "values": [1.5, 3]},
+        ],
+    }).encode()
+    rec = extract_detail_json(body, "http://h/x", SYNTH)
+    assert "a\t1" in rec["text"]
+    assert "b\t1.5" in rec["text"]
+    assert "b\t3" in rec["text"]
+
+
 def test_scalar_pairs_js_number_semantics():
     """JSON numbers stringify like JS String(value): 1.0 → '1' (integral
     floats drop the trailing .0), non-integral floats keep their digits —

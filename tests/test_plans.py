@@ -122,9 +122,12 @@ def test_decontaminate_broadcasts_benchmark(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_bloom_table_filter_is_cogrouped(spark, tmp_path):
-    """Table-backed Bloom filtering runs as a cogroup (bitset shipped once
-    per pid group), never as a row-duplicating broadcast join of bitsets."""
+def test_bloom_table_filter_strategies(spark, tmp_path):
+    """`filter_unseen` picks its physical strategy like Catalyst picks
+    joins: tiny bitset tables flag candidates map-side off a broadcast
+    (zero candidate shuffle — no cogroup exchange), big tables ship each
+    bitset once per pid group via cogroup. Both must be reachable, both
+    must return identical rows."""
     from pyspark.sql import functions as F
 
     from crawler_spark.operators.seen import BloomTable
@@ -133,8 +136,16 @@ def test_bloom_table_filter_is_cogrouped(spark, tmp_path):
     cands = spark.range(100).select(F.col("id").alias("url_hash"))
     bt = BloomTable(str(tmp_path / "b"), n_partitions=4)
     bt.build(seen, version=0)
+    want = set(range(1, 100, 2))
+
+    # auto on a 4-bucket toy table → broadcast (under the 64 MB budget)
     out = bt.filter_unseen(cands, seen, version=0)
     plan = _executed_plan(out)
-    assert "FlatMapCoGroupsInPandas" in plan
-    got = {r["url_hash"] for r in out.collect()}
-    assert got == set(range(1, 100, 2))
+    assert "FlatMapCoGroupsInPandas" not in plan
+    assert {r["url_hash"] for r in out.collect()} == want
+
+    # forced cogroup (what auto picks past BROADCAST_MAX_BYTES)
+    out2 = bt.filter_unseen(cands, seen, version=0, strategy="cogroup")
+    plan2 = _executed_plan(out2)
+    assert "FlatMapCoGroupsInPandas" in plan2
+    assert {r["url_hash"] for r in out2.collect()} == want

@@ -1,0 +1,132 @@
+"""Gallica-style typed secondary fetches (gallica.js:83-148): hop
+extraction, chain driving, and the shared merge semantics."""
+
+from crawler_spark.operators.extract import (
+    ConnectorConfig,
+    SecondaryFetch,
+    extract_detail,
+    extract_secondary,
+    merge_secondaries,
+    run_secondary_chain,
+)
+
+NOTICE_SF = SecondaryFetch(
+    kind="notice",
+    from_field="Notice",
+    row_selector="div.notice",
+    label_selector="span.notice-label",
+    image_selector="img.grand",
+)
+BOOK_SF = SecondaryFetch(
+    kind="book",
+    link_selector="div.appartient a",
+    row_selector="div.notice",
+    label_selector="span.notice-label",
+    image_selector="img.grand",
+)
+CFG = ConnectorConfig(
+    connector_id="g", secondary_fetches=(NOTICE_SF, BOOK_SF)
+)
+
+NOTICE_HTML = b"""<html><body>
+<div class="notice"><span class="notice-label">Provenance</span><span> BnF </span></div>
+<div class="notice"><span class="notice-label">Auteurs</span>
+  <span><a href="/a1">Dupont</a><a class="pictos" href="#">ico</a><a href="/a2">Martin</a></span></div>
+<div class="notice"><span class="notice-label">Vide</span><span>  </span></div>
+<img class="grand" src="/vignette/n7.jpg">
+<div class="appartient"><a href="/book/b3">le livre</a></div>
+</body></html>"""
+
+BOOK_HTML = b"""<html><body>
+<div class="notice"><span class="notice-label">Titre</span><span>Soieries</span></div>
+<img class="grand" src="http://h0.example.test/record/7/self.jpg">
+</body></html>"""
+
+DETAIL_HTML = b"""<html><body>
+<h1 class="title">Rec 7</h1>
+<table><tr class="field"><td class="label">Material</td><td class="value">silk</td></tr>
+<tr class="field"><td class="label">Notice</td><td class="value">http://h0.example.test/notice/7</td></tr></table>
+</body></html>"""
+
+PARENT = "http://h0.example.test/record/7"
+
+
+def test_extract_secondary_rows_links_image_and_next():
+    got = extract_secondary(
+        NOTICE_HTML, "http://h0.example.test/notice/7", NOTICE_SF, CFG,
+        PARENT, next_sf=BOOK_SF,
+    )
+    # sibling-span values; links each a value, .pictos excluded
+    # (gallica.js:95-103); empty value dropped (record.js:14-21)
+    assert got["fields"] == [
+        ("notice.Provenance", "BnF"),
+        ("notice.Auteurs", "Dupont"),
+        ("notice.Auteurs", "Martin"),
+    ]
+    # first image-selector match, resolved against the notice URL
+    assert [im["url"] for im in got["images"]] == [
+        "http://h0.example.test/vignette/n7.jpg"
+    ]
+    # the NEXT hop's URL comes from this page (gallica.js:116-121)
+    assert got["next_url"] == "http://h0.example.test/book/b3"
+
+
+def test_secondary_image_skipped_when_parents_own():
+    got = extract_secondary(
+        BOOK_HTML, "http://h0.example.test/book/b3", BOOK_SF, CFG, PARENT,
+    )
+    # src startswith the parent record URL → not re-added
+    # (gallica.js:108-114)
+    assert got["images"] == []
+    assert got["fields"] == [("book.Titre", "Soieries")]
+
+
+def test_chain_and_merge_end_to_end():
+    pages = {
+        "http://h0.example.test/notice/7": NOTICE_HTML,
+        "http://h0.example.test/book/b3": BOOK_HTML,
+    }
+    rec = extract_detail(DETAIL_HTML, PARENT, CFG)
+    chain = run_secondary_chain(rec, PARENT, pages.get, CFG)
+    assert [h["kind"] for h in chain] == ["notice", "book"]
+    merge_secondaries(rec, chain)
+    by = dict(rec["fields"])
+    # <kind>.url recorded before each hop's fields (gallica.js:85,120)
+    assert by["notice.url"] == ["http://h0.example.test/notice/7"]
+    assert by["book.url"] == ["http://h0.example.test/book/b3"]
+    assert by["notice.Auteurs"] == ["Dupont", "Martin"]
+    assert by["book.Titre"] == ["Soieries"]
+    # text gains one label\tvalue line per added value, in merge order
+    assert rec["text"].splitlines() == [
+        "Rec 7",
+        "Material\tsilk",
+        "Notice\thttp://h0.example.test/notice/7",
+        "notice.url\thttp://h0.example.test/notice/7",
+        "notice.Provenance\tBnF",
+        "notice.Auteurs\tDupont",
+        "notice.Auteurs\tMartin",
+        "book.url\thttp://h0.example.test/book/b3",
+        "book.Titre\tSoieries",
+    ]
+    # notice vignette added; book's self-image skipped
+    assert [im["url"] for im in rec["images"]] == [
+        "http://h0.example.test/vignette/n7.jpg"
+    ]
+
+
+def test_chain_stops_on_missing_page_but_records_url():
+    pages = {}  # notice 404s
+    rec = extract_detail(DETAIL_HTML, PARENT, CFG)
+    chain = run_secondary_chain(rec, PARENT, pages.get, CFG)
+    assert len(chain) == 1 and chain[0]["fields"] == []
+    merge_secondaries(rec, chain)
+    by = dict(rec["fields"])
+    assert by["notice.url"] == ["http://h0.example.test/notice/7"]
+    assert "book.url" not in by
+
+
+def test_no_chain_without_from_field():
+    rec = extract_detail(
+        b"<html><body><h1 class='title'>T</h1></body></html>", PARENT, CFG
+    )
+    assert run_secondary_chain(rec, PARENT, {}.get, CFG) == []

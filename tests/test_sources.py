@@ -138,8 +138,15 @@ def _build_docx(records, image_bytes=None) -> bytes:
     A = "http://schemas.openxmlformats.org/drawingml/2006/main"
     R = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
 
-    def cell(text, span=None, img_rid=None):
-        pr = f'<w:tcPr><w:gridSpan w:val="{span}"/></w:tcPr>' if span else ""
+    def cell(text, span=None, img_rid=None, vmerge=None):
+        pr = ""
+        if span:
+            pr += f'<w:gridSpan w:val="{span}"/>'
+        if vmerge == "restart":
+            pr += '<w:vMerge w:val="restart"/>'
+        elif vmerge == "continue":
+            pr += "<w:vMerge/>"
+        pr = f"<w:tcPr>{pr}</w:tcPr>" if pr else ""
         drawing = (
             f'<w:p><w:r><w:drawing><a:blip r:embed="{img_rid}"/></w:drawing>'
             "</w:r></w:p>" if img_rid else ""
@@ -151,6 +158,30 @@ def _build_docx(records, image_bytes=None) -> bytes:
     rows = []
     for rec in records:
         rows.append(f"<w:tr>{cell(rec['title'], span=3)}</w:tr>")
+        if rec.get("vmerged_image"):
+            # el-tesoro layout: the image cell vMerge-spans the field rows
+            # (mammoth renders it rowspan="10"); continuation rows carry a
+            # silent merged cell ahead of their (label, value) cells
+            fields = list(rec["fields"])
+            first_label, first_value = fields[0]
+            rows.append(
+                "<w:tr>"
+                + cell("", img_rid="rId9", vmerge="restart")
+                + cell(first_label) + cell(first_value)
+                + "</w:tr>"
+            )
+            for label, value in fields[1:]:
+                rows.append(
+                    "<w:tr>" + cell("", vmerge="continue")
+                    + cell(label) + cell(value) + "</w:tr>"
+                )
+            # pad the span out to 10 rows like the real documents
+            for _ in range(10 - len(fields)):
+                rows.append(
+                    "<w:tr>" + cell("", vmerge="continue")
+                    + cell("") + cell("") + "</w:tr>"
+                )
+            continue
         for label, value in rec["fields"]:
             rows.append(f"<w:tr>{cell(label)}{cell(value)}</w:tr>")
         if rec.get("image") and image_bytes is not None:
@@ -171,6 +202,48 @@ def _build_docx(records, image_bytes=None) -> bytes:
         if image_bytes is not None:
             zf.writestr("word/media/image1.png", image_bytes)
     return buf.getvalue()
+
+
+def test_s10_docx_vmerge_rowspan(spark, tmp_path):
+    """w:vMerge vertical merges render as rowspan (mammoth semantics) and
+    the state machine's el-tesoro image branch (first cell rowspan="10" →
+    record image + 'Nº de Inventario' two cells over, el-tesoro.js:73-81)
+    extracts the merged layout identically."""
+    from crawler_spark.sources.docx import (
+        docx_records,
+        docx_to_html,
+        parse_record_tables,
+    )
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8
+    data = _build_docx(
+        [
+            {"title": "Merged Record", "vmerged_image": True,
+             "fields": [("Nº de Inventario", "1234"),
+                        ("Material", "silk"), ("Century", "XVII")]},
+        ],
+        image_bytes=png,
+    )
+    html = docx_to_html(data)
+    assert 'rowspan="10"' in html
+    assert html.count("<img") == 1  # continuation cells emit nothing
+
+    recs = parse_record_tables(html)
+    assert len(recs) == 1
+    assert recs[0]["title"] == "Merged Record"
+    # restart row → record number via the rowspan branch; continuation
+    # rows (merged cell omitted) → ordinary (label, value) fields
+    assert recs[0]["fields"] == [
+        ("Nº de Inventario", "1234"),
+        ("Material", "silk"), ("Century", "XVII"),
+    ]
+    assert len(recs[0]["images"]) == 1
+
+    d = tmp_path / "docx_vm"
+    d.mkdir()
+    (d / "r.docx").write_bytes(data)
+    out = docx_records(spark, str(d)).collect()
+    assert len(out) == 1 and out[0]["n_images"] == 1
 
 
 def test_s10_real_docx_roundtrip(spark, tmp_path):
