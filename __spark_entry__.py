@@ -39,13 +39,14 @@ def _e2e_sitespec():
     """The ONE SiteSpec behind `crawl_e2e_webtext` — shared with
     tools/make_golden.py so the golden parquet can never drift from the
     driver query. Covers every connector body format (HTML, ES _msearch,
-    GraphQL), 2-page pagination chains, and related-record expansion,
+    GraphQL), 2-page pagination chains, related-record expansion, and a
+    gallica-style secondary-fetch chain (notice→book enrichment, host 1),
     sized so the warm-session engine run stays well under 30 s."""
     from crawler_spark.sources.sitegen import SiteSpec
 
     return SiteSpec(
         n_hosts=4, details_per_host=8, limit=4, related_per_host=2,
-        msearch_hosts=(2,), graphql_hosts=(3,),
+        msearch_hosts=(2,), graphql_hosts=(3,), secondary_hosts=(1,),
     )
 
 
@@ -1170,7 +1171,11 @@ def _crawl_e2e_webtext(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdfs = site_to_spark(spark, site)
     cfg = EngineConfig(
         ckpt_dir=tempfile.mkdtemp(prefix="crawl_e2e_"),
-        default_budget=10,
+        # budget 25 lets each host drain its whole per-round frontier at
+        # once (page-2 + details + relateds) instead of trickling under a
+        # tight budget; webtext content is budget-independent (same pages,
+        # possibly different round numbers)
+        default_budget=25,
         use_bloom=True,
         bloom_partitions=2,
     )

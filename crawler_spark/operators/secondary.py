@@ -57,10 +57,14 @@ def chain_len(connectors: dict[str, ConnectorConfig] | None) -> int:
 
 
 def _values_of(field_entry) -> list:
-    # array<struct<label,values>> rows arrive as dicts via Arrow
-    if isinstance(field_entry, dict):
-        return list(field_entry.get("values") or [])
-    return list(field_entry[1] or [])
+    # array<struct<label,values>> rows arrive as dicts (values possibly a
+    # numpy array — no `or []` truthiness) via Arrow
+    v = (
+        field_entry.get("values")
+        if isinstance(field_entry, dict)
+        else field_entry[1]
+    )
+    return [] if v is None else list(v)
 
 
 def _label_of(field_entry) -> str:
@@ -197,10 +201,19 @@ def merge_into_records(rec_rows_cid: DataFrame, sec_all: DataFrame) -> DataFrame
                             "url": h["url"],
                             "fields": [
                                 (f["label"], f["value"])
-                                for f in (h["sec_fields"] or [])
+                                for f in (
+                                    h["sec_fields"]
+                                    if h["sec_fields"] is not None
+                                    else []
+                                )
                             ],
                             "images": [
-                                dict(im) for im in (h["sec_images"] or [])
+                                dict(im)
+                                for im in (
+                                    h["sec_images"]
+                                    if h["sec_images"] is not None
+                                    else []
+                                )
                             ],
                         }
                         for h in chain_raw
@@ -239,7 +252,11 @@ def enrich_secondaries(
     hops = chain_len(connectors)
     if hops == 0:
         return rec_rows, []
-    rec_rows_cid = rec_rows.join(details_cid, "url")
+    # the extracted records feed THREE lineage branches (hop-0 wave, each
+    # later hop's wave transitively, and the final merge input) — persist
+    # once or the extraction mapInPandas re-executes per branch
+    rec_rows_cid = rec_rows.join(details_cid, "url").persist()
+    caches: list[DataFrame] = [rec_rows_cid]
     wave = seed_wave(rec_rows_cid, connectors)
     parsed_hops: list[DataFrame] = []
     for hop in range(hops):
@@ -254,6 +271,7 @@ def enrich_secondaries(
             fetched = fixture_fetch(wave, pages)
         parsed = parse_hop(fetched, connectors, hop).persist()
         parsed_hops.append(parsed)
+        caches.append(parsed)
         wave = parsed.where(F.col("next_url").isNotNull()).select(
             "parent_url", "connector_id", F.col("next_url").alias("url")
         )
@@ -261,4 +279,4 @@ def enrich_secondaries(
     for p in parsed_hops[1:]:
         sec_all = sec_all.unionByName(p)
     out = merge_into_records(rec_rows_cid, sec_all)
-    return out, parsed_hops
+    return out, caches

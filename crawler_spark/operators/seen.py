@@ -277,6 +277,27 @@ class BloomTable:
                 )
         return t
 
+    def pick_strategy(self, seen_count: int) -> str:
+        """Choose the ``filter_unseen`` physical strategy from the DRIVER's
+        running seen count — zero Spark jobs, vs the in-plan ``auto`` mode
+        which aggregates the table's n_bits column each round. The estimate
+        reproduces ``build``'s own sizing rule (each bucket is
+        ``sized_for(max(bucket_rows, expected_per_part))``), using the mean
+        bucket fill; skew can undershoot it, which BROADCAST_MAX_BYTES'
+        margin (64 MB vs multi-GB practical broadcast limits) absorbs."""
+        per_part = max(
+            self.expected_per_part,
+            -(-max(seen_count, 1) // self.n_partitions),
+        )
+        est_bits = (
+            self.n_partitions * BloomFilter.sized_for(per_part, self.fpp).n_bits
+        )
+        return (
+            "broadcast"
+            if est_bits // 8 <= self.BROADCAST_MAX_BYTES
+            else "cogroup"
+        )
+
     def mark_deleted(self, hashes: np.ndarray) -> None:
         """Record hashes whose 'seen' status is revoked (re-crawl).
 

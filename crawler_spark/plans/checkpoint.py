@@ -74,23 +74,67 @@ class Checkpointer:
         round_no: int,
         tables: dict[str, DataFrame],
         metrics: dict,
+        stats_cb=None,
+        groups=None,
     ) -> dict:
-        """Write all tables, then the manifest (the commit point)."""
+        """Write all tables, then the manifest (the commit point).
+
+        ``stats_cb(lineage) -> dict``, when given, runs after the table
+        writes and before the manifest; its result is merged into
+        ``metrics`` (mutating the caller's dict) so per-round metrics can
+        be derived from the just-written files instead of extra Spark
+        actions over the round lineage. ``groups``: name-tuples written
+        sequentially within one thread (see below)."""
         rdir = self.round_dir(round_no)
         lineage: dict[str, dict] = {}
-        for name, df in tables.items():
+        import time as _time
+        from concurrent.futures import ThreadPoolExecutor
+
+        debug_t = os.environ.get("SPARK_GRAFT_COMMIT_TIMING")
+
+        def _write(item):
+            name, df = item
             path = os.path.join(rdir, name)
+            w0 = _time.time()
             df.write.mode("overwrite").parquet(path)
+            if debug_t:
+                print(
+                    f"[commit r{round_no}] {name}: "
+                    f"{_time.time() - w0:.2f}s", flush=True,
+                )
             files = sorted(
                 f
                 for f in os.listdir(path)
                 if f.endswith(".parquet") or f.startswith("part-")
             )
-            lineage[name] = {
+            return name, {
                 "path": path,
                 "files": files,
                 "n_files": len(files),
             }
+
+        # the table writes are independent (disjoint dirs, manifest only
+        # after ALL succeed) — submit them as concurrent Spark jobs so the
+        # commit's wall is the slowest write, not the sum. On a cluster the
+        # concurrent stages also fill executors a sequential tail wouldn't.
+        # ``groups`` serializes tables that share an UNMATERIALIZED cached
+        # ancestor (e.g. records+webtext both extract from ``recs``):
+        # concurrent first-materializers of the same cache block would each
+        # compute it — wasted work, and unacceptable for side-effecting
+        # lineage. Tables not named in any group get their own thread.
+        grouped = [tuple(g) for g in (groups or ())]
+        named = {n for g in grouped for n in g}
+        grouped += [(n,) for n in tables if n not in named]
+
+        def _write_group(names):
+            return [_write((n, tables[n])) for n in names if n in tables]
+
+        with ThreadPoolExecutor(max_workers=len(grouped) or 1) as pool:
+            for results in pool.map(_write_group, grouped):
+                for name, entry in results:
+                    lineage[name] = entry
+        if stats_cb is not None:
+            metrics.update(stats_cb(lineage))
         manifest = {
             "round": round_no,
             "lineage": lineage,

@@ -64,6 +64,43 @@ from crawler_spark.operators.seen import BloomTable
 from crawler_spark.plans.checkpoint import Checkpointer
 
 
+def _round_stats_from_written(lineage: dict) -> dict:
+    """Per-round fetch/record metrics from the parquet the commit just
+    wrote (north_rule: per-round fetch/parse metrics) — zero extra Spark
+    actions, so the round DAG is analyzed and executed exactly once.
+
+    Bounded by construction: ``records_written`` reads only parquet footers
+    (O(files) metadata), and the fetch-log status/bytes read is O(round
+    batch), which the per-host budgets cap regardless of crawl size."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    rec = lineage["records_delta"]
+    n_records = sum(
+        pq.ParquetFile(os.path.join(rec["path"], f)).metadata.num_rows
+        for f in rec["files"]
+    )
+    fl = lineage["fetch_log_delta"]
+    n_ok = n_failed = n_bytes = 0
+    for f in fl["files"]:
+        t = pq.read_table(
+            os.path.join(fl["path"], f), columns=["status", "bytes"]
+        )
+        status = t.column("status").to_numpy(zero_copy_only=False)
+        byts = t.column("bytes").to_numpy(zero_copy_only=False)
+        ok = status == 200
+        n_ok += int(ok.sum())
+        n_failed += int((~ok).sum())
+        n_bytes += int(np.nan_to_num(byts[ok].astype("float64")).sum())
+    return {
+        "fetched_ok": n_ok,
+        "fetch_failed": n_failed,
+        "bytes_fetched": n_bytes,
+        "records_written": n_records,
+    }
+
+
 @dataclass
 class EngineConfig:
     ckpt_dir: str
@@ -97,6 +134,16 @@ class EngineConfig:
     # (real HTTP via stdlib urllib, per-host crawl-delay enforced in-worker)
     fetch_mode: str = "fixture"
     fetch_timeout_s: float = 60.0  # base.js:39
+    # AQE self-tuning: AQE's value (runtime coalescing, skew-join splits)
+    # begins when round batches carry real data; below this popped-URL
+    # count the engine turns spark.sql.adaptive.enabled off for the round
+    # and restores the session setting when run() returns. Measured on the
+    # e2e fixture crawl: AQE's per-shuffle sub-jobs + re-planning cost
+    # ~45 s/round of driver time at 20-URL rounds (319 jobs → 144, wall
+    # 225 s → 87 s) while changing nothing about the result. A 100 TB crawl
+    # pops millions of URLs per round and keeps AQE on throughout; only
+    # tail/test/interactive rounds duck under.
+    aqe_min_batch: int = 100_000
     extra: dict = dc_field(default_factory=dict)
 
 
@@ -215,7 +262,10 @@ class CrawlEngine:
         # drives the use_bloom="auto" exact→Bloom switch
         seen_count = self.ckpt.sum_metric("fetched_ok") if latest is not None else 0
 
-        def bloom_enabled() -> bool:
+        def bloom_enabled(seen_count: int) -> bool:
+            # takes the RUNNING count as an argument: _run_rounds owns the
+            # increment, so a closure over this scope's local would freeze
+            # the auto-switch at the resume-time value
             if cfg.use_bloom == "auto":
                 return seen_count >= cfg.bloom_auto_threshold
             return bool(cfg.use_bloom)
@@ -244,6 +294,24 @@ class CrawlEngine:
                 d = d.unionByName(p)
             return d
 
+        # session AQE setting, restored on exit; per-round the engine
+        # toggles it off below cfg.aqe_min_batch popped URLs (see field doc)
+        orig_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        try:
+            return self._run_rounds(
+                frontier, round_no, latest, last_committed, start_latest,
+                seen_count, metrics_log, recrawl_hashes,
+                bloom_enabled, seen_df, orig_aqe,
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", orig_aqe)
+
+    def _run_rounds(
+        self, frontier, round_no, latest, last_committed, start_latest,
+        seen_count, metrics_log, recrawl_hashes,
+        bloom_enabled, seen_df, orig_aqe,
+    ) -> CrawlResult:
+        spark, cfg = self.spark, self.cfg
         while round_no < cfg.max_rounds:
             import time as _time
 
@@ -266,18 +334,15 @@ class CrawlEngine:
                 cfg.default_budget,
                 cfg.global_batch,
             ).persist()
-            # live mode: no salt — one worker per host so the in-worker
-            # crawl-delay bounds the host's AGGREGATE request rate
-            # (k salt buckets would fetch at k× the allowed rate)
-            popped = salted_host_repartition(
-                popped_raw,
-                cfg.target_per_task,
-                salt=(cfg.fetch_mode != "live"),
-            ).persist()
-            n_popped = popped.count()
-            popped_raw.unpersist()
+            # ONE action sizes everything downstream: n_popped doubles as
+            # the round-batch count (repartition preserves it), the salt
+            # stage's explicit partition count, and the AQE small-round
+            # switch — the salting stage's own two sizing jobs are skipped.
+            # Each extra driver action re-analyzes the full round DAG, which
+            # at small rounds costs more than the job itself.
+            n_popped = popped_raw.count()
             if n_popped == 0:
-                popped.unpersist()
+                popped_raw.unpersist()
                 # nothing eligible now — jump to the earliest FUTURE backoff
                 # round among robots-ALLOWED rows. Robots-disallowed rows are
                 # never popped and linger with not_before <= round_no; taking
@@ -292,6 +357,28 @@ class CrawlEngine:
                     break
                 round_no = int(nxt)
                 continue
+
+            if orig_aqe == "true":
+                want = "false" if n_popped < cfg.aqe_min_batch else "true"
+                if spark.conf.get("spark.sql.adaptive.enabled") != want:
+                    spark.conf.set("spark.sql.adaptive.enabled", want)
+
+            # live mode: no salt — one worker per host so the in-worker
+            # crawl-delay bounds the host's AGGREGATE request rate
+            # (k salt buckets would fetch at k× the allowed rate). Live
+            # sizing stays in the salting stage (a host count there is noise
+            # next to network wall); fixture mode passes the explicit count.
+            salt = cfg.fetch_mode != "live"
+            popped = salted_host_repartition(
+                popped_raw,
+                cfg.target_per_task,
+                salt=salt,
+                num_partitions=(
+                    max(1, -(-n_popped // cfg.target_per_task))
+                    if salt
+                    else None
+                ),
+            ).persist()
 
             remaining = remove_popped(frontier, popped)
             if cfg.fetch_mode == "live":
@@ -324,6 +411,12 @@ class CrawlEngine:
             else:
                 fetched = fixture_fetch(popped, self.pages).persist()
                 ok, retry, dead = split_retries(fetched, cfg.max_attempts)
+            # materialize the fetch EXACTLY once, before any of the
+            # concurrent commit writes downstream can race to be its first
+            # materializer — concurrent first-computes of an uncached block
+            # each run the lineage, and in live mode that lineage is real
+            # HTTP requests (duplicate fetches would break politeness)
+            fetched.count()
 
             searches = ok.where(F.col("kind") == "search")
             details = ok.where(F.col("kind") != "search")
@@ -598,7 +691,7 @@ class CrawlEngine:
             # ---- J1: new candidates minus seen minus this round's fetches
             cands = record_cands.unionByName(next_pages).unionByName(related_cands)
             seen_plus = seen.unionByName(ok.select("url_hash"))
-            bloom_now = bloom_enabled()
+            bloom_now = bloom_enabled(seen_count)
             bloom_v = (
                 self.bloom_table.latest_version() if bloom_now else None
             )
@@ -624,6 +717,9 @@ class CrawlEngine:
                 fresh = self.bloom_table.filter_unseen(
                     cands, seen, version=bloom_v,
                     cache_registry=round_caches,
+                    # driver-side estimate from the running seen count —
+                    # skips the per-round n_bits metadata job "auto" costs
+                    strategy=self.bloom_table.pick_strategy(seen_count),
                 )
                 fresh = fresh.join(
                     ok.select(F.col("url_hash").alias("__ok_h")),
@@ -679,21 +775,18 @@ class CrawlEngine:
             # fetch result (north_rule: per-round fetch/parse metrics)
             import time as _time
 
-            fstats = fetched.agg(
-                F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("ok"),
-                F.sum(F.when(F.col("status") != 200, 1).otherwise(0)).alias("failed"),
-                F.sum(F.when(F.col("status") == 200, F.col("bytes")).otherwise(0)).alias("bytes"),
-            ).first()
-            n_ok = int(fstats["ok"] or 0)
-            n_records = records_out.count()
+            # fetch/parse metrics come from the parquet the commit just
+            # wrote, NOT from extra .agg()/.count() actions — each of those
+            # would re-analyze the whole round DAG (the dominant driver cost
+            # at small rounds) and re-launch its broadcast sub-jobs. The
+            # post-write read is bounded: records_written is footer metadata
+            # only (O(files)), and the fetch-log column read is O(round
+            # batch), which the per-host budgets cap by construction.
             metrics = {
                 "popped": n_popped,
-                "fetched_ok": n_ok,
-                "fetch_failed": int(fstats["failed"] or 0),
-                "bytes_fetched": int(fstats["bytes"] or 0),
-                "records_written": n_records,
                 "round_wall_s": round(_time.time() - round_t0, 2),
             }
+            commit_t0 = _time.time()
             self.ckpt.commit_round(
                 round_no,
                 {
@@ -704,11 +797,22 @@ class CrawlEngine:
                     "fetch_log_delta": fetch_log,
                 },
                 metrics,
+                stats_cb=_round_stats_from_written,
+                # records+webtext share the unmaterialized `recs` cache —
+                # one thread writes both so the extract runs once; the
+                # other three tables ride already-materialized caches
+                groups=(("records_delta", "webtext_delta"),),
             )
-            metrics_log.append({"round": round_no, **metrics})
+            # commit + bloom maintenance run AFTER round_wall_s is stamped
+            # (they materialize the round's lineage); time them separately
+            # so the north-rule metrics expose where a round's wall goes
+            metrics["commit_wall_s"] = round(_time.time() - commit_t0, 2)
+            bloom_t0 = _time.time()
+            round_log = {"round": round_no, **metrics}
+            metrics_log.append(round_log)
 
-            seen_count += n_ok
-            if bloom_enabled():  # re-check: this round may cross the switch
+            seen_count += metrics["fetched_ok"]
+            if bloom_enabled(seen_count):  # re-check: this round may cross the switch
                 # ALL bitset maintenance is executor-side: the delta is read
                 # back from the just-committed seen_delta parquet — the loop
                 # never collects round hashes to the driver
@@ -758,11 +862,13 @@ class CrawlEngine:
                         delta=self.ckpt.load(spark, round_no, "seen_delta"),
                         version=round_no,
                     )
+            round_log["bloom_wall_s"] = round(_time.time() - bloom_t0, 2)
             last_committed = round_no
             ce = cfg.compact_every or cfg.bloom_rebuild_every
             if round_no > 0 and round_no % ce == 0:
                 self.ckpt.compact(spark, "seen_delta", upto=round_no)
 
+            popped_raw.unpersist()
             popped.unpersist()
             fetched.unpersist()
             links.unpersist()

@@ -47,6 +47,7 @@ class SiteSpec:
     json_hosts: tuple[int, ...] = ()  # S3 JSON-API connectors (vam.js shape)
     msearch_hosts: tuple[int, ...] = ()  # S4 ES _msearch (joconde.js shape)
     graphql_hosts: tuple[int, ...] = ()  # S5 GraphQL (paris-musees.js shape)
+    secondary_hosts: tuple[int, ...] = ()  # gallica notice→book chains
     latin1_hosts: tuple[int, ...] = ()  # latin1 bodies (ceres-mcu.js:121)
     seeds_per_host: int = 1  # U1 seed-list rotation (vam.js:10-14,38-46)
     seed: int = 42
@@ -103,9 +104,14 @@ def _render_detail(
     rec_id: str,
     related_ids: list[str],
     accents: bool = False,
+    extra_rows: list | None = None,
 ) -> tuple[str, str, list[str]]:
-    """→ (html, golden_text, image_urls)."""
+    """→ (html, golden_text, image_urls). ``extra_rows`` appends additional
+    (label, html_value, expected_value) field rows (e.g. the gallica-style
+    ``Notice`` URL field that seeds the secondary chain)."""
     title, rows = _detail_fields(rng, host_i, rec_id, accents)
+    if extra_rows:
+        rows = rows + list(extra_rows)
     field_html = []
     lines = [title]
     for label, html_val, expected in rows:
@@ -279,6 +285,92 @@ def _render_search_graphql(
     )
 
 
+def _render_notice_page(
+    rows: list[tuple[str, list[str] | str]],
+    img_src: str | None,
+    book_href: str | None,
+) -> str:
+    """Gallica-shaped secondary page: ``div.notice`` rows of
+    ``span.notice-label`` + sibling value span (plain text or links, with a
+    ``.pictos`` decoration the extractor must skip — gallica.js:92-103), an
+    optional ``img.grand``, and an optional next-hop link."""
+    parts = []
+    for label, val in rows:
+        if isinstance(val, list):
+            links = "".join(f'<a href="/x{j}">{_html.escape(v)}</a>' for j, v in enumerate(val))
+            span = f'<span>{links}<a class="pictos" href="#">+</a></span>'
+        else:
+            span = f"<span> {_html.escape(val)} </span>"
+        parts.append(
+            f'<div class="notice"><span class="notice-label">{_html.escape(label)}'
+            f"</span>{span}</div>"
+        )
+    img = f'<img class="grand" src="{img_src}">' if img_src else ""
+    book = (
+        f'<div class="appartient"><a href="{book_href}">appartient</a></div>'
+        if book_href
+        else ""
+    )
+    return f"<html><body>{''.join(parts)}{img}{book}</body></html>"
+
+
+def _gen_secondary(
+    rng: random.Random, base: str, rec_id: str, n_books: int
+) -> tuple[list, list[str], list[tuple[str, str]]]:
+    """Per-record gallica-style chain fixtures → (extra detail field rows,
+    golden merged lines, [(url, html)] secondary pages to emit). Golden
+    lines are composed from the raw values (never via the parser), in the
+    exact merge order: ``Notice`` parent field, ``notice.url``, notice
+    fields, then ``book.url`` + book fields when the notice links a book
+    (gallica.js:83-148)."""
+    notice_url = f"{base}/notice/{rec_id}"
+    prov = " ".join(rng.sample(WORDS, 2))
+    auteurs = [w.capitalize() for w in rng.sample(WORDS, rng.randint(1, 2))]
+    rows: list[tuple[str, list[str] | str]] = [
+        ("Provenance", prov),
+        ("Auteurs", auteurs),
+    ]
+    if rng.random() < 0.3:  # empty value → dropped (record.js:14-21)
+        rows.append(("Vide", ""))
+    # image: usually a fresh vignette; sometimes the record's own image,
+    # which the startswith guard must skip (gallica.js:108-114)
+    own_image = rng.random() < 0.3
+    img_src = (
+        f"/record/{rec_id}/zoom.jpg" if own_image else f"/vignette/{rec_id}.jpg"
+    )
+    has_book = rng.random() < 0.6
+    book_k = rng.randrange(n_books) if has_book else 0
+    book_href = f"/book/b{book_k}" if has_book else None
+    # the parent's own ``Notice\turl`` line comes from extra_rows via
+    # _render_detail; these are the post-merge additions only
+    lines = [
+        f"notice.url\t{notice_url}",
+        f"notice.Provenance\t{prov}",
+    ]
+    lines.extend(f"notice.Auteurs\t{a}" for a in auteurs)
+    if has_book:
+        book_url = f"{base}/book/b{book_k}"
+        lines.append(f"book.url\t{book_url}")
+        lines.extend(_book_lines(book_k))
+    pages = [
+        (notice_url, _render_notice_page(rows, img_src, book_href)),
+    ]
+    extra_rows = [("Notice", notice_url, notice_url)]
+    return extra_rows, lines, pages
+
+
+def _book_lines(k: int) -> list[str]:
+    return [f"book.Titre\tRecueil {k}", "book.Siecle\tXVIII"]
+
+
+def _render_book_page(k: int) -> str:
+    return _render_notice_page(
+        [("Titre", f"Recueil {k}"), ("Siecle", "XVIII")],
+        f"/bookimg/{k}.jpg",
+        None,
+    )
+
+
 def _render_search_json(count_known: int | None, links: list[str]) -> str:
     return json.dumps(
         {
@@ -307,7 +399,10 @@ def generate_site(spec: SiteSpec):
     ISO-8859-1 (ceres-mcu.js:121); ``seeds_per_host > 1`` splits a host's
     corpus across seed URLs to exercise the U1 rotation order.
     """
-    from crawler_spark.operators.extract import ConnectorConfig
+    from crawler_spark.operators.extract import (
+        ConnectorConfig,
+        SecondaryFetch,
+    )
 
     rng = random.Random(spec.seed)
     pages_rows = []
@@ -440,6 +535,11 @@ def generate_site(spec: SiteSpec):
 
         is_json = h in spec.json_hosts
         is_latin1 = h in spec.latin1_hosts
+        has_secondary = h in spec.secondary_hosts and not is_json
+        n_books = 3
+        if has_secondary:
+            for k in range(n_books):
+                emit(f"{base}/book/b{k}", _render_book_page(k), "")
         encoding = "latin-1" if is_latin1 else "utf-8"
         n_details = spec.details_per_host
         if spec.hot_host is not None and h == spec.hot_host:
@@ -457,6 +557,19 @@ def generate_site(spec: SiteSpec):
             )
             if is_json:
                 body, text, _ = _render_detail_json(rng, h, base, rid, rel)
+            elif has_secondary:
+                extra_rows, sec_lines, sec_pages = _gen_secondary(
+                    rng, base, rid, n_books
+                )
+                body, text, _ = _render_detail(
+                    rng, h, base, rid, rel, accents=is_latin1,
+                    extra_rows=extra_rows,
+                )
+                # golden = parent text + the merged chain lines, composed
+                # from raw values (never via the parser/merger)
+                text = "\n".join([text] + sec_lines)
+                for u, ph in sec_pages:
+                    emit(u, ph, "", encoding)
             else:
                 body, text, _ = _render_detail(
                     rng, h, base, rid, rel, accents=is_latin1
@@ -522,10 +635,27 @@ def generate_site(spec: SiteSpec):
                     "related_policy": POLICIES[h % len(POLICIES)],
                 }
             )
+        sec_chain = ()
+        if has_secondary:
+            sec_chain = (
+                SecondaryFetch(
+                    kind="notice", from_field="Notice",
+                    row_selector="div.notice",
+                    label_selector="span.notice-label",
+                    image_selector="img.grand",
+                ),
+                SecondaryFetch(
+                    kind="book", link_selector="div.appartient a",
+                    row_selector="div.notice",
+                    label_selector="span.notice-label",
+                    image_selector="img.grand",
+                ),
+            )
         connectors[f"c{h}"] = ConnectorConfig(
             connector_id=f"c{h}",
             body_format="json" if is_json else "html",
             encoding=encoding,
+            secondary_fetches=sec_chain,
         )
         pol_rows.append(
             {

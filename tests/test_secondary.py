@@ -125,6 +125,55 @@ def test_chain_stops_on_missing_page_but_records_url():
     assert "book.url" not in by
 
 
+def test_engine_secondary_parity(spark, tmp_path):
+    """Distributed path (per-hop fetch joins + chain merge in rounds.py)
+    matches the sequential replay oracle AND the generator-composed golden
+    text byte-for-byte on a site with a gallica-style secondary host."""
+    from crawler_spark.oracle.replay import replay
+    from crawler_spark.plans.rounds import CrawlEngine, EngineConfig
+    from crawler_spark.sources.sitegen import (
+        SiteSpec,
+        generate_site,
+        site_to_spark,
+    )
+
+    site = generate_site(
+        SiteSpec(n_hosts=2, details_per_host=12, limit=5,
+                 secondary_hosts=(1,))
+    )
+    sdfs = site_to_spark(spark, site)
+    pages = {r["url"]: r["html"] for _, r in site["pages"].iterrows()}
+    oracle = replay(pages, site["seeds"].to_dict("records"),
+                    site["connectors"])
+
+    res = CrawlEngine(
+        spark, sdfs["pages"], sdfs["seeds"], sdfs["politeness"],
+        EngineConfig(ckpt_dir=str(tmp_path / "ck"), default_budget=8),
+        connectors=site["connectors"],
+    ).run()
+    got = {r["url"]: r["text"] for r in res.webtext.collect()}
+    assert got == oracle.webtext
+    golden = {
+        r.url: r.text for r in site["pages"].itertuples() if r.url in got
+    }
+    assert got == golden  # generator-composed bytes, never via the parser
+
+    # merged fields and enrichment images surface in the record sink
+    recs = {r["url"]: r for r in res.records.collect()}
+    h1 = [r for u, r in recs.items() if u.startswith("http://h1.")]
+    with_notice = [
+        r for r in h1
+        if any(f["label"].startswith("notice.") for f in r["fields"])
+    ]
+    assert with_notice  # the chain ran distributed
+    o_imgs = {
+        u: [im["url"] for im in r["images"]]
+        for u, r in oracle.records.items()
+    }
+    for r in with_notice:
+        assert [im["url"] for im in r["images"]] == o_imgs[r["url"]]
+
+
 def test_no_chain_without_from_field():
     rec = extract_detail(
         b"<html><body><h1 class='title'>T</h1></body></html>", PARENT, CFG
