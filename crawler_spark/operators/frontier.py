@@ -63,7 +63,11 @@ def add_candidates(
     """
     from pyspark.sql import Window
 
-    cols = frontier.columns
+    # frontier frames are always FRONTIER-shaped — the static column list
+    # avoids `.columns` (which forces full analysis of the deep per-round
+    # plan), and the explicit selects make the positional unions safe
+    # (`unionByName` would re-analyze both children per call)
+    cols = [f.name for f in schemas.FRONTIER.fields]
     cand = candidates.select(*cols)
     cand_keys = cand.select("url_hash").distinct()
     contested = frontier.join(cand_keys, "url_hash", "left_semi")
@@ -76,13 +80,13 @@ def add_candidates(
         F.col("dfs_rank").asc(),
         F.col("round_added").asc(),
     )
-    pool = contested.unionByName(cand)
+    pool = contested.select(*cols).union(cand)
     deduped = (
         pool.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
-    return untouched.unionByName(deduped)
+    return untouched.select(*cols).union(deduped.select(*cols))
 
 
 def remove_popped(frontier: DataFrame, popped: DataFrame) -> DataFrame:

@@ -277,6 +277,8 @@ def enrich_secondaries(
         )
     sec_all = parsed_hops[0]
     for p in parsed_hops[1:]:
-        sec_all = sec_all.unionByName(p)
+        # hops share parse_hop's static output schema — positional union
+        # avoids unionByName's eager re-analysis of both children
+        sec_all = sec_all.union(p)
     out = merge_into_records(rec_rows_cid, sec_all)
     return out, caches

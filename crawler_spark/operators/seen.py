@@ -381,7 +381,9 @@ class BloomTable:
         )
 
     def load(self, spark: SparkSession, version: int) -> DataFrame:
-        return spark.read.parquet(self._vdir(version))
+        # explicit schema: skips the per-read footer-merge job (the loop
+        # loads the bitset table every round)
+        return spark.read.schema(self.SCHEMA).parquet(self._vdir(version))
 
     def _prune(self, keep_from: int) -> None:
         import os

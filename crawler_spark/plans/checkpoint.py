@@ -22,6 +22,20 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
+from crawler_spark import schemas as _schemas
+
+# checkpoint tables have FIXED schemas — reading with an explicit schema
+# skips the footer-merge job spark.read.parquet otherwise runs per read
+# (the crawl loop reads these dirs several times per round; the schema-
+# inference jobs were a measurable slice of per-round driver overhead)
+_TABLE_SCHEMAS = {
+    "frontier": _schemas.FRONTIER,
+    "seen_delta": _schemas.URL_SEEN,
+    "records_delta": _schemas.RECORDS,
+    "webtext_delta": _schemas.WEBTEXT,
+    "fetch_log_delta": _schemas.FETCH_LOG,
+}
+
 
 class Checkpointer:
     MANIFEST = "_manifest.json"
@@ -184,8 +198,16 @@ class Checkpointer:
                 shutil.rmtree(os.path.join(d, s), ignore_errors=True)
 
     # -- readers --------------------------------------------------------------
+    @staticmethod
+    def _reader(spark: SparkSession, name: str):
+        r = spark.read
+        sch = _TABLE_SCHEMAS.get(name)
+        return r.schema(sch) if sch is not None else r
+
     def load(self, spark: SparkSession, round_no: int, name: str) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.round_dir(round_no), name))
+        return self._reader(spark, name).parquet(
+            os.path.join(self.round_dir(round_no), name)
+        )
 
     def load_all_deltas(
         self,
@@ -223,7 +245,7 @@ class Checkpointer:
             paths.insert(0, compact_path)
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        return self._reader(spark, name).parquet(*paths)
 
     def manifest(self, round_no: int) -> dict:
         with open(os.path.join(self.round_dir(round_no), self.MANIFEST)) as fh:

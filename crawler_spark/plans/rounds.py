@@ -312,6 +312,15 @@ class CrawlEngine:
         bloom_enabled, seen_df, orig_aqe,
     ) -> CrawlResult:
         spark, cfg = self.spark, self.cfg
+        # whether fetched pages carry a lang column, decided ONCE from the
+        # run's inputs: live_fetch always emits `lang`, fixture mode
+        # inherits it from the pages table. Checking `details.columns` /
+        # `recs.columns` in the loop would force a full analysis of those
+        # deep plans every round.
+        has_lang = (
+            cfg.fetch_mode == "live"
+            or "lang" in set(self.pages.schema.fieldNames())
+        )
         while round_no < cfg.max_rounds:
             import time as _time
 
@@ -328,6 +337,11 @@ class CrawlEngine:
             # persist the pop result: the salting stage consumes it three
             # times (host counts, bucket total, the join) and would re-run
             # the window shuffle each time otherwise
+            # persist (NOT localCheckpoint): a cached plan keeps accurate
+            # Catalyst size statistics, so downstream joins against the
+            # bounded round batch stay auto-broadcast; a LogicalRDD from
+            # localCheckpoint reports defaultSizeInBytes and silently
+            # degrades them to shuffle joins (measured: 3x slower commits)
             popped_raw = pop_batch(
                 eligible,
                 self.politeness,
@@ -342,7 +356,6 @@ class CrawlEngine:
             # at small rounds costs more than the job itself.
             n_popped = popped_raw.count()
             if n_popped == 0:
-                popped_raw.unpersist()
                 # nothing eligible now — jump to the earliest FUTURE backoff
                 # round among robots-ALLOWED rows. Robots-disallowed rows are
                 # never popped and linger with not_before <= round_no; taking
@@ -587,7 +600,7 @@ class CrawlEngine:
                 "depth",
                 "kind",
                 "score",
-                *(["lang"] if "lang" in details.columns else []),
+                *(["lang"] if has_lang else []),
                 "warc_ts",
             )
             recs = (
@@ -649,7 +662,7 @@ class CrawlEngine:
                 "text",
                 *(
                     [F.col("lang")]
-                    if "lang" in recs.columns
+                    if has_lang
                     else [F.lit(None).cast("string").alias("lang")]
                 ),
                 "warc_ts",
@@ -689,8 +702,18 @@ class CrawlEngine:
             )
 
             # ---- J1: new candidates minus seen minus this round's fetches
-            cands = record_cands.unionByName(next_pages).unionByName(related_cands)
-            seen_plus = seen.unionByName(ok.select("url_hash"))
+            # positional unions over an enforced static column order:
+            # unionByName forces a full re-analysis of both (deep) children
+            # per call, a measurable slice of per-round driver wall
+            fr_cols = self._candidate_schema_cols()
+            cands = (
+                record_cands.select(*fr_cols)
+                .union(next_pages.select(*fr_cols))
+                .union(related_cands.select(*fr_cols))
+            )
+            seen_plus = seen.select("url_hash").union(
+                ok.select("url_hash")
+            )
             bloom_now = bloom_enabled(seen_count)
             bloom_v = (
                 self.bloom_table.latest_version() if bloom_now else None
@@ -757,7 +780,8 @@ class CrawlEngine:
                 ).cast("int"),
             )
             frontier_next = add_candidates(
-                remaining, fresh.unionByName(retry_rows)
+                remaining,
+                fresh.select(*fr_cols).union(retry_rows.select(*fr_cols)),
             )
 
             fetch_log = fetched.select(

@@ -48,6 +48,11 @@ class SiteSpec:
     msearch_hosts: tuple[int, ...] = ()  # S4 ES _msearch (joconde.js shape)
     graphql_hosts: tuple[int, ...] = ()  # S5 GraphQL (paris-musees.js shape)
     secondary_hosts: tuple[int, ...] = ()  # gallica notice→book chains
+    # only page-1-listed details carry related links: related expansion
+    # still crosses a round boundary (page-1 details fetched round r →
+    # relateds fetched r+1) but page-2 details add no third wave — keeps
+    # fixed-cost correctness crawls at their 3-round minimum
+    related_first_page_only: bool = False
     latin1_hosts: tuple[int, ...] = ()  # latin1 bodies (ceres-mcu.js:121)
     seeds_per_host: int = 1  # U1 seed-list rotation (vam.js:10-14,38-46)
     seed: int = 42
@@ -444,10 +449,23 @@ def generate_site(spec: SiteSpec):
                     str(900 + j) for j in range(1, spec.related_per_host + 1)
                 ]
             for rid in refs + rel_refs:
+                # under related_first_page_only the related→related edge is
+                # also cut (a related fetched in wave 2 must not discover a
+                # wave-3 URL)
+                rel_eligible = not spec.related_first_page_only or (
+                    rid in refs and refs.index(rid) < spec.limit
+                )
+                rel_of_rel = (
+                    [rel_refs[0]]
+                    if rid in rel_refs and rel_refs
+                    and not spec.related_first_page_only
+                    else []
+                )
                 rel = (
                     rng.sample(rel_refs, rng.randint(1, 2))
-                    if rel_refs and rid in refs and rng.random() < 0.3
-                    else ([rel_refs[0]] if rid in rel_refs and rel_refs else [])
+                    if rel_refs and rid in refs and rel_eligible
+                    and rng.random() < 0.3
+                    else rel_of_rel
                 )
                 if is_msearch:
                     body, text, _ = _render_detail_msearch(rng, base, rid, rel)
@@ -550,9 +568,12 @@ def generate_site(spec: SiteSpec):
 
         # related/detail pages
         for rid in detail_ids:
+            rel_eligible = (
+                not spec.related_first_page_only or int(rid) <= spec.limit
+            )
             rel = (
                 rng.sample(related_ids, rng.randint(1, 2))
-                if related_ids and rng.random() < 0.3
+                if rel_eligible and related_ids and rng.random() < 0.3
                 else []
             )
             if is_json:
