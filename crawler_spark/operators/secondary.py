@@ -236,6 +236,45 @@ def merge_into_records(rec_rows_cid: DataFrame, sec_all: DataFrame) -> DataFrame
     return joined.mapInPandas(_merge, RECORD_OUT_SCHEMA)
 
 
+def live_secondary_batch(
+    wave: DataFrame, politeness: DataFrame | None
+) -> DataFrame:
+    """Prepare a secondary-hop wave for LIVE fetching: per-host delay join
+    + hash-repartition by host so exactly ONE worker owns each host's
+    secondary requests — the same invariant as the main fetch stage
+    (rounds.py live pop path). Without it, a wave's rows for one host land
+    on k workers that each honor crawl-delay independently = k× the
+    allowed rate. Robots are deliberately NOT applied: secondary URLs are
+    connector-configured enrichment endpoints fetched unconditionally by
+    the reference (gallica.js:83-148), like image assets — they are never
+    frontier candidates."""
+    batch = wave.withColumn(
+        "host", F.regexp_extract("url", r"https?://([^/]+)", 1)
+    ).withColumn("kind", F.lit("secondary"))
+    if politeness is not None:
+        delays = politeness.select(
+            F.col("host").alias("__d_host"), F.col("crawl_delay_ms")
+        )
+        batch = (
+            batch.join(
+                F.broadcast(delays),
+                batch["host"] == F.col("__d_host"),
+                "left",
+            )
+            .drop("__d_host")
+            .withColumn(
+                "crawl_delay_ms",
+                F.coalesce(F.col("crawl_delay_ms"), F.lit(0)),
+            )
+        )
+    # hash-partition by host (not salted): a host's wave is one partition,
+    # so the in-worker delay bounds its aggregate request rate; ordering
+    # within the host is irrelevant for enrichment fetches
+    return batch.repartition(F.col("host")).sortWithinPartitions(
+        "host", "url"
+    )
+
+
 def enrich_secondaries(
     rec_rows: DataFrame,
     details_cid: DataFrame,
@@ -243,6 +282,7 @@ def enrich_secondaries(
     connectors: dict[str, ConnectorConfig],
     fetch_mode: str = "fixture",
     timeout_s: float = 60.0,
+    politeness: DataFrame | None = None,
 ) -> DataFrame:
     """Full per-round enrichment: seed hop-0 from parent fields, fetch-join
     + parse each hop, merge chains back into the records. Returns
@@ -261,11 +301,10 @@ def enrich_secondaries(
     parsed_hops: list[DataFrame] = []
     for hop in range(hops):
         if fetch_mode == "live":
-            batch = wave.withColumn(
-                "host", F.regexp_extract("url", r"https?://([^/]+)", 1)
-            ).withColumn("kind", F.lit("secondary"))
             fetched = live_fetch(
-                batch, timeout_s=timeout_s, connectors=connectors
+                live_secondary_batch(wave, politeness),
+                timeout_s=timeout_s,
+                connectors=connectors,
             )
         else:
             fetched = fixture_fetch(wave, pages)

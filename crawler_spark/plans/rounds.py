@@ -589,6 +589,7 @@ class CrawlEngine:
                     self.connectors,
                     fetch_mode=cfg.fetch_mode,
                     timeout_s=cfg.fetch_timeout_s,
+                    politeness=self.politeness,
                 )
             dmeta = details.select(
                 "url",

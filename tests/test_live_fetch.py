@@ -292,3 +292,69 @@ def test_live_post_crawl_parity(spark, post_site, post_server, tmp_path):
     assert search_bodies and all('"from":' in b for b in search_bodies)
     detail_bodies = [b for p, _, b in requests_seen if p != "/search"]
     assert detail_bodies and all('"term":{"REF":"' in b for b in detail_bodies)
+
+
+def test_live_secondary_chain_parity(spark, tmp_path):
+    """Full live-mode crawl over a gallica-style secondary host: the
+    notice→book enrichment hops go over REAL sockets (through
+    live_secondary_batch's per-host partitioning) and the merged webtext
+    byte-matches the sequential replay oracle."""
+    site = generate_site(
+        SiteSpec(n_hosts=1, details_per_host=6, limit=3,
+                 secondary_hosts=(0,))
+    )
+    by_path = {}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = by_path.get(self.path)
+            if body is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        # secondary URLs live in FIELD VALUES as absolute URLs
+        # (gallica.js:83-89), so the page bodies themselves must be
+        # rewritten onto the localhost base, not just the seeds
+        old = b"http://h0.example.test"
+        for r in site["pages"].itertuples():
+            path = r.url.split("example.test", 1)[1]
+            by_path[path] = bytes(r.html).replace(old, base.encode())
+
+        local = _localized(site, base)
+        sdfs = site_to_spark(spark, local)
+        cfg = EngineConfig(
+            ckpt_dir=str(tmp_path / "ck"), default_budget=8,
+            fetch_mode="live", fetch_timeout_s=10,
+        )
+        res = CrawlEngine(
+            spark, None, sdfs["seeds"], sdfs["politeness"], cfg,
+            connectors=site["connectors"],
+        ).run()
+
+        pages = {
+            r.url.replace("http://h0.example.test", base): bytes(
+                r.html
+            ).replace(old, base.encode())
+            for r in site["pages"].itertuples()
+        }
+        oracle = replay(
+            pages, local["seeds"].to_dict("records"), site["connectors"]
+        )
+        got = {r["url"]: r["text"] for r in res.webtext.collect()}
+        assert got == oracle.webtext
+        # the chain really ran over HTTP: merged notice lines are present
+        assert any("notice.url\t" in t for t in got.values())
+    finally:
+        srv.shutdown()

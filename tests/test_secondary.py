@@ -179,3 +179,39 @@ def test_no_chain_without_from_field():
         b"<html><body><h1 class='title'>T</h1></body></html>", PARENT, CFG
     )
     assert run_secondary_chain(rec, PARENT, {}.get, CFG) == []
+
+
+def test_live_secondary_batch_one_worker_per_host(spark):
+    """Live-mode secondary waves carry the same politeness invariant as the
+    main fetch stage: all of a host's hop URLs land in ONE partition (the
+    in-worker crawl-delay then bounds the host's aggregate rate), and the
+    per-host delay is joined on."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.secondary import live_secondary_batch
+
+    wave = spark.createDataFrame(
+        [
+            (f"http://h{h}.test/record/{i}", f"c{h}",
+             f"http://h{h}.test/notice/{i}")
+            for h in range(3)
+            for i in range(40)
+        ],
+        "parent_url string, connector_id string, url string",
+    )
+    politeness = spark.createDataFrame(
+        [("h0.test", 500), ("h1.test", 250)],
+        "host string, crawl_delay_ms int",
+    )
+    batch = live_secondary_batch(wave, politeness)
+    rows = (
+        batch.withColumn("pid", F.spark_partition_id())
+        .select("host", "pid", "crawl_delay_ms")
+        .collect()
+    )
+    per_host_pids = {}
+    for r in rows:
+        per_host_pids.setdefault(r["host"], set()).add(r["pid"])
+    assert all(len(p) == 1 for p in per_host_pids.values()), per_host_pids
+    delays = {r["host"]: r["crawl_delay_ms"] for r in rows}
+    assert delays == {"h0.test": 500, "h1.test": 250, "h2.test": 0}
