@@ -62,14 +62,18 @@ def brute_force_topk(
     raises unless ``allow_full_scan=True`` — use ``lsh_topk`` / ``ivf_topk``
     (the scale paths) instead. Deterministic tiebreak: (sim desc, id asc).
     """
-    n_corpus = corpus.count()
-    if n_corpus > BRUTE_FORCE_MAX_CORPUS and not allow_full_scan:
-        raise ValueError(
-            f"brute_force_topk: corpus has {n_corpus} rows — broadcasting it"
-            f" past {BRUTE_FORCE_MAX_CORPUS} would OOM and the per-query"
-            " full scan is quadratic. Use lsh_topk/ivf_topk, or pass"
-            " allow_full_scan=True if you really mean it."
-        )
+    if not allow_full_scan:
+        # bounded probe: limit(MAX+1) stops the scan at the threshold
+        # instead of counting the whole corpus (and allow_full_scan=True
+        # skips the job entirely — its result would be unused)
+        probe = corpus.limit(BRUTE_FORCE_MAX_CORPUS + 1).count()
+        if probe > BRUTE_FORCE_MAX_CORPUS:
+            raise ValueError(
+                f"brute_force_topk: corpus exceeds {BRUTE_FORCE_MAX_CORPUS}"
+                " rows — broadcasting it would OOM and the per-query full"
+                " scan is quadratic. Use lsh_topk/ivf_topk, or pass"
+                " allow_full_scan=True if you really mean it."
+            )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )

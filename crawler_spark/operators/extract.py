@@ -549,18 +549,23 @@ def extract_secondary(
         if not labs:
             continue
         lab = labs[0]
-        # $(label).next('span') — the next element sibling that is a span
+        # $(label).next('span') — jQuery's .next(sel) takes ONLY the
+        # immediately following element sibling and drops it if the
+        # selector doesn't match; scanning further ahead would invent
+        # fields the reference never emits (e.g. label <br> span)
         sibs = (
             [c for c in lab.parent.children if isinstance(c, Node)]
             if lab.parent is not None
             else []
         )
         idx = next((i for i, s in enumerate(sibs) if s is lab), None)
-        span = (
-            next((s for s in sibs[idx + 1:] if s.tag == "span"), None)
-            if idx is not None
-            else None
-        )
+        span = None
+        if (
+            idx is not None
+            and idx + 1 < len(sibs)
+            and sibs[idx + 1].tag == "span"
+        ):
+            span = sibs[idx + 1]
         if span is None:
             continue
         label = lab.text().strip()
@@ -1052,6 +1057,10 @@ def extract_links_batch(
     yield from extract_links_batch_for({None: cfg})(it)
 
 
+RECORD_OUT_COLS = [
+    "url", "record_id", "text", "keep", "fields", "images",
+    "related_urls", "raw",
+]
 RECORD_OUT_SCHEMA = (
     "url string, record_id string, text string, keep boolean, "
     "fields array<struct<label:string, values:array<string>>>, "

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from crawler_spark.operators.extract import (
+    RECORD_OUT_COLS,
     RECORD_OUT_SCHEMA,
     ConnectorConfig,
     extract_secondary,
@@ -292,10 +293,25 @@ def enrich_secondaries(
     hops = chain_len(connectors)
     if hops == 0:
         return rec_rows, []
-    # the extracted records feed THREE lineage branches (hop-0 wave, each
+    # only connectors that CONFIGURE a chain go through the Arrow merge;
+    # every other connector's records pass through untouched — without the
+    # split, one chained connector out of N would drag ALL records through
+    # a per-round Python round-trip whose chain is always null
+    chain_cids = [
+        cid
+        for cid, c in (connectors or {}).items()
+        if getattr(c, "secondary_fetches", ())
+    ]
+    rec_cid = rec_rows.join(details_cid, "url")
+    passthrough = rec_cid.where(
+        ~F.col("connector_id").isin(chain_cids)
+    ).select(*RECORD_OUT_COLS)
+    # the chained records feed THREE lineage branches (hop-0 wave, each
     # later hop's wave transitively, and the final merge input) — persist
     # once or the extraction mapInPandas re-executes per branch
-    rec_rows_cid = rec_rows.join(details_cid, "url").persist()
+    rec_rows_cid = rec_cid.where(
+        F.col("connector_id").isin(chain_cids)
+    ).persist()
     caches: list[DataFrame] = [rec_rows_cid]
     wave = seed_wave(rec_rows_cid, connectors)
     parsed_hops: list[DataFrame] = []
@@ -319,5 +335,7 @@ def enrich_secondaries(
         # hops share parse_hop's static output schema — positional union
         # avoids unionByName's eager re-analysis of both children
         sec_all = sec_all.union(p)
-    out = merge_into_records(rec_rows_cid, sec_all)
+    # both sides are RECORD_OUT_SCHEMA-ordered (merge's mapInPandas schema
+    # == rec_rows' extractor schema; drop() preserved the left order)
+    out = merge_into_records(rec_rows_cid, sec_all).union(passthrough)
     return out, caches

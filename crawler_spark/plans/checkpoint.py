@@ -72,6 +72,17 @@ class Checkpointer:
                 total += int(json.load(fh).get("metrics", {}).get(name, 0) or 0)
         return total
 
+    def wipe(self) -> None:
+        """Remove ALL committed state (round dirs + compacts) — the fresh-
+        start path (``run(resume=False)`` over an existing checkpoint).
+        Without it, a shorter re-run overwrites only rounds 0..k while
+        stale rounds k+1..n stay committed: ``load_all_deltas`` would union
+        them into the outputs and a later resume would continue the OLD
+        crawl from its round-n frontier."""
+        for d in list(os.listdir(self.root)):
+            if d.startswith("round=") or d == "compact":
+                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+
     def cleanup_partial(self) -> None:
         """Remove round dirs that never committed (kill mid-round)."""
         latest = self.latest_round()

@@ -217,6 +217,21 @@ class CrawlEngine:
         """
         spark, cfg = self.spark, self.cfg
         self.ckpt.cleanup_partial()
+        if not resume and self.ckpt.latest_round() is not None:
+            # fresh start over an existing checkpoint (cli --no-resume /
+            # --force): wipe committed rounds, compacts, and the bitset
+            # table — otherwise stale rounds beyond this run's last round
+            # contaminate the assembled outputs and hijack later resumes
+            self.ckpt.wipe()
+            import shutil as _sh
+
+            _sh.rmtree(self.bloom_table.root, ignore_errors=True)
+            if cfg.bloom_partitions is None:
+                self.bloom_table = BloomTable.adopt(self.bloom_table.root)
+            else:
+                self.bloom_table = BloomTable(
+                    self.bloom_table.root, cfg.bloom_partitions
+                )
         latest = self.ckpt.latest_round() if resume else None
         metrics_log: list[dict] = []
 
@@ -272,7 +287,17 @@ class CrawlEngine:
 
         def seen_df() -> DataFrame:
             if cfg.force:
-                return self._empty(schemas.URL_SEEN)
+                # --force ignores PRE-RUN history only: pages fetched by
+                # THIS forced run become seen again, so a URL re-discovered
+                # later in the same run (related link, second seed) is not
+                # re-fetched — the reference analog is --force refetching
+                # once, after which the rewritten file short-circuits repeat
+                # encounters (base.js:135-138,165). Always-empty here would
+                # loop forever on cyclic related graphs.
+                d = self.ckpt.load_all_deltas(
+                    spark, "seen_delta", after=start_latest
+                )
+                return d if d is not None else self._empty(schemas.URL_SEEN)
             if recrawl_hashes is None:
                 d = self.ckpt.load_all_deltas(spark, "seen_delta")
                 return d if d is not None else self._empty(schemas.URL_SEEN)
@@ -294,6 +319,16 @@ class CrawlEngine:
                 d = d.unionByName(p)
             return d
 
+        def all_seen_df() -> DataFrame:
+            # UNFILTERED deltas, for Bloom builds only: the bitsets may
+            # over-approximate (force-excluded / revoked hashes included) —
+            # the safe direction, since a bloom hit only routes the row to
+            # the exact confirm against seen_df(), the filtered truth. An
+            # under-approximating bloom built from the filtered view would
+            # go stale the moment a later resume drops the force flag.
+            d = self.ckpt.load_all_deltas(spark, "seen_delta")
+            return d if d is not None else self._empty(schemas.URL_SEEN)
+
         # session AQE setting, restored on exit; per-round the engine
         # toggles it off below cfg.aqe_min_batch popped URLs (see field doc)
         orig_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
@@ -301,7 +336,7 @@ class CrawlEngine:
             return self._run_rounds(
                 frontier, round_no, latest, last_committed, start_latest,
                 seen_count, metrics_log, recrawl_hashes,
-                bloom_enabled, seen_df, orig_aqe,
+                bloom_enabled, seen_df, all_seen_df, orig_aqe,
             )
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", orig_aqe)
@@ -309,7 +344,7 @@ class CrawlEngine:
     def _run_rounds(
         self, frontier, round_no, latest, last_committed, start_latest,
         seen_count, metrics_log, recrawl_hashes,
-        bloom_enabled, seen_df, orig_aqe,
+        bloom_enabled, seen_df, all_seen_df, orig_aqe,
     ) -> CrawlResult:
         spark, cfg = self.spark, self.cfg
         # whether fetched pages carry a lang column, decided ONCE from the
@@ -356,6 +391,7 @@ class CrawlEngine:
             # at small rounds costs more than the job itself.
             n_popped = popped_raw.count()
             if n_popped == 0:
+                popped_raw.unpersist()
                 # nothing eligible now — jump to the earliest FUTURE backoff
                 # round among robots-ALLOWED rows. Robots-disallowed rows are
                 # never popped and linger with not_before <= round_no; taking
@@ -823,10 +859,15 @@ class CrawlEngine:
                 },
                 metrics,
                 stats_cb=_round_stats_from_written,
-                # records+webtext share the unmaterialized `recs` cache —
-                # one thread writes both so the extract runs once; the
-                # other three tables ride already-materialized caches
-                groups=(("records_delta", "webtext_delta"),),
+                # records, webtext AND the frontier share the
+                # unmaterialized `recs` cache (frontier_next ←
+                # related_cands ← recs, which with live secondary chains
+                # even contains HTTP side effects) — one thread writes all
+                # three so the extract/enrich lineage runs exactly once;
+                # seen_delta + fetch_log ride the materialized `fetched`
+                groups=(
+                    ("records_delta", "webtext_delta", "frontier"),
+                ),
             )
             # commit + bloom maintenance run AFTER round_wall_s is stamped
             # (they materialize the round's lineage); time them separately
@@ -879,7 +920,7 @@ class CrawlEngine:
                             self.bloom_table._deleted_hashes
                         )
                         self.bloom_table = resized
-                    self.bloom_table.build(seen_df(), version=round_no)
+                    self.bloom_table.build(all_seen_df(), version=round_no)
                 else:
                     self.bloom_table.update(
                         spark,

@@ -79,3 +79,35 @@ def test_cuckoo_roundtrip_and_vectorized_contains():
     # delete revokes membership
     assert cf.delete(int(hashes[0]))
     assert not cf.contains(int(hashes[0]))
+
+
+def test_force_does_not_refetch_within_run(spark, tmp_path):
+    """--force ignores PRE-RUN history only: a URL fetched earlier in the
+    SAME forced run is seen again (reference: the refetched file's rewrite
+    re-arms the skip-if-exists check — base.js:135-138,165). Every URL is
+    fetched exactly once in the forced run."""
+    site = generate_site(SPEC)
+    sdfs = site_to_spark(spark, site)
+    forced = _engine(spark, sdfs, str(tmp_path / "ckf3"), force=True).run()
+    fetched = [r["url"] for r in forced.fetch_log.collect()]
+    assert len(fetched) == len(set(fetched)), "URL fetched twice under force"
+
+
+def test_fresh_start_wipes_stale_rounds(spark, tmp_path):
+    """run(resume=False) over an existing checkpoint removes the old run's
+    committed rounds: the assembled outputs contain ONLY the new run's
+    rows, and a later resume continues the NEW crawl, not the old one."""
+    site = generate_site(SPEC)
+    sdfs = site_to_spark(spark, site)
+    ck = str(tmp_path / "ckw")
+    first = _engine(spark, sdfs, ck).run()
+    n = first.records.count()
+    rounds_first = first.rounds
+
+    fresh = _engine(spark, sdfs, ck, force=True).run(resume=False)
+    # no stale union: exactly one record row per record, not two
+    assert fresh.records.count() == n
+    assert fresh.rounds <= rounds_first
+    # resume after the fresh run continues IT (no new fetches needed)
+    again = _engine(spark, sdfs, ck).run()
+    assert again.records.count() == n

@@ -215,3 +215,18 @@ def test_live_secondary_batch_one_worker_per_host(spark):
     assert all(len(p) == 1 for p in per_host_pids.values()), per_host_pids
     delays = {r["host"]: r["crawl_delay_ms"] for r in rows}
     assert delays == {"h0.test": 500, "h1.test": 250, "h2.test": 0}
+
+
+def test_next_span_immediate_sibling_only():
+    """jQuery .next('span') (gallica.js:92-103) matches ONLY the immediate
+    next element sibling: an intervening <br> drops the field; whitespace
+    text nodes between label and span do not count as siblings."""
+    html = b"""<html><body>
+    <div class="notice"><span class="notice-label">Broken</span><br><span>v</span></div>
+    <div class="notice"><span class="notice-label">Spaced</span>
+      <span>w</span></div>
+    </body></html>"""
+    got = extract_secondary(
+        html, "http://h0.example.test/notice/9", NOTICE_SF, CFG, PARENT
+    )
+    assert got["fields"] == [("notice.Spaced", "w")]
