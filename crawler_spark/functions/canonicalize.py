@@ -145,7 +145,10 @@ _FAST_RE = re.compile(
     r"^https?://"
     r"[a-z0-9-]+(?:\.[a-z0-9-]+)*"  # lowercase host, no trailing/empty label
     r"/[A-Za-z0-9\-._~!$&'()*+,;=:@/]*"  # path: unreserved+sub-delims, no %/#
-    r"(?:\?[A-Za-z0-9\-._~!$&'()*+,;=:@/?]*)?$",
+    # \Z, not $: '$' would match BEFORE a trailing newline, letting
+    # "http://h.io/\n" take the fast path unstripped while the slow path
+    # trims it — two url_hash identities for one resource
+    r"(?:\?[A-Za-z0-9\-._~!$&'()*+,;=:@/?]*)?\Z",
     re.ASCII,
 )
 
@@ -153,11 +156,18 @@ _FAST_RE = re.compile(
 def _canonical_fixed_point_mask(url: pd.Series, base: pd.Series) -> pd.Series:
     """Rows that are provably already canonical (vectorized str ops only)."""
     mask = url.str.match(_FAST_RE, na=False)
-    # dot-segments would be rewritten
-    mask &= ~url.str.contains("/./", regex=False, na=True)
-    mask &= ~url.str.contains("/../", regex=False, na=True)
+    # dot-segments would be rewritten — checked on the PATH part only:
+    # whole-string endswith misses a terminal dot-segment followed by a
+    # query ("/a/..?x=1"), which the slow path rewrites, so fast/slow would
+    # give the same resource two url_hash identities. (_FAST_RE guarantees
+    # the first '?' starts the query; dot-segments inside the query are
+    # NOT rewritten by canonicalize_url, so restricting to the path is
+    # also the tighter, still-correct check.)
+    path = url.str.split("?", n=1).str[0]
+    mask &= ~path.str.contains("/./", regex=False, na=True)
+    mask &= ~path.str.contains("/../", regex=False, na=True)
     mask &= ~(
-        url.str.endswith("/.", na=True) | url.str.endswith("/..", na=True)
+        path.str.endswith("/.", na=True) | path.str.endswith("/..", na=True)
     )
     # empty query would be dropped
     mask &= ~url.str.endswith("?", na=True)

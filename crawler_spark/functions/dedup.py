@@ -258,6 +258,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """shingle → minhash → band → bucket-join → exact-Jaccard verify.
 
@@ -265,6 +266,11 @@ def minhash_lsh_pairs(
     exactly. Candidates from bucket equi-joins only (no cross join); each
     candidate pair is then verified with exact n-gram Jaccard so the output
     is deterministic (LSH affects recall, never precision).
+
+    The per-doc gram/signature frame is persisted (consumed by both the
+    banding and the verify join); pass ``cache_registry`` to receive it so
+    the caller can unpersist after materializing the output — repeated
+    invocations in one session would otherwise accumulate cached blocks.
     """
     rows_per_band = n_hashes // bands
     # One codegen'd pass builds BOTH the per-doc distinct-gram set and the
@@ -280,6 +286,8 @@ def minhash_lsh_pairs(
             for i in range(n_hashes)
         ],
     ).persist()
+    if cache_registry is not None:
+        cache_registry.append(per_doc)
     grams_df = per_doc.select("id", "grams")
     sig = per_doc.select(
         "id", F.array(*[f"__m{i}" for i in range(n_hashes)]).alias("sig")
@@ -576,6 +584,7 @@ def minhash_lsh_pairs_md5(
     threshold: float = 0.7,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup with md5 hashing — the oracle-checkable variant.
 
@@ -608,6 +617,8 @@ def minhash_lsh_pairs_md5(
             for i in range(n_hashes)
         ],
     ).persist()
+    if cache_registry is not None:
+        cache_registry.append(per_doc)
     grams_df = per_doc.select("id", "grams")
     sig = per_doc.select(
         "id", F.array(*[f"__m{i}" for i in range(n_hashes)]).alias("sig")

@@ -94,11 +94,25 @@ def image_dimensions(data: bytes) -> tuple[int | None, int | None]:
             while i + 9 < len(data):
                 if data[i] != 0xFF:
                     break
+                # 0xFF fill bytes before a marker are legal padding —
+                # consuming them as a marker start would read the real
+                # marker byte as a length high byte and jump off into
+                # garbage (bogus or lost dimensions)
+                j = i
+                while j + 9 < len(data) and data[j + 1] == 0xFF:
+                    j += 1
+                i = j
                 code = data[i + 1]
                 if 0xC0 <= code <= 0xCF and code not in (0xC4, 0xC8, 0xCC):
                     h = int.from_bytes(data[i + 5 : i + 7], "big")
                     w = int.from_bytes(data[i + 7 : i + 9], "big")
                     return w, h
+                if code in (0x01, 0xD8) or 0xD0 <= code <= 0xD7:
+                    # standalone markers carry no length field
+                    i += 2
+                    continue
+                if code == 0xD9:  # EOI — no SOF seen
+                    break
                 i += 2 + int.from_bytes(data[i + 2 : i + 4], "big")
     except (IndexError, ValueError):
         pass

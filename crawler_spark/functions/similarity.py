@@ -215,7 +215,6 @@ def _kmeans_centroids(
     then Lloyd iterations where assignment is a broadcast numpy argmin in a
     pandas UDF and the centroid update is a DataFrame aggregation
     (posexplode dims → avg) — the shape that scales to 10^9 vectors."""
-    spark = df.sparkSession
     init = (
         df.orderBy(F.col(id_col).asc())
         .limit(n_cells)
@@ -236,10 +235,8 @@ def _kmeans_centroids(
             .collect()
         )
         nxt = centroids.copy()  # empty cells keep their previous centroid
-        seen_cells = set()
         for r in rows:
             nxt[r["cell"], r["pos"]] = r["m"]
-            seen_cells.add(r["cell"])
         centroids = nxt
     return centroids
 

@@ -66,7 +66,11 @@ def docx_to_html(data: bytes) -> str:
             cells: list[dict] = []
             for tc in tr.iter(_W + "tc"):
                 span = tc.find(f"{_W}tcPr/{_W}gridSpan")
-                colspan = int(span.get(_W + "val")) if span is not None else 1
+                # a <w:gridSpan/> with no w:val means 1 (mammoth's default);
+                # int(None) would crash the whole Arrow batch
+                colspan = (
+                    int(span.get(_W + "val") or 1) if span is not None else 1
+                )
                 vm = tc.find(f"{_W}tcPr/{_W}vMerge")
                 vmerge = (
                     (vm.get(_W + "val") or "continue")

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from crawler_spark.functions.canonicalize import canonicalize_urls_udf
+from crawler_spark.functions.canonicalize import with_canonical_url
 
 
 CANDIDATE_STREAM_SCHEMA = (
@@ -41,14 +41,11 @@ def candidates_from_stream(
     Works on any streaming DataFrame with CANDIDATE_STREAM_SCHEMA (file
     source, Kafka after ``from_json``, rate source for tests).
     """
-    canon = canonicalize_urls_udf(drop_params)
+    # the SAME canonicalize→hash→host derivation as the batch round loop
+    # (with_canonical_url), so the streaming feed and the crawl share one
+    # seen-set identity — re-implementing the expressions here could drift
     out = (
-        stream.withColumn(
-            "url", canon(F.col("url"), F.lit(None).cast("string"))
-        )
-        .where(F.col("url").isNotNull())
-        .withColumn("url_hash", F.xxhash64("url"))
-        .withColumn("host", F.lower(F.parse_url(F.col("url"), F.lit("HOST"))))
+        with_canonical_url(stream, drop_params=drop_params)
         .withWatermark("discovered_ts", watermark)
         .dropDuplicatesWithinWatermark(["url_hash"])
     )

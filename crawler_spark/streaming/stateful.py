@@ -9,9 +9,14 @@ when a host goes quiet for ``gap`` of EVENT time (watermark-driven timeout,
 not wall clock), emit one session-summary row and drop the state — a manual
 session window, the canonical applyInPandasWithState shape.
 
-State per host is O(1) (start/end/count), so state size is bounded by the
-number of live hosts regardless of feed volume — the property that lets
-this run unbounded on a cluster.
+State per host is the list of OPEN session intervals (start/end/count
+triples). A session closes only once the WATERMARK passes its
+``end + gap`` — an observed later event is not proof of a quiet gap,
+because an out-of-order event inside the watermark delay may still arrive
+and bridge it. Open intervals per host are bounded by
+``watermark_delay / gap + 1`` (older intervals are closed as the watermark
+sweeps past), so state stays O(live hosts) — the property that lets this
+run unbounded on a cluster.
 """
 
 from __future__ import annotations
@@ -22,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StringType,
     StructField,
@@ -40,9 +46,9 @@ SESSION_SCHEMA = StructType(
 
 _STATE_SCHEMA = StructType(
     [
-        StructField("start_ms", LongType()),
-        StructField("end_ms", LongType()),
-        StructField("n", LongType()),
+        StructField("starts", ArrayType(LongType())),
+        StructField("ends", ArrayType(LongType())),
+        StructField("ns", ArrayType(LongType())),
     ]
 )
 
@@ -52,60 +58,58 @@ def _session_fn(gap_ms: int):
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
         (host,) = key
-        if state.hasTimedOut:
-            start_ms, end_ms, n = state.get
-            state.remove()
-            yield pd.DataFrame(
-                {
-                    "host": [host],
-                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
-                    "session_end": [pd.Timestamp(end_ms, unit="ms")],
-                    "n_candidates": [n],
-                }
-            )
-            return
-        pts: list[int] = []
-        for pdf in pdfs:
-            pts.extend(
-                int(v) // 1_000_000 for v in pdf["discovered_ts"].astype("int64")
-            )
-        pts.sort()
-        # cluster this batch's events on event-time gaps
-        clusters: list[list[int]] = []  # [start_ms, end_ms, n]
-        for p in pts:
-            if clusters and p - clusters[-1][1] <= gap_ms:
-                clusters[-1][1] = p
-                clusters[-1][2] += 1
-            else:
-                clusters.append([p, p, 1])
-        if not clusters:
-            # no new rows and no timeout: nothing to do (keep state as-is)
-            yield pd.DataFrame(
-                {"host": [], "session_start": [], "session_end": [],
-                 "n_candidates": []}
-            )
-            return
-        closed: list[tuple[int, int, int]] = []
+        wm = state.getCurrentWatermarkMs()
+
+        # open intervals from state + this batch's points, re-merged on the
+        # event-time gap. Merging is NOT a close decision: an interval
+        # closes only when the watermark has passed end + gap — a later
+        # event observed in this batch does not prove the gap, since an
+        # out-of-order event within the watermark delay could still arrive
+        # and bridge it.
+        intervals: list[list[int]] = []
         if state.exists:
-            start_ms, end_ms, n = state.get
-            if clusters and clusters[0][0] - end_ms <= gap_ms:
-                c = clusters[0]
-                clusters[0] = [min(start_ms, c[0]), max(end_ms, c[1]), n + c[2]]
+            starts, ends, ns = state.get
+            intervals = [[s0, e0, n0] for s0, e0, n0 in zip(starts, ends, ns)]
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                intervals.extend(
+                    [int(v) // 1_000_000] * 2 + [1]
+                    for v in pdf["discovered_ts"].astype("int64")
+                )
+        intervals.sort(key=lambda iv: (iv[0], iv[1]))
+        merged: list[list[int]] = []
+        for iv in intervals:
+            if merged and iv[0] - merged[-1][1] <= gap_ms:
+                merged[-1][1] = max(merged[-1][1], iv[1])
+                merged[-1][2] += iv[2]
             else:
-                # the new events (all past the stored end, watermark-bounded)
-                # prove the quiet gap — the stored session closes NOW
-                closed.append((start_ms, end_ms, n))
-        closed.extend((c[0], c[1], c[2]) for c in clusters[:-1])
-        last = clusters[-1]
-        state.update((last[0], last[1], last[2]))
-        # event-time timeout: fires once the WATERMARK passes end + gap
-        state.setTimeoutTimestamp(last[1] + gap_ms)
+                merged.append(list(iv))
+
+        closed = [iv for iv in merged if iv[1] + gap_ms <= wm]
+        open_ = [iv for iv in merged if iv[1] + gap_ms > wm]
+        if open_:
+            state.update((
+                [iv[0] for iv in open_],
+                [iv[1] for iv in open_],
+                [iv[2] for iv in open_],
+            ))
+            # fire when the watermark passes the EARLIEST open close-point
+            # (must be strictly past the current watermark to be accepted)
+            state.setTimeoutTimestamp(
+                max(min(iv[1] + gap_ms for iv in open_), wm + 1)
+            )
+        elif state.exists:
+            state.remove()
         yield pd.DataFrame(
             {
                 "host": [host] * len(closed),
-                "session_start": [pd.Timestamp(s, unit="ms") for s, _, _ in closed],
-                "session_end": [pd.Timestamp(e, unit="ms") for _, e, _ in closed],
-                "n_candidates": [c for _, _, c in closed],
+                "session_start": [
+                    pd.Timestamp(s0, unit="ms") for s0, _, _ in closed
+                ],
+                "session_end": [
+                    pd.Timestamp(e0, unit="ms") for _, e0, _ in closed
+                ],
+                "n_candidates": [n0 for _, _, n0 in closed],
             }
         )
 

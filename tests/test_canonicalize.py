@@ -99,6 +99,9 @@ def test_fast_path_equals_slow_path():
         "HTTP://Example.COM:80/a/../b?x=1#f",
         "http://h.io/a/./b",
         "http://h.io/a/..",
+        "http://h.io/a/..?x=1",  # terminal dot-segment BEFORE a query
+        "http://h.io/.?x=1",
+        "http://h.io/a/./b?x=1",
         "http://host",  # no path → '/'
         "http://user@host/p",  # userinfo stripped by urlsplit
         "http://h.io/p?",  # empty query dropped

@@ -194,6 +194,24 @@ def test_multimodal_sniff_and_decode(spark):
     assert image_dimensions(bad) == (None, None)
     assert image_dimensions(PNG_64x32[:10]) == (None, None)  # truncated
 
+    # JPEG marker-scan edge cases: 0xFF fill padding before a segment and
+    # standalone (length-less) markers are legal and must not derail the
+    # scan into garbage offsets
+    def _seg(marker, payload):
+        return (
+            bytes([0xFF, marker])
+            + (len(payload) + 2).to_bytes(2, "big")
+            + payload
+        )
+
+    sof = _seg(
+        0xC0,
+        b"\x08" + (256).to_bytes(2, "big") + (128).to_bytes(2, "big") + b"\x03",
+    )
+    app0 = _seg(0xE0, b"JFIF\x00")
+    assert image_dimensions(b"\xff\xd8" + app0 + b"\xff" + sof) == (128, 256)
+    assert image_dimensions(b"\xff\xd8" + b"\xff\x01" + sof) == (128, 256)
+
     df = spark.createDataFrame(
         [
             ("u1", bytearray(JPEG_128x256)),

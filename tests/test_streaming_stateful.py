@@ -59,3 +59,56 @@ def test_host_sessions_close_on_event_time_gap(spark, tmp_path):
     assert h0["n_candidates"] == 3
     assert h0["session_start"].second == 0 and h0["session_end"].second == 10
     assert rows["h1"]["n_candidates"] == 1
+
+
+def test_late_event_within_watermark_bridges_session(spark, tmp_path):
+    """A session must close on the WATERMARK passing end+gap, not on merely
+    observing a later event: with gap=30s and watermark=80s, an event at
+    t=100s does NOT close the [t=0] session, because a late event (t=25s,
+    inside the watermark delay) can still arrive and extend it. The late
+    event must join the FIRST session, never the [t=100] one (their quiet
+    gap is 75s > 30s)."""
+    from crawler_spark.streaming.stateful import host_sessions
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt"
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "host string, discovered_ts timestamp"
+        ).json(str(src))
+        sessions = host_sessions(stream, gap="30 seconds",
+                                 watermark="80 seconds")
+        got: list = []
+        q = (
+            sessions.writeStream.foreachBatch(
+                lambda df, _eid: got.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    out = []
+    _write_batch(src, [{"host": "h0", "discovered_ts": "2026-01-01 00:00:00"}])
+    out += run_once()
+    _write_batch(src, [{"host": "h0", "discovered_ts": "2026-01-01 00:01:40"}])
+    out += run_once()
+    # late by 75s — inside the 80s watermark delay, must still count
+    _write_batch(src, [{"host": "h0", "discovered_ts": "2026-01-01 00:00:25"}])
+    out += run_once()
+    # flush: advances the watermark far past both sessions' close points
+    _write_batch(src, [{"host": "h0", "discovered_ts": "2026-01-01 00:10:00"}])
+    out += run_once()
+
+    sess = sorted(
+        ((r["session_start"].minute, r["session_start"].second,
+          r["session_end"].second, r["n_candidates"]) for r in out)
+    )
+    # [00:00:00 .. 00:00:25] n=2 (late event merged into the FIRST session)
+    # and [00:01:40] n=1 — NOT [00:00:25 .. 00:01:40]
+    assert sess == [(0, 0, 25, 2), (1, 40, 40, 1)], out
