@@ -76,14 +76,28 @@ def load_connectors(path: str | None):
         return None
     from crawler_spark.operators.extract import ConnectorConfig
 
+    from crawler_spark.operators.extract import SecondaryFetch
+
     with open(path) as fh:
         raw = json.load(fh)
     out = {}
     for cid, kv in raw.items():
         kv = dict(kv)
         kv.setdefault("connector_id", cid)
+        # JSON carries lists/dicts; the config dataclasses want their
+        # declared types — secondary_fetches especially, whose hops are
+        # attribute-accessed (sfs[0].from_field) inside executor closures
         if "drop_params" in kv:
             kv["drop_params"] = frozenset(kv["drop_params"])
+        if "skip_keys" in kv:
+            kv["skip_keys"] = frozenset(kv["skip_keys"])
+        if "strip_params" in kv:
+            kv["strip_params"] = tuple(kv["strip_params"])
+        if "secondary_fetches" in kv:
+            kv["secondary_fetches"] = tuple(
+                sf if isinstance(sf, SecondaryFetch) else SecondaryFetch(**sf)
+                for sf in kv["secondary_fetches"]
+            )
         out[cid] = ConnectorConfig(**kv)
     return out
 

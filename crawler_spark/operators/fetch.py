@@ -208,9 +208,19 @@ def live_fetch(
             out = {c: [] for c in in_cols if c != "__delay_ms"}
             out.update({"body": [], "warc_ts": [], "lang": [],
                         "status": [], "bytes": []})
-            for row in pdf.itertuples(index=False):
-                host = getattr(row, "host", "")
-                delay = getattr(row, "__delay_ms", 0) or 0
+            # plain tuples + a name→position map: named itertuples RENAMES
+            # underscore-prefixed columns to positional _N, which silently
+            # turned getattr(row, "__delay_ms", 0) into a constant 0 — the
+            # crawl-delay was never enforced
+            ci = {c: i for i, c in enumerate(pdf.columns)}
+            host_i = ci.get("host")
+            delay_i = ci.get("__delay_ms")
+            kind_i = ci.get("kind")
+            cid_i = ci.get("connector_id")
+            url_i = ci["url"]
+            for row in pdf.itertuples(index=False, name=None):
+                host = row[host_i] if host_i is not None else ""
+                delay = (row[delay_i] or 0) if delay_i is not None else 0
                 if delay and host in last_hit:
                     wait = last_hit[host] + delay / 1000.0 - _time.monotonic()
                     if wait > 0:
@@ -218,12 +228,16 @@ def live_fetch(
                 body, status = None, -1
                 try:
                     cfg = (
-                        connectors.get(getattr(row, "connector_id", None))
+                        connectors.get(
+                            row[cid_i] if cid_i is not None else None
+                        )
                         if connectors
                         else None
                     )
                     send_url, data, extra = build_request(
-                        row.url, getattr(row, "kind", "record"), cfg
+                        row[url_i],
+                        row[kind_i] if kind_i is not None else "record",
+                        cfg,
                     )
                     req = urllib.request.Request(
                         send_url,
@@ -252,7 +266,7 @@ def live_fetch(
                     elif c == "bytes":
                         out[c].append(len(body) if body is not None else 0)
                     else:
-                        out[c].append(getattr(row, c))
+                        out[c].append(row[ci[c]])
             yield pd.DataFrame(out)
 
     return inp.mapInPandas(_fetch, out_schema)

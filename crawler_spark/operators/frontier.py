@@ -73,7 +73,12 @@ def add_candidates(
     contested = frontier.join(cand_keys, "url_hash", "left_semi")
     untouched = frontier.join(cand_keys, "url_hash", "left_anti")
 
+    # connector_id leads the order: the reference runs connectors
+    # sequentially in id order, so a URL listed by TWO connectors is
+    # visited (and attributed) by the lexicographically first one — and it
+    # doubles as the deterministic tiebreaker for otherwise-equal tuples
     w = Window.partitionBy("url_hash").orderBy(
+        F.col("connector_id").asc(),
         F.col("seed_idx").asc(),
         F.col("page_no").asc(),
         F.col("in_page_idx").asc(),

@@ -108,7 +108,11 @@ def salted_host_repartition(
     — k× the allowed request rate. A rate-limited host cannot be fetched
     faster than 1/delay anyway, so the lost parallelism is not real.
     """
-    counts = batch.groupBy("host").count().persist()
+    # NOT persisted: with an explicit num_partitions (the round loop's
+    # path) counts is consumed once, lazily, inside the broadcast join —
+    # a persist here would be unpersisted below before anything
+    # materializes it, making it pure bookkeeping overhead
+    counts = batch.groupBy("host").count()
     if num_partitions is None:
         # explicit partition count = total salt buckets; AQE would otherwise
         # coalesce a small round back to one partition, silently serializing
@@ -134,7 +138,6 @@ def salted_host_repartition(
         "__salt", F.pmod(F.xxhash64("url"), salt_buckets).cast("int")
     ).drop("count")
     out = salted.repartition(num_partitions, F.col("host"), F.col("__salt"))
-    counts.unpersist()
     return out.sortWithinPartitions(
         "host", "depth", "seed_idx", "page_no", "in_page_idx", "dfs_rank"
     ).drop("__salt")

@@ -573,8 +573,15 @@ class BloomTable:
                 maybe = bf.maybe_contains(arr)
             raw = bc.value
             if raw is not None:
+                # a cuckoo (revocation) hit routes the row to the SUSPECT
+                # path — the exact confirm against the revocation-filtered
+                # seen view decides. Forcing "definitely new" here would
+                # let a fingerprint COLLISION with an unrelated committed
+                # hash skip the confirm and re-fetch it (the unsafe
+                # direction this module promises never happens); true
+                # revocations still come out new from the exact confirm.
                 cf = CuckooFilter.from_bytes(*raw)
-                maybe &= ~cf.contains_many(arr)
+                maybe |= cf.contains_many(arr)
             return cand_pdf.assign(__maybe=maybe)
 
         return (
@@ -614,8 +621,10 @@ class BloomTable:
                 m = pids == pid
                 out[m] = bf.maybe_contains(arr[m])
             if cuckoo_raw is not None:
+                # revocation hit → suspect (exact confirm decides); see
+                # _flag_cogroup for why forcing fresh here would be unsafe
                 cf = CuckooFilter.from_bytes(*cuckoo_raw)
-                out &= ~cf.contains_many(arr)
+                out |= cf.contains_many(arr)
             return pd.Series(out)
 
         return candidates.withColumn("__maybe", _maybe_seen(F.col(hash_col)))

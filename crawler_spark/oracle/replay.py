@@ -114,6 +114,12 @@ def replay(
         related = rec["related"] if (not is_related and policy != "none") else []
 
         def write_parent(rank: int) -> None:
+            if not rec.get("keep", True):
+                # content filter (risd-museum.js:77-87 silk filter): the
+                # page was visited (url_seen above) but the record is NOT
+                # written — mirrors the engine's records_out/webtext_out
+                # `.where(keep)` filters
+                return
             res.written.append(
                 {
                     "url": url,

@@ -807,13 +807,14 @@ class CrawlEngine:
 
             # exponential backoff: attempt k retries no earlier than
             # round + 2^(k-1) (base.js:46-56 mapped onto rounds, §2.9)
+            # cap the EXPONENT, not the shifted value: Java's int shift
+            # takes the count mod 32, so shiftleft(1, 32) wraps to 1 and a
+            # 33rd attempt would retry every round instead of backing off
             retry_rows = retry.select(*self._candidate_schema_cols()).withColumn(
                 "not_before",
                 (
                     F.lit(round_no)
-                    + F.least(
-                        F.expr("shiftleft(1, attempts - 1)"), F.lit(64)
-                    )
+                    + F.expr("shiftleft(1, least(attempts - 1, 6))")
                 ).cast("int"),
             )
             frontier_next = add_candidates(

@@ -142,3 +142,35 @@ def test_cli_check_images(spark, inputs, tmp_path, capsys):
     assert after.count() == n_before
     assert stats["referenced_not_stored"] >= 0
     assert stats["stored_not_referenced"] >= 0
+
+
+def test_load_connectors_types(tmp_path):
+    """JSON connector configs round-trip into TYPED dataclasses: the
+    secondary_fetches hops are attribute-accessed inside executor closures
+    (sfs[0].from_field), so raw dicts would crash the round."""
+    import json as _json
+
+    from crawler_spark.cli import load_connectors
+    from crawler_spark.operators.extract import SecondaryFetch
+
+    p = tmp_path / "connectors.json"
+    p.write_text(_json.dumps({
+        "gallica": {
+            "drop_params": ["utm"],
+            "skip_keys": ["image"],
+            "strip_params": ["offset"],
+            "secondary_fetches": [
+                {"kind": "notice", "from_field": "Notice"},
+                {"kind": "book", "link_selector": "div.appartient a"},
+            ],
+        }
+    }))
+    cfgs = load_connectors(str(p))
+    g = cfgs["gallica"]
+    assert g.connector_id == "gallica"
+    assert g.drop_params == frozenset({"utm"})
+    assert g.skip_keys == frozenset({"image"})
+    assert g.strip_params == ("offset",)
+    assert all(isinstance(sf, SecondaryFetch) for sf in g.secondary_fetches)
+    assert g.secondary_fetches[0].from_field == "Notice"
+    assert g.secondary_fetches[1].kind == "book"

@@ -109,3 +109,34 @@ def test_metrics_recorded(engine_result):
     assert engine_result.rounds > 1
     assert sum(m["records_written"] for m in engine_result.metrics) == \
         engine_result.records.count()
+
+
+def test_content_filter_keep_parity(spark, tmp_path):
+    """P2 content filter (risd-museum.js:77-87): records failing the filter
+    are visited (URL-seen) but NOT written, identically in the engine and
+    the replay oracle."""
+    from crawler_spark.operators.extract import ConnectorConfig
+
+    site = generate_site(SiteSpec(n_hosts=2, details_per_host=15, limit=5))
+    connectors = {
+        f"c{h}": ConnectorConfig(
+            connector_id=f"c{h}",
+            content_filter_label="Material",
+            content_filter_substr="a",
+        )
+        for h in range(2)
+    }
+    pages = {r.url: r.html for r in site["pages"].itertuples()}
+    oracle = replay(pages, site["seeds"].to_dict("records"), connectors)
+
+    sdfs = site_to_spark(spark, site)
+    res = CrawlEngine(
+        spark, sdfs["pages"], sdfs["seeds"], sdfs["politeness"],
+        EngineConfig(ckpt_dir=str(tmp_path / "ck"), default_budget=8),
+        connectors=connectors,
+    ).run()
+    got = {r["url"]: r["text"] for r in res.webtext.collect()}
+    assert got == oracle.webtext
+    # the filter actually split the corpus: some visited pages unwritten
+    n_visited = res.fetch_log.where("status = 200").count()
+    assert 0 < len(got) < n_visited

@@ -358,3 +358,40 @@ def test_live_secondary_chain_parity(spark, tmp_path):
         assert any("notice.url\t" in t for t in got.values())
     finally:
         srv.shutdown()
+
+
+def test_live_fetch_enforces_crawl_delay(spark):
+    """The in-worker crawl-delay really spaces a host's requests: with
+    crawl_delay_ms=400 the server must observe >=400ms between arrivals.
+    (Regression: named itertuples renames underscore columns, which once
+    turned the delay lookup into a constant 0 — no test measured time.)"""
+    import time as _time
+
+    from crawler_spark.operators.fetch import live_fetch
+
+    arrivals: list = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            arrivals.append(_time.monotonic())
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"ok")
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        batch = spark.createDataFrame(
+            [(f"{base}/p{i}", "127.0.0.1", 0, 400) for i in range(3)],
+            "url string, host string, attempts int, crawl_delay_ms int",
+        ).coalesce(1)
+        out = live_fetch(batch, timeout_s=5).collect()
+        assert all(r["status"] == 200 for r in out)
+        gaps = [b - a for a, b in zip(arrivals, arrivals[1:])]
+        assert len(gaps) == 2 and all(g >= 0.35 for g in gaps), gaps
+    finally:
+        srv.shutdown()
