@@ -75,9 +75,19 @@ def _minhash_xx64(spark, sf_dir):
     from crawler_spark.functions.dedup import minhash_lsh_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_pairs(
-        docs, n_hashes=32, bands=4, shingle_n=4, threshold=0.7
-    )
+    # own the operator's internal per-doc persist (cache_registry contract)
+    # so the cached sf-scale frame doesn't linger while LATER queries are
+    # timed; unpersisting after this query's own count() is safe because
+    # the result is materialized before the registry drains
+    caches: list = []
+    out = minhash_lsh_pairs(
+        docs, n_hashes=32, bands=4, shingle_n=4, threshold=0.7,
+        cache_registry=caches,
+    ).persist()
+    out.count()
+    for df in caches:
+        df.unpersist()
+    return out
 
 
 EXTRA_IMPLS = {"dedup_minhash_lsh_xx64": _minhash_xx64}
@@ -168,7 +178,8 @@ def macro_round(spark: SparkSession, n: int) -> dict:
     # engine builds/updates it inside rounds too)
     import tempfile
 
-    bt = BloomTable(tempfile.mkdtemp(prefix="bench_blooms_"), n_partitions=32)
+    bloom_dir = tempfile.mkdtemp(prefix="bench_blooms_")
+    bt = BloomTable(bloom_dir, n_partitions=32)
     bt.build(seen, version=0)
     caches: list = []  # own filter_unseen's internal persist (ADVICE r2)
     fresh = bt.filter_unseen(
@@ -194,6 +205,9 @@ def macro_round(spark: SparkSession, n: int) -> dict:
     fresh.unpersist()
     for df in caches:
         df.unpersist()
+    import shutil
+
+    shutil.rmtree(bloom_dir, ignore_errors=True)
     return {"seconds": round(dt, 2), "urls": urls, "links": n_links,
             "urls_per_sec": round(urls / dt, 1)}
 
@@ -273,7 +287,8 @@ def bloom_probe(
     )
     out = {}
     for P in parts:
-        bt = BloomTable.sized_for(tempfile.mkdtemp(prefix=f"probe{P}_"), n // 2)
+        probe_dir = tempfile.mkdtemp(prefix=f"probe{P}_")
+        bt = BloomTable.sized_for(probe_dir, n // 2)
         bt.n_partitions = P
         bt.expected_per_part = (n // 2) // P + (n // 10) // P
         t0 = time.time()
@@ -283,8 +298,14 @@ def bloom_probe(
         bt.update(spark, from_version=0, delta=delta, version=1)
         t_update = time.time() - t0
         t0 = time.time()
-        n_new = bt.filter_unseen(cands, seen.unionByName(delta), version=1).count()
+        probe_caches: list = []
+        n_new = bt.filter_unseen(
+            cands, seen.unionByName(delta), version=1,
+            cache_registry=probe_caches,
+        ).count()
         t_query = time.time() - t0
+        for df in probe_caches:
+            df.unpersist()
         row = bt.load(spark, 1).select(F.max("n_bits").alias("b")).first()
         out[f"p{P}"] = {
             "n_hashes": n // 2 + n // 10,
@@ -294,6 +315,9 @@ def bloom_probe(
             "bucket_mb": round(int(row["b"]) / 8 / 1e6, 2),
             "new_found": n_new,
         }
+        import shutil
+
+        shutil.rmtree(probe_dir, ignore_errors=True)
     return out
 
 
@@ -309,7 +333,7 @@ def main() -> None:
     scaling = {}
     if "scaling" in PARTS:
         runs: dict[int, list[float]] = {4: [], 16: []}
-        links_rate: dict[int, float] = {}
+        urls_popped = 0
         for _ in range(SCALING_RUNS):
             for master, cores in (("local[4]", 4), ("local[16]", 16)):
                 # identical shuffle-partition count at both sizes → identical
@@ -318,10 +342,10 @@ def main() -> None:
                 r = macro_round(spark, N_URLS_SCALING)
                 spark.stop()
                 runs[cores].append(r["seconds"])
-                links_rate[cores] = r["urls_per_sec"]
+                urls_popped = r["urls"]
         t4, t16 = min(runs[4]), min(runs[16])
         eff = round(t4 / t16 / 4.0, 3)
-        urls = N_URLS_SCALING - (N_URLS_SCALING + 2) // 3
+        urls = urls_popped  # macro_round's own count — no duplicated formula
         scaling = {
             "n_urls": N_URLS_SCALING,
             "runs": SCALING_RUNS,

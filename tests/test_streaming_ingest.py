@@ -76,3 +76,45 @@ def test_stream_ingest_dedup_and_sink(spark, tmp_path):
     final = sorted(r["url"] for r in spark.read.parquet(str(out)).collect())
     assert "http://h2.example.test/r/3" in final
     assert len(final) == 3  # r/1 not re-admitted within the watermark window
+
+
+def test_per_host_rates_tumbling_counts(spark, tmp_path):
+    """per_host_rates (politeness feed): tumbling event-time windows with
+    per-host candidate counts, exercised through a real streaming query."""
+    import json
+
+    from crawler_spark.streaming.ingest import (
+        candidates_from_stream,
+        per_host_rates,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"url": "http://h0.test/a", "discovered_ts": "2026-01-01 00:00:10",
+         "depth": 0, "score": 0.0, "connector_id": "c0"},
+        {"url": "http://h0.test/b", "discovered_ts": "2026-01-01 00:00:50",
+         "depth": 0, "score": 0.0, "connector_id": "c0"},
+        {"url": "http://h1.test/a", "discovered_ts": "2026-01-01 00:01:20",
+         "depth": 0, "score": 0.0, "connector_id": "c1"},
+    ]
+    (src / "b.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = spark.readStream.schema(
+        "url string, discovered_ts timestamp, depth int, score double, "
+        "connector_id string"
+    ).json(str(src))
+    rates = per_host_rates(candidates_from_stream(stream))
+    got: list = []
+    q = (
+        rates.writeStream.foreachBatch(
+            lambda df, _eid: got.extend(df.collect())
+        )
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    by = {(r["host"], r["window_start"].minute): r["n_candidates"]
+          for r in got}
+    assert by == {("h0.test", 0): 2, ("h1.test", 1): 1}

@@ -8,10 +8,18 @@ rounding). Usage: python tools/selfcheck.py [sf_dir] [only_query...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+# UTC regardless of the host tz: Spark's collect() converts TimestampType
+# via the driver-local zone while DuckDB returns stored naive-UTC values —
+# a non-UTC machine would shift every timestamp cell and false-FAIL
+os.environ["TZ"] = "UTC"
+if hasattr(time, "tzset"):
+    time.tzset()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
@@ -61,6 +69,11 @@ def main() -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd filter must not print ALL OK over zero queries
+        print(f"unknown query names: {sorted(unknown)}")
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
