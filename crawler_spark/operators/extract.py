@@ -17,6 +17,7 @@ links/records out — no per-row Python dispatch.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
 from typing import Iterator
@@ -186,6 +187,10 @@ class ConnectorConfig:
     connector_id: str
     # search page
     count_selector: str = "#count"
+    # count parsed from decorated text instead of a leading number:
+    # group 1 of the regex, commas stripped (smithsonian.js:19-26 "(147)";
+    # venetian.js:31-39 "Schede trovate: 88")
+    count_regex: str | None = None
     result_link_selector: str = "ul.results a"
     # detail page
     title_selector: str = "h1.title"
@@ -199,6 +204,14 @@ class ConnectorConfig:
     encoding: str = "utf-8"  # ceres-mcu.js:121 uses latin1
     content_filter_label: str | None = None  # risd silk filter
     content_filter_substr: str | None = None
+    # louvre.js:143-148 parseText: split extracted values on newlines into
+    # one value per non-empty trimmed line (the repeated-label addField
+    # path then appends them in order)
+    split_multiline_values: bool = False
+    # versailles.js:128: the record id is an extracted field value
+    # ("Nº d'inventaire:"), not a URL path segment — when set, record_id =
+    # first value under this label (URL-segment fallback when absent)
+    record_id_label: str | None = None
     drop_params: frozenset[str] = field(default_factory=frozenset)
     # body format: "html" (cheerio connectors, S2), "json" (typed JSON API
     # connectors, S3 — vam.js:25-49,72-133), "es_msearch" (Elasticsearch
@@ -262,11 +275,22 @@ SYNTH = ConnectorConfig(connector_id="synth")
 
 
 def extract_count(root: Node, cfg: ConnectorConfig) -> int | None:
-    """Result count — 'N results' text (anchor: les-arts-decoratifs.js:22-23)."""
+    """Result count — 'N results' text (anchor: les-arts-decoratifs.js:22-23).
+
+    With ``cfg.count_regex`` the number is group 1 of the regex over the
+    node's full text, commas stripped — the decorated-count connectors
+    (smithsonian.js:19-26 "(147)"; venetian.js:31-39 "Schede trovate: 88").
+    """
     nodes = select(root, cfg.count_selector)
     if not nodes:
         return None
     txt = nodes[0].text().strip()
+    if cfg.count_regex:
+        m = re.search(cfg.count_regex, txt)
+        if not m:
+            return None
+        digits = m.group(1).replace(",", "")
+        return int(digits) if digits.isdigit() else None
     digits = "".join(ch for ch in txt.split(" ")[0] if ch.isdigit())
     return int(digits) if digits else None
 
@@ -479,13 +503,20 @@ def extract_detail(
         # addField empty-value filter (record.js:14-21)
         if not label or not value:
             continue
-        lines.append(f"{label}\t{value}")
-        if label in by_label:
-            by_label[label].append(value)  # scalar→array promotion + append
+        if cfg.split_multiline_values:
+            # louvre.js:143-148 parseText: one value per non-empty trimmed
+            # line, each appended under the label in order
+            values = [v for v in (p.strip() for p in value.split("\n")) if v]
         else:
-            vals = [value]
-            by_label[label] = vals
-            fields.append((label, vals))
+            values = [value]
+        for value in values:
+            lines.append(f"{label}\t{value}")
+            if label in by_label:
+                by_label[label].append(value)  # scalar→array promotion
+            else:
+                vals = [value]
+                by_label[label] = vals
+                fields.append((label, vals))
 
     images: list[dict] = []
     img_seen: set[str] = set()
@@ -825,7 +856,6 @@ def extract_detail_es_msearch(
     and resolved like record URLs — the before_parent_write policy then
     orders them ahead of the parent."""
     import json
-    import re
 
     try:
         data = json.loads(_decode(body, cfg.encoding))
@@ -1096,7 +1126,21 @@ def extract_records_batch_for(cfg_map: dict[str, ConnectorConfig] | None):
                 cfg = cfg_map.get(cid, SYNTH)
                 rec = extract_detail(body, url, cfg)
                 out["url"].append(url)
-                out["record_id"].append(url.rstrip("/").rsplit("/", 1)[-1])
+                # versailles.js:128: record id from an extracted field
+                # value; URL path segment otherwise (and as fallback)
+                rid = None
+                if cfg.record_id_label:
+                    rid = next(
+                        (
+                            v[0]
+                            for l, v in rec["fields"]
+                            if l == cfg.record_id_label and v
+                        ),
+                        None,
+                    )
+                out["record_id"].append(
+                    rid if rid else url.rstrip("/").rsplit("/", 1)[-1]
+                )
                 out["text"].append(rec["text"])
                 out["keep"].append(rec["keep"])
                 out["fields"].append(

@@ -49,12 +49,15 @@ class OracleResult:
 def _next_page_url(url: str, page: int, seed: dict) -> str:
     """URL for page ordinal ``page``: page-style rewrites ``page=N``;
     offset-style rewrites ``offset=(N - start_page)*limit``
-    (met-museum offset+perPage paging, base.js:79-87)."""
+    (met-museum offset+perPage paging, base.js:79-87); path-style rewrites
+    the ``page:N`` PATH segment (venetian.js:27-29)."""
     import re
 
     if seed.get("paging_style") == "offset":
         off = (page - seed["start_page"]) * seed["limit"]
         return re.sub(r"offset=\d+", f"offset={off}", url)
+    if seed.get("paging_style") == "path":
+        return re.sub(r"page:\d+", f"page:{page}", url)
     return re.sub(r"page=\d+", f"page={page}", url)
 
 
@@ -158,7 +161,10 @@ def replay(
             if body is None:
                 break
             total, urls = extract_search(body, surl, cfg_for(seed["connector_id"]))
-            if seed["paging_style"] in ("page", "offset") and total is not None:
+            if (
+                seed["paging_style"] in ("page", "offset", "path")
+                and total is not None
+            ):
                 total_pages = math.ceil(total / seed["limit"])
             for idx, u in enumerate(urls):
                 visit_record(
@@ -172,8 +178,13 @@ def replay(
                     False,
                 )
             page += 1
-            if seed["paging_style"] in ("page", "offset"):
+            if seed["paging_style"] in ("page", "offset", "path"):
                 if total_pages is None or page >= seed["start_page"] + total_pages:
+                    break
+            elif seed["paging_style"] == "short_page":
+                # mfa-boston.js:53-60: a short (or empty) page ends this
+                # seed's chain; the next seed follows in rotation order
+                if len(urls) < seed["limit"]:
                     break
             else:  # unknown_total: loop until empty page (artic.js:59-78)
                 if not urls:

@@ -535,9 +535,9 @@ class CrawlEngine:
             # after page 1 when it is absent (base.js:68-69), and the replay
             # oracle does the same — chaining them would fetch pages the
             # oracle never visits and break crawl-order/URL-seen parity.
-            known = F.col("paging_style").isin("page", "offset") & F.col(
-                "total_count"
-            ).isNotNull()
+            known = F.col("paging_style").isin(
+                "page", "offset", "path"
+            ) & F.col("total_count").isNotNull()
             fanout = (
                 F.when(
                     known
@@ -556,6 +556,15 @@ class CrawlEngine:
                             < F.col("max_offset")
                         )
                     ),
+                    F.array(F.col("page_no") + 1),
+                )
+                # mfa-boston.js:53-60: chain the next page only while the
+                # current page came back FULL — a short (or empty) page ends
+                # this seed's chain and the crawl falls through to the next
+                # seed, which is already an independent frontier row here
+                .when(
+                    (F.col("paging_style") == "short_page")
+                    & (F.col("n_links") >= F.col("limit")),
                     F.array(F.col("page_no") + 1),
                 )
                 .otherwise(F.array().cast("array<int>"))
@@ -584,6 +593,15 @@ class CrawlEngine:
                             * F.col("limit")
                         ).cast("string"),
                     ),
+                ),
+            ).when(
+                # venetian.js:27-29: the page ordinal is a PATH segment
+                # (`/page:N/`), not a query param
+                F.col("paging_style") == "path",
+                F.regexp_replace(
+                    F.col("parent_url"),
+                    r"page:\d+",
+                    F.concat(F.lit("page:"), F.col("next_pno").cast("string")),
                 ),
             ).otherwise(
                 F.regexp_replace(

@@ -44,6 +44,19 @@ class SiteSpec:
     hot_factor: int = 8
     unknown_total_hosts: tuple[int, ...] = ()  # artic/europeana-style hosts
     offset_hosts: tuple[int, ...] = ()  # offset+perPage paging (met-museum.js:30)
+    # page ordinal in the URL PATH (`/page:N`), count from labeled text
+    # "Schede trovate: N" via count_regex (venetian.js:27-39)
+    path_hosts: tuple[int, ...] = ()
+    # no count element; page=N chains only while pages come back FULL
+    # (mfa-boston.js:53-60 next-seed-on-short-page)
+    short_page_hosts: tuple[int, ...] = ()
+    # count rendered "(1,234)" parsed via count_regex (smithsonian.js:19-26)
+    paren_count_hosts: tuple[int, ...] = ()
+    # values split on newlines into one value per line (louvre.js:143-148)
+    multiline_hosts: tuple[int, ...] = ()
+    # record id = extracted "Inventory" field value, not the URL segment
+    # (versailles.js:128 "Nº d'inventaire:")
+    id_label_hosts: tuple[int, ...] = ()
     json_hosts: tuple[int, ...] = ()  # S3 JSON-API connectors (vam.js shape)
     msearch_hosts: tuple[int, ...] = ()  # S4 ES _msearch (joconde.js shape)
     graphql_hosts: tuple[int, ...] = ()  # S5 GraphQL (paris-musees.js shape)
@@ -110,10 +123,14 @@ def _render_detail(
     related_ids: list[str],
     accents: bool = False,
     extra_rows: list | None = None,
+    split_multiline: bool = False,
 ) -> tuple[str, str, list[str]]:
     """→ (html, golden_text, image_urls). ``extra_rows`` appends additional
     (label, html_value, expected_value) field rows (e.g. the gallica-style
-    ``Notice`` URL field that seeds the secondary chain)."""
+    ``Notice`` URL field that seeds the secondary chain).
+    ``split_multiline`` composes the golden text the way a
+    split_multiline_values connector extracts it (louvre.js:143-148):
+    one (label, value) line per non-empty line of the value."""
     title, rows = _detail_fields(rng, host_i, rec_id, accents)
     if extra_rows:
         rows = rows + list(extra_rows)
@@ -125,7 +142,9 @@ def _render_detail(
             f'<td class="value">{html_val}</td></tr>'
         )
         if expected:
-            lines.append(f"{label}\t{expected}")
+            parts = expected.split("\n") if split_multiline else [expected]
+            for part in parts:
+                lines.append(f"{label}\t{part}")
     n_img = rng.randint(0, 3)
     img_urls = [f"{base}/img/{rec_id}_{k}.jpg" for k in range(n_img)]
     img_tags = [f'<img src="/img/{rec_id}_{k}.jpg">' for k in range(n_img)]
@@ -385,10 +404,21 @@ def _render_search_json(count_known: int | None, links: list[str]) -> str:
     )
 
 
-def _render_search(count_known: int | None, links: list[str]) -> str:
-    count_el = (
-        f'<div id="count">{count_known} results</div>' if count_known is not None else ""
-    )
+def _render_search(
+    count_known: int | None, links: list[str], count_style: str = "plain"
+) -> str:
+    """``count_style``: "plain" = "N results"; "paren" = "(1,234)"
+    (smithsonian.js:19-26); "label" = "Schede trovate: N"
+    (venetian.js:31-39). The decorated styles are unparsable by the
+    default first-token rule — they require the connector's count_regex."""
+    if count_known is None:
+        count_el = ""
+    elif count_style == "paren":
+        count_el = f'<div id="count">({count_known:,})</div>'
+    elif count_style == "label":
+        count_el = f'<div id="count">Schede trovate: {count_known}</div>'
+    else:
+        count_el = f'<div id="count">{count_known} results</div>'
     lis = "".join(
         f'<li class="result"><a href="{u}">item</a></li>' for u in links
     )
@@ -565,6 +595,12 @@ def generate_site(spec: SiteSpec):
         detail_ids = [str(i) for i in range(1, n_details + 1)]
         related_ids = [f"r{j}" for j in range(1, spec.related_per_host + 1)]
         unknown = h in spec.unknown_total_hosts
+        is_path = h in spec.path_hosts and not is_json
+        is_short = h in spec.short_page_hosts and not is_json
+        is_paren = h in spec.paren_count_hosts and not is_json
+        is_multiline = h in spec.multiline_hosts and not is_json
+        is_idlabel = h in spec.id_label_hosts and not is_json
+        count_style = "label" if is_path else ("paren" if is_paren else "plain")
 
         # related/detail pages
         for rid in detail_ids:
@@ -592,8 +628,13 @@ def generate_site(spec: SiteSpec):
                 for u, ph in sec_pages:
                     emit(u, ph, "", encoding)
             else:
+                inv = (
+                    [("Inventory", f"INV-{h}-{rid}", f"INV-{h}-{rid}")]
+                    if is_idlabel else None
+                )
                 body, text, _ = _render_detail(
-                    rng, h, base, rid, rel, accents=is_latin1
+                    rng, h, base, rid, rel, accents=is_latin1,
+                    extra_rows=inv, split_multiline=is_multiline,
                 )
             emit(f"{base}/record/{rid}", body, text, encoding)
         for rid in related_ids:
@@ -603,51 +644,63 @@ def generate_site(spec: SiteSpec):
             if is_json:
                 body, text, _ = _render_detail_json(rng, h, base, rid, rel)
             else:
+                inv = (
+                    [("Inventory", f"INV-{h}-{rid}", f"INV-{h}-{rid}")]
+                    if is_idlabel else None
+                )
                 body, text, _ = _render_detail(
-                    rng, h, base, rid, rel, accents=is_latin1
+                    rng, h, base, rid, rel, accents=is_latin1,
+                    extra_rows=inv, split_multiline=is_multiline,
                 )
             emit(f"{base}/record/{rid}", body, text, encoding)
 
         # search pages, split across seeds_per_host seed URL spaces (U1)
         n_seeds = max(1, spec.seeds_per_host)
-        render_search = _render_search_json if is_json else _render_search
         is_offset = h in spec.offset_hosts
         start_page = 0 if is_offset else spec.start_page
+
+        def render_search(count, links):
+            if is_json:
+                return _render_search_json(count, links)
+            return _render_search(count, links, count_style)
+
+        def page_url(path: str, p: int) -> str:
+            """Search URL for 0-based page ordinal ``p``."""
+            if is_path:  # page ordinal in the PATH (venetian.js:27-29)
+                return f"{base}{path}/page:{p + spec.start_page}"
+            q = (
+                f"offset={p * spec.limit}"
+                if is_offset
+                else f"page={p + spec.start_page}"
+            )
+            return f"{base}{path}?{q}"
+
         for s in range(n_seeds):
             seed_ids = detail_ids[s::n_seeds]  # deterministic round-robin
             path = "/search" if n_seeds == 1 else f"/search/s{s}"
             total_pages = math.ceil(len(seed_ids) / spec.limit) or 1
+            # short_page hosts publish no count (mfa-boston has none the
+            # engine can use); unknown-total hosts likewise
+            count = None if (unknown or is_short) else len(seed_ids)
             for p in range(total_pages):
                 chunk = seed_ids[p * spec.limit : (p + 1) * spec.limit]
                 links = [f"/record/{rid}" for rid in chunk]
-                # offset hosts page by offset=k*limit (met-museum.js:30);
-                # page hosts by page=N (1-based)
-                q = (
-                    f"offset={p * spec.limit}"
-                    if is_offset
-                    else f"page={p + spec.start_page}"
-                )
-                emit(
-                    f"{base}{path}?{q}",
-                    render_search(None if unknown else len(seed_ids), links),
-                    "",
-                    encoding,
-                )
-            if unknown:  # terminal empty page (artic.js:59-78)
-                q = (
-                    f"offset={total_pages * spec.limit}"
-                    if is_offset
-                    else f"page={total_pages + spec.start_page}"
-                )
-                emit(f"{base}{path}?{q}", render_search(None, []), "", encoding)
-            first_q = "offset=0" if is_offset else f"page={spec.start_page}"
+                emit(page_url(path, p), render_search(count, links), "", encoding)
+            if unknown or (is_short and len(seed_ids) % spec.limit == 0):
+                # terminal empty page: unknown-total chains until empty
+                # (artic.js:59-78); a short_page host whose last page is
+                # exactly full also serves one empty overflow page
+                # (mfa-boston.js:53-60 stops only on a SHORT page)
+                emit(page_url(path, total_pages), render_search(None, []), "", encoding)
             seeds_rows.append(
                 {
                     "connector_id": f"c{h}",
                     "seed_idx": s,
-                    "url": f"{base}{path}?{first_q}",
+                    "url": page_url(path, 0),
                     "paging_style": (
                         "unknown_total" if unknown
+                        else "short_page" if is_short
+                        else "path" if is_path
                         else ("offset" if is_offset else "page")
                     ),
                     "limit": spec.limit,
@@ -677,6 +730,15 @@ def generate_site(spec: SiteSpec):
             body_format="json" if is_json else "html",
             encoding=encoding,
             secondary_fetches=sec_chain,
+            # decorated result counts need the connector's regex
+            # (venetian.js:31-39 label text; smithsonian.js:19-26 parens)
+            count_regex=(
+                r"Schede trovate: (\d+)" if is_path
+                else r"\(([\d,]+)\)" if is_paren
+                else None
+            ),
+            split_multiline_values=is_multiline,  # louvre.js:143-148
+            record_id_label="Inventory" if is_idlabel else None,  # versailles.js:128
         )
         pol_rows.append(
             {
