@@ -48,7 +48,7 @@ def empty_frontier(spark: SparkSession) -> DataFrame:
 
 
 def add_candidates(
-    frontier: DataFrame, candidates: DataFrame
+    frontier: DataFrame, candidates: DataFrame, broadcast_keys: bool = False
 ) -> DataFrame:
     """Union new links into the frontier, deduping per url_hash by keeping
     the lowest-ordered occurrence (J4 in-round memo cache,
@@ -70,6 +70,11 @@ def add_candidates(
     cols = [f.name for f in schemas.FRONTIER.fields]
     cand = candidates.select(*cols)
     cand_keys = cand.select("url_hash").distinct()
+    if broadcast_keys:
+        # tiny (driver-bound) rounds hand lineage-truncated candidate
+        # frames whose LogicalRDD plans carry no size stats — the caller
+        # asserts the round bound makes the key set broadcast-small
+        cand_keys = F.broadcast(cand_keys)
     contested = frontier.join(cand_keys, "url_hash", "left_semi")
     untouched = frontier.join(cand_keys, "url_hash", "left_anti")
 

@@ -356,10 +356,25 @@ class CrawlEngine:
             cfg.fetch_mode == "live"
             or "lang" in set(self.pages.schema.fieldNames())
         )
+        import os as _os
+
+        _debug_rt = _os.environ.get("SPARK_GRAFT_ROUND_TIMING")
+
         while round_no < cfg.max_rounds:
             import time as _time
 
             round_t0 = _time.time()
+            _sect_t = [round_t0]
+
+            def _sect(label: str) -> None:
+                if _debug_rt:
+                    now = _time.time()
+                    print(
+                        f"[round {round_no}] {label}: "
+                        f"{now - _sect_t[0]:.2f}s", flush=True,
+                    )
+                    _sect_t[0] = now
+
             seen = seen_df()
             allowed = (
                 apply_robots(frontier, self.politeness)
@@ -390,6 +405,7 @@ class CrawlEngine:
             # Each extra driver action re-analyzes the full round DAG, which
             # at small rounds costs more than the job itself.
             n_popped = popped_raw.count()
+            _sect("pop+count")
             if n_popped == 0:
                 popped_raw.unpersist()
                 # nothing eligible now — jump to the earliest FUTURE backoff
@@ -454,21 +470,55 @@ class CrawlEngine:
                     timeout_s=cfg.fetch_timeout_s,
                     connectors=self.connectors,
                 ).persist()
-                ok, retry, dead = split_retries(
-                    fetched, cfg.max_attempts, live_retryable()
-                )
             else:
                 fetched = fixture_fetch(popped, self.pages).persist()
-                ok, retry, dead = split_retries(fetched, cfg.max_attempts)
             # materialize the fetch EXACTLY once, before any of the
             # concurrent commit writes downstream can race to be its first
             # materializer — concurrent first-computes of an uncached block
             # each run the lineage, and in live mode that lineage is real
             # HTTP requests (duplicate fetches would break politeness)
             fetched.count()
+            fetched_cache = fetched
+            if n_popped < cfg.aqe_min_batch:
+                # driver-bound tail/test rounds: EVERY Dataset op eagerly
+                # re-analyzes its whole logical plan, so at tiny batches the
+                # dominant round cost is Catalyst analysis over the
+                # fetch-join lineage, paid again by each downstream op.
+                # Truncate it: the round's data is already materialized in
+                # the cache, localCheckpoint swaps the plan for a shallow
+                # LogicalRDD scan of it. Big rounds keep the full plan —
+                # analysis amortizes, and accurate size stats matter there
+                # for join planning.
+                fetched = fetched.localCheckpoint(eager=True)
+                fetched_cache.unpersist()
+            if cfg.fetch_mode == "live":
+                ok, retry, dead = split_retries(
+                    fetched, cfg.max_attempts, live_retryable()
+                )
+            else:
+                ok, retry, dead = split_retries(fetched, cfg.max_attempts)
+            _sect("fetch+count")
+
+            # lineage-truncated frames (LogicalRDD) report no size stats, so
+            # the planner can no longer see that round-bounded frames are
+            # broadcast-small; at tiny batches hint it explicitly — the
+            # driver KNOWS the bound (n_popped). Big rounds keep planner /
+            # AQE decisions.
+            tiny = n_popped < cfg.aqe_min_batch
+            _b = F.broadcast if tiny else (lambda df: df)
 
             searches = ok.where(F.col("kind") == "search")
             details = ok.where(F.col("kind") != "search")
+            # tiny rounds: one cheap probe over the truncated fetch result
+            # tells the driver which halves of the round are EMPTY, so the
+            # dead mapInPandas/enrichment stages are skipped instead of
+            # spun up on zero rows (a seeds-only round 0 otherwise pays the
+            # whole record-extraction pipeline for nothing). Big rounds
+            # skip the probe — an extra action there costs more than empty
+            # stages, and their batches are never one-sided for long.
+            n_details_round: int | None = None
+            if tiny:
+                n_details_round = details.count()
 
             # ---- search pages → record links + next pages (S1/A1/O3)
             link_rows = searches.select("url", "body", "connector_id").mapInPandas(
@@ -483,10 +533,19 @@ class CrawlEngine:
                 "score",
             )
             links = (
-                link_rows.join(smeta, link_rows["url"] == smeta["parent_url"])
+                link_rows.join(_b(smeta), link_rows["url"] == smeta["parent_url"])
                 .drop("url")
                 .persist()
             )
+            if tiny:
+                # same tiny-round lineage truncation as `fetched`/`recs`:
+                # the frontier write is otherwise the first materializer of
+                # the link-extraction mapInPandas, serializing a Python
+                # stage into the commit's critical path
+                links_cache = links
+                links.count()
+                links = links.localCheckpoint(eager=True)
+                links_cache.unpersist()
 
             record_cands = (
                 links.where(F.col("out_url").isNotNull())
@@ -635,7 +694,7 @@ class CrawlEngine:
             # inline enrichment hops merged into the parent records BEFORE
             # any write; never frontier candidates, never in the seen set
             sec_caches: list = []
-            if secondary.chain_len(self.connectors):
+            if secondary.chain_len(self.connectors) and n_details_round != 0:
                 rec_rows, sec_caches = secondary.enrich_secondaries(
                     rec_rows,
                     details.select("url", "connector_id"),
@@ -659,7 +718,7 @@ class CrawlEngine:
                 "warc_ts",
             )
             recs = (
-                rec_rows.join(dmeta, "url")
+                rec_rows.join(_b(dmeta), "url")
                 .join(
                     F.broadcast(
                         self.seed_cfg.select("connector_id", "related_policy")
@@ -669,6 +728,23 @@ class CrawlEngine:
                 )
                 .persist()
             )
+            # materialize the extract/enrich lineage EXACTLY ONCE, eagerly:
+            # records, webtext and the frontier all read this cache, and
+            # with live secondary chains the lineage carries HTTP side
+            # effects — a deliberate single materialization here is what
+            # lets commit_round write all five tables in parallel (commit
+            # wall = slowest write, not the sum) without racing concurrent
+            # first-materializers of the same cache blocks
+            recs.count()
+            recs_cache = recs
+            if n_popped < cfg.aqe_min_batch:
+                # same lineage-truncation rationale as `fetched` above: the
+                # extract+enrich plan feeds records, webtext AND the
+                # frontier's related expansion — shallow it once, every
+                # downstream op analyzes a LogicalRDD scan instead
+                recs = recs.localCheckpoint(eager=True)
+                recs_cache.unpersist()
+            _sect("extract recs+count")
 
             expandable = (F.col("kind") == "record") & (
                 F.col("related_policy").isin("after_parent_write", "before_parent_write")
@@ -800,13 +876,19 @@ class CrawlEngine:
                     strategy=self.bloom_table.pick_strategy(seen_count),
                 )
                 fresh = fresh.join(
-                    ok.select(F.col("url_hash").alias("__ok_h")),
+                    _b(ok.select(F.col("url_hash").alias("__ok_h"))),
                     fresh["url_hash"] == F.col("__ok_h"),
                     "left_anti",
                 )
             else:
+                seen_side = seen_plus.select(F.col("url_hash").alias("__h"))
+                if tiny and seen_count + n_popped < 1_000_000:
+                    # the exact branch's right side is the WHOLE seen
+                    # history — broadcast only while the driver-known count
+                    # says it fits comfortably
+                    seen_side = F.broadcast(seen_side)
                 fresh = cands.join(
-                    seen_plus.select(F.col("url_hash").alias("__h")),
+                    seen_side,
                     cands["url_hash"] == F.col("__h"),
                     "left_anti",
                 )
@@ -838,6 +920,9 @@ class CrawlEngine:
             frontier_next = add_candidates(
                 remaining,
                 fresh.select(*fr_cols).union(retry_rows.select(*fr_cols)),
+                # candidates ≤ out-links of a bounded round batch; their
+                # truncated lineage hides that from the planner
+                broadcast_keys=tiny,
             )
 
             fetch_log = fetched.select(
@@ -866,6 +951,7 @@ class CrawlEngine:
                 "popped": n_popped,
                 "round_wall_s": round(_time.time() - round_t0, 2),
             }
+            _sect("plan frontier_next")
             commit_t0 = _time.time()
             self.ckpt.commit_round(
                 round_no,
@@ -878,15 +964,10 @@ class CrawlEngine:
                 },
                 metrics,
                 stats_cb=_round_stats_from_written,
-                # records, webtext AND the frontier share the
-                # unmaterialized `recs` cache (frontier_next ←
-                # related_cands ← recs, which with live secondary chains
-                # even contains HTTP side effects) — one thread writes all
-                # three so the extract/enrich lineage runs exactly once;
-                # seen_delta + fetch_log ride the materialized `fetched`
-                groups=(
-                    ("records_delta", "webtext_delta", "frontier"),
-                ),
+                # every table rides an already-materialized cache (`recs`
+                # is counted eagerly above, `fetched` at the fetch stage),
+                # so all five writes run fully parallel — commit wall is
+                # the slowest write, not the sum
             )
             # commit + bloom maintenance run AFTER round_wall_s is stamped
             # (they materialize the round's lineage); time them separately
