@@ -72,6 +72,16 @@ class Checkpointer:
                 total += int(json.load(fh).get("metrics", {}).get(name, 0) or 0)
         return total
 
+    def round_metric(self, round_no: int, name: str):
+        """One metric from a committed round's manifest (file read, no
+        Spark job); None if the round or metric is absent."""
+        path = os.path.join(self.round_dir(round_no), self.MANIFEST)
+        try:
+            with open(path) as fh:
+                return json.load(fh).get("metrics", {}).get(name)
+        except (OSError, ValueError):
+            return None
+
     def wipe(self) -> None:
         """Remove ALL committed state (round dirs + compacts) — the fresh-
         start path (``run(resume=False)`` over an existing checkpoint).

@@ -76,11 +76,18 @@ def _round_stats_from_written(lineage: dict) -> dict:
 
     import pyarrow.parquet as pq
 
-    rec = lineage["records_delta"]
-    n_records = sum(
-        pq.ParquetFile(os.path.join(rec["path"], f)).metadata.num_rows
-        for f in rec["files"]
-    )
+    def _footer_rows(name: str) -> int:
+        ent = lineage[name]
+        return sum(
+            pq.ParquetFile(os.path.join(ent["path"], f)).metadata.num_rows
+            for f in ent["files"]
+        )
+
+    n_records = _footer_rows("records_delta")
+    # exact committed frontier size, carried in the manifest so the next
+    # round (or a resume) can size its frontier WRITE layout without ever
+    # running a count action over the (possibly 10^10-row) frontier
+    n_frontier = _footer_rows("frontier")
     fl = lineage["fetch_log_delta"]
     n_ok = n_failed = n_bytes = 0
     for f in fl["files"]:
@@ -98,6 +105,7 @@ def _round_stats_from_written(lineage: dict) -> dict:
         "fetch_failed": n_failed,
         "bytes_fetched": n_bytes,
         "records_written": n_records,
+        "frontier_rows": n_frontier,
     }
 
 
@@ -235,12 +243,24 @@ class CrawlEngine:
         latest = self.ckpt.latest_round() if resume else None
         metrics_log: list[dict] = []
 
+        # driver-known frontier size (exact, from manifests/seed count) —
+        # sizes the frontier WRITE layout each round; None = unknown (old
+        # manifests without the metric), which disables the sizing, never
+        # correctness
+        frontier_rows: int | None
         if latest is not None:
             frontier = self.ckpt.load(spark, latest, "frontier")
             round_no = latest + 1
+            fr = self.ckpt.round_metric(latest, "frontier_rows")
+            frontier_rows = int(fr) if fr is not None else None
         else:
             frontier = seeds_to_frontier(self.seeds)
             round_no = 0
+            frontier_rows = frontier.count()  # seed list: tiny by contract
+            # createDataFrame seed frames default to the session's full
+            # parallelism — dozens of near-empty partitions that round 0's
+            # whole pop/anti-join/union pipeline then inherits
+            frontier = frontier.coalesce(max(1, -(-frontier_rows // 1_000_000)))
 
         recrawl_hashes: DataFrame | None = None
         if recrawl is not None:
@@ -263,12 +283,10 @@ class CrawlEngine:
             frontier = add_candidates(frontier, rows)
             recrawl_hashes = rows.select("url_hash").persist()
             # revoked-seen hashes go to the table's cuckoo override
-            self.bloom_table.mark_deleted(
-                np.array(
-                    [r["url_hash"] for r in recrawl_hashes.collect()],
-                    dtype=np.int64,
-                )
-            )
+            _rc = [r["url_hash"] for r in recrawl_hashes.collect()]
+            if frontier_rows is not None:
+                frontier_rows += len(_rc)
+            self.bloom_table.mark_deleted(np.array(_rc, dtype=np.int64))
 
         start_latest = latest if latest is not None else -1
         # the round whose commit the bloom table must cover to be trusted
@@ -329,22 +347,29 @@ class CrawlEngine:
             d = self.ckpt.load_all_deltas(spark, "seen_delta")
             return d if d is not None else self._empty(schemas.URL_SEEN)
 
-        # session AQE setting, restored on exit; per-round the engine
-        # toggles it off below cfg.aqe_min_batch popped URLs (see field doc)
+        # session AQE + shuffle-width settings, restored on exit; per-round
+        # the engine toggles AQE off AND narrows the shuffle width below
+        # cfg.aqe_min_batch popped URLs (see field doc) — with AQE off,
+        # every shuffle otherwise runs the session's full
+        # spark.sql.shuffle.partitions tasks over a handful of rows
         orig_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        orig_shuffle = spark.conf.get("spark.sql.shuffle.partitions", "200")
         try:
             return self._run_rounds(
                 frontier, round_no, latest, last_committed, start_latest,
                 seen_count, metrics_log, recrawl_hashes,
-                bloom_enabled, seen_df, all_seen_df, orig_aqe,
+                bloom_enabled, seen_df, all_seen_df, orig_aqe, orig_shuffle,
+                frontier_rows,
             )
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", orig_aqe)
+            spark.conf.set("spark.sql.shuffle.partitions", orig_shuffle)
 
     def _run_rounds(
         self, frontier, round_no, latest, last_committed, start_latest,
         seen_count, metrics_log, recrawl_hashes,
-        bloom_enabled, seen_df, all_seen_df, orig_aqe,
+        bloom_enabled, seen_df, all_seen_df, orig_aqe, orig_shuffle="200",
+        frontier_rows=None,
     ) -> CrawlResult:
         spark, cfg = self.spark, self.cfg
         # whether fetched pages carry a lang column, decided ONCE from the
@@ -427,6 +452,23 @@ class CrawlEngine:
                 want = "false" if n_popped < cfg.aqe_min_batch else "true"
                 if spark.conf.get("spark.sql.adaptive.enabled") != want:
                     spark.conf.set("spark.sql.adaptive.enabled", want)
+            # narrow the shuffle width while the round batch is tiny: with
+            # AQE off, every shuffle (frontier dedup, window pop, bloom
+            # routing) otherwise launches the session's full width over a
+            # handful of rows — task-launch overhead, not work. Affects
+            # plan-time only, so the NEXT round's pop inherits this round's
+            # width: rounds of similar size, self-correcting, and restored
+            # on run exit. Never widened past the session setting.
+            want_shuffle = str(
+                min(
+                    int(orig_shuffle),
+                    max(4, -(-n_popped // max(1, cfg.target_per_task))),
+                )
+                if n_popped < cfg.aqe_min_batch
+                else int(orig_shuffle)
+            )
+            if spark.conf.get("spark.sql.shuffle.partitions") != want_shuffle:
+                spark.conf.set("spark.sql.shuffle.partitions", want_shuffle)
 
             # live mode: no salt — one worker per host so the in-worker
             # crawl-delay bounds the host's AGGREGATE request rate
@@ -488,8 +530,14 @@ class CrawlEngine:
                 # the cache, localCheckpoint swaps the plan for a shallow
                 # LogicalRDD scan of it. Big rounds keep the full plan —
                 # analysis amortizes, and accurate size stats matter there
-                # for join planning.
-                fetched = fetched.localCheckpoint(eager=True)
+                # for join planning. Coalesce first: the fetch join
+                # inherits the pages scan's file partitioning (32+ mostly-
+                # empty partitions for a handful of rows), and the
+                # checkpointed partition count is what EVERY downstream
+                # stage of the round then runs at.
+                fetched = fetched.coalesce(
+                    int(want_shuffle)
+                ).localCheckpoint(eager=True)
                 fetched_cache.unpersist()
             if cfg.fetch_mode == "live":
                 ok, retry, dead = split_retries(
@@ -517,6 +565,7 @@ class CrawlEngine:
             # skip the probe — an extra action there costs more than empty
             # stages, and their batches are never one-sided for long.
             n_details_round: int | None = None
+            n_links: int | None = None
             if tiny:
                 n_details_round = details.count()
 
@@ -543,8 +592,10 @@ class CrawlEngine:
                 # the link-extraction mapInPandas, serializing a Python
                 # stage into the commit's critical path
                 links_cache = links
-                links.count()
-                links = links.localCheckpoint(eager=True)
+                n_links = links.count()
+                links = links.coalesce(
+                    int(want_shuffle)
+                ).localCheckpoint(eager=True)
                 links_cache.unpersist()
 
             record_cands = (
@@ -735,14 +786,16 @@ class CrawlEngine:
             # lets commit_round write all five tables in parallel (commit
             # wall = slowest write, not the sum) without racing concurrent
             # first-materializers of the same cache blocks
-            recs.count()
+            n_recs = recs.count()
             recs_cache = recs
             if n_popped < cfg.aqe_min_batch:
                 # same lineage-truncation rationale as `fetched` above: the
                 # extract+enrich plan feeds records, webtext AND the
                 # frontier's related expansion — shallow it once, every
                 # downstream op analyzes a LogicalRDD scan instead
-                recs = recs.localCheckpoint(eager=True)
+                recs = recs.coalesce(
+                    int(want_shuffle)
+                ).localCheckpoint(eager=True)
                 recs_cache.unpersist()
             _sect("extract recs+count")
 
@@ -952,15 +1005,40 @@ class CrawlEngine:
                 "round_wall_s": round(_time.time() - round_t0, 2),
             }
             _sect("plan frontier_next")
+            # ---- write layout: tiny rounds otherwise inherit the full
+            # shuffle width (33+ tasks AND files per table for a handful of
+            # rows), and the next round re-reads that fan-out. Deltas are
+            # bounded by the round batch (driver-known: n_popped); the
+            # frontier's bound is last round's EXACT committed row count
+            # (carried in the manifest — no count action ever runs on the
+            # possibly-10^10-row frontier) plus this round's additions. Big
+            # rounds are left to the planner/AQE, and an unknown frontier
+            # bound (old manifests) disables the sizing, never correctness.
+            frontier_out = frontier_next
+            if tiny:
+                delta_parts = max(1, min(32, n_popped // 10_000))
+                shrink = (lambda df: df.coalesce(delta_parts))
+                fr_bound = (
+                    frontier_rows + n_links + n_popped + 4 * n_recs
+                    if frontier_rows is not None and n_links is not None
+                    else None
+                )
+                if fr_bound is not None:
+                    # ~1M frontier rows (≈200 B each) per output file
+                    frontier_out = frontier_next.coalesce(
+                        max(1, -(-fr_bound // 1_000_000))
+                    )
+            else:
+                shrink = (lambda df: df)
             commit_t0 = _time.time()
             self.ckpt.commit_round(
                 round_no,
                 {
-                    "frontier": frontier_next,
-                    "seen_delta": ok.select("url_hash"),
-                    "records_delta": records_out,
-                    "webtext_delta": webtext_out,
-                    "fetch_log_delta": fetch_log,
+                    "frontier": frontier_out,
+                    "seen_delta": shrink(ok.select("url_hash")),
+                    "records_delta": shrink(records_out),
+                    "webtext_delta": shrink(webtext_out),
+                    "fetch_log_delta": shrink(fetch_log),
                 },
                 metrics,
                 stats_cb=_round_stats_from_written,
@@ -973,6 +1051,7 @@ class CrawlEngine:
             # (they materialize the round's lineage); time them separately
             # so the north-rule metrics expose where a round's wall goes
             metrics["commit_wall_s"] = round(_time.time() - commit_t0, 2)
+            frontier_rows = metrics.get("frontier_rows")
             bloom_t0 = _time.time()
             round_log = {"round": round_no, **metrics}
             metrics_log.append(round_log)
