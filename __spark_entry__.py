@@ -1029,6 +1029,64 @@ def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals (Rae et al. 2021 §A1.1): duplicate word
+    bi-/tri-gram fractions per document — in-row JVM expressions
+    (crawler_spark.functions.textstats.dup_ngram_frac); the line/paragraph
+    variants are fixture-tested in tests/test_functions.py (the synthetic
+    corpus is single-line)."""
+    from crawler_spark.functions.textstats import dup_ngram_frac
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(dup_ngram_frac(F.col("text"), 2), 6).alias("dup_bigram_frac"),
+        F.round(dup_ngram_frac(F.col("text"), 3), 6).alias("dup_trigram_frac"),
+    )
+
+
+def _text_gopher_topngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher top-n-gram fraction, the scale path: explode → two-level hash
+    aggregation with map-side partials — no task ever materializes a whole
+    document's n-gram histogram (textstats.top_ngram_stats)."""
+    from crawler_spark.functions.textstats import top_ngram_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = top_ngram_stats(docs, id_col="doc_id", text_col="text", n=2)
+    return out.select(
+        "doc_id",
+        F.round(F.col("top_ngram_frac"), 6).alias("top_ngram_frac"),
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+    )
+
+
+def _text_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line cleaning (Raffel et al. 2019 §2.2): the synthetic corpus is
+    single-line, so the query first rewraps each document into 5-word lines
+    with a deterministic regex both engines evaluate identically, then
+    applies the min-words + marker-blacklist line rules (the terminal-
+    punctuation rule needs punctuation the corpus lacks; it's fixture-
+    tested in tests/test_functions.py)."""
+    from crawler_spark.functions.textstats import (
+        c4_clean,
+        c4_kept_line_frac,
+        doc_lines,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    wrapped = F.regexp_replace(F.col("text"), r"((?:\S+ ){4}\S+) ", "$1\n")
+    return docs.select(
+        "doc_id",
+        F.size(doc_lines(wrapped)).cast("long").alias("n_lines"),
+        F.round(
+            c4_kept_line_frac(wrapped, min_words=5, require_terminal=False), 6
+        ).alias("kept_frac"),
+        c4_clean(wrapped, min_words=5, require_terminal=False).alias(
+            "clean_text"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Reporting jobs (A4 fields-lister, U3/S14 missing-images audit) through the
 # engine modules, over records synthesized deterministically from documents
@@ -1248,6 +1306,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _text_token_stats,
         "text_bpe_tokens": _text_bpe_tokens,
         "text_quality": _text_quality,
+        "text_gopher_repetition": _text_gopher_repetition,
+        "text_gopher_topngram": _text_gopher_topngram,
+        "text_c4_clean": _text_c4_clean,
         "events_sessions": _events_sessions,
         "events_tumbling": _events_tumbling,
         "fields_lister_report": _fields_lister_report,
@@ -1791,6 +1852,61 @@ def oracle_sql() -> dict[str, str]:
                     THEN CAST(len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
                          / len(text) ELSE 0.0 END AS pr
                 FROM documents))
+        """,
+        "text_gopher_repetition": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            g AS (SELECT doc_id,
+              list_transform(range(1, len(toks)),
+                             i -> toks[i] || ' ' || toks[i+1]) AS g2,
+              list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+              FROM t)
+            SELECT doc_id,
+              round(CASE WHEN len(g2) > 0
+                THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+                ELSE 0.0 END, 6) AS dup_bigram_frac,
+              round(CASE WHEN len(g3) > 0
+                THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+                ELSE 0.0 END, 6) AS dup_trigram_frac
+            FROM g
+        """,
+        "text_gopher_topngram": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            g AS (SELECT doc_id,
+                    unnest(list_transform(range(1, len(toks)),
+                           i -> toks[i] || ' ' || toks[i+1])) AS gram
+                  FROM t),
+            c AS (SELECT doc_id, gram, count(*) AS c
+                  FROM g GROUP BY doc_id, gram)
+            SELECT doc_id,
+                   round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_ngram_frac,
+                   CAST(sum(c) AS BIGINT) AS n_ngrams
+            FROM c GROUP BY doc_id
+        """,
+        "text_c4_clean": r"""
+            WITH w AS (SELECT doc_id,
+                regexp_replace(text, '((?:\S+ ){4}\S+) ',
+                               '\1' || chr(10), 'g') AS wrapped
+              FROM documents),
+            l AS (SELECT doc_id,
+                list_filter(list_transform(str_split(wrapped, chr(10)),
+                                           s -> trim(s)),
+                            s -> s <> '') AS lines
+              FROM w),
+            k AS (SELECT doc_id, lines,
+                list_filter(lines, s ->
+                  len(list_filter(str_split_regex(s, '\s+'), x -> x <> '')) >= 5
+                  AND NOT contains(lower(s), 'lorem ipsum')
+                  AND NOT contains(lower(s), 'javascript')
+                  AND NOT contains(lower(s), '{')) AS kept
+              FROM l)
+            SELECT doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   round(CASE WHEN len(lines) > 0
+                     THEN CAST(len(kept) AS DOUBLE) / len(lines)
+                     ELSE 0.0 END, 6) AS kept_frac,
+                   coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+            FROM k
         """,
         "fields_lister_report": f"""
             WITH toks AS (SELECT doc_id, lang, source, {_TOKS} AS t FROM documents)

@@ -101,6 +101,126 @@ def quality_score(text: Column) -> Column:
     return (len_ok + tok_ok + sw_ok + punct_ok) / 4.0
 
 
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (Rae et al. 2021, arXiv 2112.11446 §A1.1)
+# and C4-style line cleaning (Raffel et al. 2019, arXiv 1910.10683 §2.2) —
+# the standard web-corpus quality gates a training-data pipeline runs right
+# after dedup. All in-row variants are pure JVM expressions; the top-n-gram
+# fraction also ships a DataFrame-level explode+groupBy path, the one that
+# scales (the in-row histogram would be O(V·N) per document).
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Sliding word n-grams as space-joined strings; < n tokens → []."""
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.slice(toks, 1, F.size(toks) - (n - 1)),
+            lambda x, i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_ngram_frac(text: Column, n: int = 2) -> Column:
+    """Fraction of word n-grams that repeat an earlier occurrence
+    (1 - distinct/total) — the in-row member of Gopher's duplicate
+    n-gram-fraction family."""
+    g = word_ngrams(text, n)
+    total = F.size(g)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / total,
+    ).otherwise(F.lit(0.0))
+
+
+def doc_lines(text: Column) -> Column:
+    """Non-empty trimmed lines."""
+    return F.filter(
+        F.transform(F.split(text, r"\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+
+
+def dup_line_frac(text: Column) -> Column:
+    """Gopher duplicate-line fraction: share of lines that repeat an
+    earlier line verbatim."""
+    l = doc_lines(text)
+    n = F.size(l)
+    return F.when(
+        n > 0, F.lit(1.0) - F.size(F.array_distinct(l)).cast("double") / n
+    ).otherwise(F.lit(0.0))
+
+
+def dup_para_frac(text: Column) -> Column:
+    """Gopher duplicate-paragraph fraction (paragraphs = blank-line splits)."""
+    p = F.filter(
+        F.transform(F.split(text, r"\n{2,}"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    n = F.size(p)
+    return F.when(
+        n > 0, F.lit(1.0) - F.size(F.array_distinct(p)).cast("double") / n
+    ).otherwise(F.lit(0.0))
+
+
+def top_ngram_stats(df, id_col: str = "doc_id", text_col: str = "text",
+                    n: int = 2):
+    """Gopher top-n-gram fraction, the scale path: per document, the share
+    of n-grams taken by the single most frequent one. Explode → two-level
+    hash aggregation — partial (map-side) combines make the shuffle carry
+    (id, gram, count) partials, and no task ever holds a whole document's
+    histogram; an in-row version would scan O(distinct × total) per row."""
+    g = df.select(
+        id_col, F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    counts = g.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
+    return counts.groupBy(id_col).agg(
+        (F.max("c").cast("double") / F.sum("c")).alias("top_ngram_frac"),
+        F.sum("c").alias("n_ngrams"),
+    )
+
+
+# C4 line rules (Raffel et al. §2.2): keep lines that end in terminal
+# punctuation and have ≥ min_words words; drop any line with code/boiler-
+# plate markers. The curly-brace rule is C4's page-level "{" drop applied
+# at line grain so one code block doesn't kill an otherwise-clean page.
+C4_BAD_MARKERS = ("lorem ipsum", "javascript", "{")
+_TERMINAL = ('.', '!', '?', '"', "'")
+
+
+def c4_keep_line(line: Column, min_words: int = 3,
+                 require_terminal: bool = True) -> Column:
+    t = F.trim(line)
+    ok = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != "")) >= min_words
+    if require_terminal:
+        ok = ok & F.substring(t, -1, 1).isin(*_TERMINAL)
+    low = F.lower(t)
+    for marker in C4_BAD_MARKERS:
+        ok = ok & ~low.contains(marker)
+    return ok
+
+
+def c4_clean(text: Column, min_words: int = 3,
+             require_terminal: bool = True) -> Column:
+    """C4 cleaning: the document with only its kept lines (joined by \\n)."""
+    kept = F.filter(
+        doc_lines(text),
+        lambda l: c4_keep_line(l, min_words, require_terminal),
+    )
+    return F.array_join(kept, "\n")
+
+
+def c4_kept_line_frac(text: Column, min_words: int = 3,
+                      require_terminal: bool = True) -> Column:
+    lines = doc_lines(text)
+    n = F.size(lines)
+    kept = F.size(
+        F.filter(lines, lambda l: c4_keep_line(l, min_words, require_terminal))
+    )
+    return F.when(n > 0, kept.cast("double") / n).otherwise(F.lit(0.0))
+
+
 def normalized(text: Column) -> Column:
     """Fingerprint normalization: lowercase + collapse whitespace + trim."""
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))

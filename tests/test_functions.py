@@ -357,3 +357,81 @@ def test_winnow_fingerprint_guarantee(spark):
     assert fps[1] & fps[2]  # shared substring → shared fingerprint
     assert not (fps[1] & fps[3])
     assert all(len(v) > 0 for v in fps.values())
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition signals (Rae et al. 2021 §A1.1) + C4 line rules
+# (Raffel et al. 2019 §2.2) — the line/paragraph/punctuation paths the
+# single-line synthetic corpus can't exercise in the driver queries.
+
+
+def test_gopher_dup_fractions(spark):
+    from crawler_spark.functions.textstats import (
+        dup_line_frac,
+        dup_ngram_frac,
+        dup_para_frac,
+    )
+
+    rows = [
+        # 4 lines, "same line" twice -> 1 of 4 lines is a repeat
+        (1, "same line\nother line\nsame line\nlast line"),
+        # 3 paragraphs, one repeated -> 1/3 duplicate paragraphs
+        (2, "para one here\n\npara two here\n\npara one here"),
+        # "a b" bigram appears 3x in 4 bigrams -> 2/4 are repeats
+        (3, "a b a b a"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            dup_line_frac(F.col("text")).alias("dl"),
+            dup_para_frac(F.col("text")).alias("dp"),
+            dup_ngram_frac(F.col("text"), 2).alias("dg"),
+        ).collect()
+    }
+    assert got[1]["dl"] == pytest.approx(0.25)
+    assert got[2]["dp"] == pytest.approx(1 / 3)
+    assert got[3]["dg"] == pytest.approx(0.5)  # bigrams: ab ba ab ba -> 2 dup
+    assert got[4]["dl"] == got[4]["dp"] == got[4]["dg"] == 0.0
+
+
+def test_gopher_top_ngram_stats(spark):
+    from crawler_spark.functions.textstats import top_ngram_stats
+
+    rows = [(1, "x y x y x z"), (2, "a b c d"), (3, "solo")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in top_ngram_stats(df, n=2).collect()}
+    # doc 1 bigrams: xy yx xy yx xz -> top 'x y' 2/5
+    assert got[1]["top_ngram_frac"] == pytest.approx(0.4)
+    assert got[1]["n_ngrams"] == 5
+    assert got[2]["top_ngram_frac"] == pytest.approx(1 / 3)
+    assert 3 not in got  # <2 tokens -> no n-grams -> no row
+
+
+def test_c4_line_rules(spark):
+    from crawler_spark.functions.textstats import c4_clean, c4_kept_line_frac
+
+    text = (
+        "This is a proper sentence with enough words.\n"
+        "too short.\n"
+        "No terminal punctuation on this long enough line\n"
+        "Enable JavaScript to view this page properly.\n"
+        "function foo() { return 1; }\n"
+        "Lorem ipsum dolor sit amet consectetur adipiscing elit.\n"
+        'He said the magic words loudly: "open sesame!"\n'
+    )
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    row = df.select(
+        c4_clean(F.col("text"), min_words=5, require_terminal=True).alias("c"),
+        c4_kept_line_frac(
+            F.col("text"), min_words=5, require_terminal=True
+        ).alias("f"),
+    ).first()
+    kept = row["c"].split("\n")
+    assert kept == [
+        "This is a proper sentence with enough words.",
+        'He said the magic words loudly: "open sesame!"',
+    ]
+    assert row["f"] == pytest.approx(2 / 7)
