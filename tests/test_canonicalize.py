@@ -140,3 +140,42 @@ def test_fast_path_equals_slow_path_fuzz(raw):
         for dp in (frozenset(), frozenset({"utm"})):
             got = _canonicalize_batch(s, b, dp)
             assert got.iloc[0] == canonicalize_url(u, None, dp)
+
+
+messy_url_strategy = st.builds(
+    lambda scheme, user, host, port, path, q, frag: (
+        f"{scheme}://{user}{host}{port}{path}{q}{frag}"
+    ),
+    st.sampled_from(["http", "https", "HTTP", "hTTps", "ftp", "web+x"]),
+    st.sampled_from(["", "user@", "a:b@"]),
+    st.sampled_from(
+        ["Example.COM", "h0.test", "h.io.", "[::1]", "a:b:c", "", "ho st"]
+    ),
+    st.sampled_from(["", ":80", ":443", ":0080", ":8080", ":", ":99999999",
+                     ":0"]),
+    st.sampled_from(
+        ["", "/", "/a/./b", "/a/../b", "/a/..", "/%7Euser", "/a\tb",
+         "/x//y/", "/a/.", "/."]
+    ),
+    st.sampled_from(["", "?", "?a=1&utm=x", "?%41=1", "?a=1&&b=2", "?utm=x"]),
+    st.sampled_from(["", "#f", "#a#b"]),
+)
+
+
+@given(messy_url_strategy, st.sampled_from([None, "", "http://base.io/dir/"]))
+@settings(max_examples=500, deadline=None)
+def test_vectorized_messy_path_equals_pure(url, base):
+    """Property: the staged-vectorized messy path (_canonicalize_vec via
+    _canonicalize_batch) is EXACTLY the pure function on authority/port/
+    dot-segment/percent/query/fragment combinations, with and without a
+    base and drop_params."""
+    import pandas as pd
+
+    from crawler_spark.functions.canonicalize import _canonicalize_batch
+
+    s = pd.Series([url], dtype="object")
+    b = pd.Series([base], dtype="object")
+    for dp in (frozenset(), frozenset({"utm", "a"})):
+        got = _canonicalize_batch(s, b, dp)
+        want = canonicalize_url(url, base, dp)
+        assert got.iloc[0] == want, (url, base, dp, got.iloc[0], want)
