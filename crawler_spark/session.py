@@ -51,7 +51,10 @@ def get_spark(
         # Deterministic timezone for warc_ts handling.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: this IS the whole JVM heap (driver + executor). The
+        # bench macro persists multiple multi-GB frames; an undersized heap
+        # shows up as GC storms that read as poor core-count scaling.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
