@@ -437,7 +437,15 @@ def main() -> None:
                 )
                 urls_popped = r["urls"]
         t4, t16 = min(runs[4]), min(runs[16])
-        eff = round(t4 / t16 / 4.0, 3)
+        # efficiency from the MEDIAN of per-iteration ratios, not the ratio
+        # of independent minima: each interleaved (4,16) pair shares one
+        # noise window on this steal-prone shared host, so its ratio is a
+        # self-normalized sample; the ratio of per-config minima pairs the
+        # luckiest windows of DIFFERENT hours and has measured spuriously
+        # superlinear (>1.0) under asymmetric load. Median over K pairs
+        # tolerates one bad window either way.
+        ratios = sorted(a / b for a, b in zip(runs[4], runs[16]))
+        eff = round(ratios[len(ratios) // 2] / 4.0, 3)
         urls = urls_popped  # macro_round's own count — no duplicated formula
         scaling = {
             "n_urls": N_URLS_SCALING,
@@ -446,6 +454,7 @@ def main() -> None:
             "local16_all_seconds": runs[16],
             "local4_steal_pct": steals[4],
             "local16_steal_pct": steals[16],
+            "pair_ratios": [round(r, 3) for r in ratios],
             "local4_urls_per_sec": round(urls / t4, 1),
             "local4_seconds": t4,
             "local16_urls_per_sec": round(urls / t16, 1),

@@ -487,7 +487,7 @@ class BloomTable:
         version: int,
         deleted: "CuckooFilter | None" = None,
         hash_col: str = "url_hash",
-        cache_registry: list | None = None,
+        cache_registry: list = None,  # REQUIRED — see docstring
         strategy: str = "auto",
     ) -> DataFrame:
         """J1 with the table-backed Bloom pre-filter (exact confirm after).
@@ -501,11 +501,18 @@ class BloomTable:
         per executor. Both strategies return identical rows (parity-tested).
 
         The internal flagged frame is persisted (consumed by both the fresh
-        and suspect branches); pass ``cache_registry`` to receive it so the
-        caller can unpersist once the round's outputs are materialized —
-        otherwise 10^4 rounds would each leave a candidate-set-sized block
-        in the cache. ``deleted`` defaults to this table's own revocation
-        cuckoo (``mark_deleted``)."""
+        and suspect branches); ``cache_registry`` is REQUIRED (a list the
+        flagged handle is appended to) so every caller owns unpersisting it
+        once the round's outputs are materialized — with a silent default,
+        10^4 rounds would each leak a candidate-set-sized cache block until
+        session stop (round-2 ADVICE). ``deleted`` defaults to this table's
+        own revocation cuckoo (``mark_deleted``)."""
+        if cache_registry is None:
+            raise TypeError(
+                "filter_unseen requires cache_registry=<list>: the internal"
+                " persisted frame must be owned (unpersist after the"
+                " round's outputs materialize) or it leaks per call"
+            )
         spark = candidates.sparkSession
         if deleted is None:
             deleted = self.deleted

@@ -32,7 +32,7 @@ def test_build_and_query_matches_exact(spark, tmp_path, seen_and_cands):
     bt.build(seen, version=0)
     assert bt.latest_version() == 0
 
-    got = {r["id"] for r in bt.filter_unseen(cands, seen, version=0).collect()}
+    got = {r["id"] for r in bt.filter_unseen(cands, seen, version=0, cache_registry=[]).collect()}
     want = {i for i in range(3000) if i % 3 != 0}
     assert got == want
 
@@ -50,7 +50,7 @@ def test_incremental_update(spark, tmp_path, seen_and_cands):
     bt.update(spark, from_version=0, delta=delta, version=1)
     assert bt.latest_version() == 1
     seen2 = seen.unionByName(delta)
-    got = {r["id"] for r in bt.filter_unseen(cands, seen2, version=1).collect()}
+    got = {r["id"] for r in bt.filter_unseen(cands, seen2, version=1, cache_registry=[]).collect()}
     assert got == {i for i in range(3000) if i % 3 == 2}
     # old version pruned (crash-safety keeps only version-1 back)
     import os
@@ -75,7 +75,7 @@ def test_cuckoo_override_readmits_revoked(spark, tmp_path, seen_and_cands):
         seen["url_hash"] == F.col("h"),
         "left_anti",
     )
-    got = bt.filter_unseen(cands, seen_minus, version=0)  # own cuckoo
+    got = bt.filter_unseen(cands, seen_minus, version=0, cache_registry=[])  # own cuckoo
     got_hashes = {r["url_hash"] for r in got.collect()}
     assert set(revoked) <= got_hashes
 

@@ -139,13 +139,13 @@ def test_bloom_table_filter_strategies(spark, tmp_path):
     want = set(range(1, 100, 2))
 
     # auto on a 4-bucket toy table → broadcast (under the 64 MB budget)
-    out = bt.filter_unseen(cands, seen, version=0)
+    out = bt.filter_unseen(cands, seen, version=0, cache_registry=[])
     plan = _executed_plan(out)
     assert "FlatMapCoGroupsInPandas" not in plan
     assert {r["url_hash"] for r in out.collect()} == want
 
     # forced cogroup (what auto picks past BROADCAST_MAX_BYTES)
-    out2 = bt.filter_unseen(cands, seen, version=0, strategy="cogroup")
+    out2 = bt.filter_unseen(cands, seen, version=0, cache_registry=[], strategy="cogroup")
     plan2 = _executed_plan(out2)
     assert "FlatMapCoGroupsInPandas" in plan2
     assert {r["url_hash"] for r in out2.collect()} == want

@@ -67,7 +67,7 @@ def test_bloomtable_exact_parity(spark, tmp_path):
     bt.build(seen, version=0)
     got = sorted(
         r["payload"]
-        for r in bt.filter_unseen(cands, seen, version=0).collect()
+        for r in bt.filter_unseen(cands, seen, version=0, cache_registry=[]).collect()
     )
     assert got == list(range(5000, 7500))
 
