@@ -55,15 +55,35 @@ def pop_batch(
     politeness: DataFrame | None = None,
     default_budget: int = 100,
     global_batch: int | None = None,
+    prune_shuffle: bool = True,
 ) -> DataFrame:
     """W1: per-host top-k by priority, then optional global cap.
 
     One shuffle (the window partitionBy host); the global cap is a TakeOrdered
     — both AQE-friendly. The reference's sequential loop is the degenerate
     budget=1, one-host case.
+
+    ``prune_shuffle`` (default): the window exchange moves ONLY the
+    ordering tuple + host + url_hash (~40 B/row), not the full frontier
+    row (the url string alone dominates at ~100+ B), and the surviving
+    budget-bounded keys join back to the full rows afterwards. At a
+    10^10-row frontier the window shuffle is the round's largest data
+    movement, so ~5x less shuffle volume for a second (column-pruned,
+    shuffle-free) scan of the frontier is the right trade everywhere
+    except tiny frames. The join back is key-unique (J4 invariant: one
+    frontier row per url_hash) and broadcast-bounded by the popped batch.
     """
-    w = Window.partitionBy("host").orderBy(*pop_order())
-    ranked = frontier.withColumn("__rn", F.row_number().over(w))
+    order_cols = [
+        "host", "url_hash", "depth", "score", "seed_idx", "page_no",
+        "in_page_idx", "dfs_rank",
+    ]
+    if prune_shuffle:
+        slim = frontier.select(*order_cols)
+        w = Window.partitionBy("host").orderBy(*pop_order())
+        ranked = slim.withColumn("__rn", F.row_number().over(w))
+    else:
+        w = Window.partitionBy("host").orderBy(*pop_order())
+        ranked = frontier.withColumn("__rn", F.row_number().over(w))
     if politeness is not None:
         budgets = politeness.select(
             F.col("host").alias("__p_host"),
@@ -85,7 +105,17 @@ def pop_batch(
             .where(F.col("__grn") <= global_batch)
             .drop("__grn")
         )
-    return ranked
+    if not prune_shuffle:
+        return ranked
+    # join the surviving (budget-bounded) keys back to the full rows:
+    # broadcast hash join, probe side a second column-complete scan of the
+    # frontier — scans are cheap next to the full-row window exchange this
+    # avoided. url_hash is unique in the frontier (J4), so row multiplicity
+    # is unchanged.
+    keys = F.broadcast(ranked.select(F.col("url_hash").alias("__pop_h")))
+    return frontier.join(
+        keys, frontier["url_hash"] == F.col("__pop_h"), "left_semi"
+    )
 
 
 def salted_host_repartition(

@@ -22,7 +22,23 @@ Scale notes (the parts that must survive 1000 executors / 10^10 URLs):
   and (b) per-round delta appends — never rewritten;
 * the pages scan is joined against a broadcast of the (bounded) round batch,
   so each round reads only the fetched keys' row groups;
-* all per-row logic (HTML parse, canonicalize) is Arrow-batched.
+* all per-row logic (HTML parse, canonicalize) is Arrow-batched;
+* the pop window exchange moves only the ordering tuple, never full rows
+  (pop_batch prune_shuffle) — at 10^10 rows that exchange is the round's
+  largest data movement.
+
+Known next-scale step (designed, not yet needed at driver scale): the
+frontier snapshot is still written FULL each round. The delta form —
+``frontier_add`` rows plus ``(url_hash, attempts)`` pop tombstones, a
+tombstone killing generations with attempts <= its own so a same-round
+retry re-add survives — cuts the per-round write from O(frontier) to
+O(batch + links). Read-side resolution rides the pop shuffle for free:
+``Window.partitionBy(host, url_hash)`` is satisfied by the host hash
+exchange (subset clustering), so duplicate generations collapse in the
+same single shuffle the budget window already pays. Requires either
+catalog-registered bucketed tables or Iceberg bucket metadata to also
+skip the exchange entirely; on plain parquet the win is the 8x write
+reduction (compaction every K rounds, like seen_delta).
 """
 
 from __future__ import annotations
