@@ -30,6 +30,11 @@ from crawler_spark import schemas as _schemas
 # inference jobs were a measurable slice of per-round driver overhead)
 _TABLE_SCHEMAS = {
     "frontier": _schemas.FRONTIER,
+    # delta frontier storage (EngineConfig.frontier_storage="delta"):
+    # non-snapshot rounds persist O(batch) add/del deltas instead of the
+    # O(frontier) snapshot
+    "frontier_add": _schemas.FRONTIER,
+    "frontier_del": _schemas.URL_SEEN,
     "seen_delta": _schemas.URL_SEEN,
     "records_delta": _schemas.RECORDS,
     "webtext_delta": _schemas.WEBTEXT,
@@ -229,6 +234,11 @@ class Checkpointer:
         return self._reader(spark, name).parquet(
             os.path.join(self.round_dir(round_no), name)
         )
+
+    def has_table(self, round_no: int, name: str) -> bool:
+        """Whether a committed round persisted ``name`` (delta-frontier
+        rounds write add/del tables instead of the snapshot)."""
+        return os.path.isdir(os.path.join(self.round_dir(round_no), name))
 
     def load_all_deltas(
         self,

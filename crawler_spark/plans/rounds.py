@@ -102,8 +102,10 @@ def _round_stats_from_written(lineage: dict) -> dict:
     n_records = _footer_rows("records_delta")
     # exact committed frontier size, carried in the manifest so the next
     # round (or a resume) can size its frontier WRITE layout without ever
-    # running a count action over the (possibly 10^10-row) frontier
-    n_frontier = _footer_rows("frontier")
+    # running a count action over the (possibly 10^10-row) frontier.
+    # Delta-frontier rounds don't write the snapshot — they report None and
+    # the loop keeps a driver-side upper bound instead.
+    n_frontier = _footer_rows("frontier") if "frontier" in lineage else None
     fl = lineage["fetch_log_delta"]
     n_ok = n_failed = n_bytes = 0
     for f in fl["files"]:
@@ -168,6 +170,18 @@ class EngineConfig:
     # pops millions of URLs per round and keeps AQE on throughout; only
     # tail/test/interactive rounds duck under.
     aqe_min_batch: int = 100_000
+    # frontier persistence: "full" rewrites the whole frontier snapshot
+    # every round (simple, battle-tested); "delta" writes O(round batch)
+    # add/del deltas per round plus a full snapshot every
+    # frontier_snapshot_every rounds — at a 10^10-row frontier the
+    # per-round full rewrite is the engine's largest write, so delta mode
+    # cuts commit IO ~snapshot_every×. State reconstruction replays the
+    # SAME remove_popped/add_candidates functions the live loop applies
+    # (semantics identical by construction, parity-tested in
+    # tests/test_frontier_delta.py); resume works from any committed
+    # round, mid-interval included.
+    frontier_storage: str = "full"
+    frontier_snapshot_every: int = 8
     extra: dict = dc_field(default_factory=dict)
 
 
@@ -229,6 +243,37 @@ class CrawlEngine:
     def _candidate_schema_cols(self):
         return [f.name for f in schemas.FRONTIER.fields]
 
+    def _load_frontier_state(self, upto: int) -> tuple[DataFrame, int]:
+        """Delta-frontier reconstruction: the latest committed snapshot
+        ≤ ``upto`` replayed forward through each later round's del/add
+        deltas using the SAME remove_popped/add_candidates the live loop
+        applies — frontier state after round ``upto`` is therefore
+        bit-identical to what full-snapshot mode would have persisted.
+        Bounded work: ≤ frontier_snapshot_every delta dirs, each O(round
+        batch), applied as broadcast probes + contested-key windows over
+        one snapshot scan. Returns (frontier, snapshot_round) — the
+        snapshot round's manifest carries the last exact frontier_rows."""
+        committed = self.ckpt.committed_rounds()
+        snap = None
+        for r in reversed(committed):
+            if r <= upto and self.ckpt.has_table(r, "frontier"):
+                snap = r
+                break
+        if snap is None:
+            raise RuntimeError(
+                f"no frontier snapshot ≤ round {upto} in {self.ckpt.root} —"
+                " delta-frontier checkpoints always snapshot round 0, so"
+                " this checkpoint is corrupt or from an incompatible engine"
+            )
+        df = self.ckpt.load(self.spark, snap, "frontier")
+        for q in [r for r in committed if snap < r <= upto]:
+            dels = F.broadcast(self.ckpt.load(self.spark, q, "frontier_del"))
+            adds = self.ckpt.load(self.spark, q, "frontier_add")
+            df = add_candidates(
+                remove_popped(df, dels), adds, broadcast_keys=True
+            )
+        return df, snap
+
     def run(
         self, resume: bool = True, recrawl: DataFrame | None = None
     ) -> CrawlResult:
@@ -265,9 +310,15 @@ class CrawlEngine:
         # correctness
         frontier_rows: int | None
         if latest is not None:
-            frontier = self.ckpt.load(spark, latest, "frontier")
+            if cfg.frontier_storage == "delta":
+                # mid-interval resume: snapshot + delta replay (identical
+                # state by construction — see _load_frontier_state)
+                frontier, snap = self._load_frontier_state(latest)
+                fr = self.ckpt.round_metric(snap, "frontier_rows")
+            else:
+                frontier = self.ckpt.load(spark, latest, "frontier")
+                fr = self.ckpt.round_metric(latest, "frontier_rows")
             round_no = latest + 1
-            fr = self.ckpt.round_metric(latest, "frontier_rows")
             frontier_rows = int(fr) if fr is not None else None
         else:
             frontier = seeds_to_frontier(self.seeds)
@@ -279,6 +330,7 @@ class CrawlEngine:
             frontier = frontier.coalesce(max(1, -(-frontier_rows // 1_000_000)))
 
         recrawl_hashes: DataFrame | None = None
+        pending_add_rows: DataFrame | None = None
         if recrawl is not None:
             rows = recrawl.select(
                 F.col("url"),
@@ -298,6 +350,12 @@ class CrawlEngine:
             )
             frontier = add_candidates(frontier, rows)
             recrawl_hashes = rows.select("url_hash").persist()
+            # delta-frontier mode: run-start additions exist only in this
+            # run's memory until a commit persists them — ride the first
+            # committed round's add delta (a snapshot commit covers them
+            # implicitly and clears the pending set too)
+            if cfg.frontier_storage == "delta":
+                pending_add_rows = rows
             # revoked-seen hashes go to the table's cuckoo override
             _rc = [r["url_hash"] for r in recrawl_hashes.collect()]
             if frontier_rows is not None:
@@ -375,7 +433,7 @@ class CrawlEngine:
                 frontier, round_no, latest, last_committed, start_latest,
                 seen_count, metrics_log, recrawl_hashes,
                 bloom_enabled, seen_df, all_seen_df, orig_aqe, orig_shuffle,
-                frontier_rows,
+                frontier_rows, pending_add_rows,
             )
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", orig_aqe)
@@ -385,7 +443,7 @@ class CrawlEngine:
         self, frontier, round_no, latest, last_committed, start_latest,
         seen_count, metrics_log, recrawl_hashes,
         bloom_enabled, seen_df, all_seen_df, orig_aqe, orig_shuffle="200",
-        frontier_rows=None,
+        frontier_rows=None, pending_add_rows=None,
     ) -> CrawlResult:
         spark, cfg = self.spark, self.cfg
         # whether fetched pages carry a lang column, decided ONCE from the
@@ -986,9 +1044,12 @@ class CrawlEngine:
                     + F.expr("shiftleft(1, least(attempts - 1, 6))")
                 ).cast("int"),
             )
+            round_adds = fresh.select(*fr_cols).union(
+                retry_rows.select(*fr_cols)
+            )
             frontier_next = add_candidates(
                 remaining,
-                fresh.select(*fr_cols).union(retry_rows.select(*fr_cols)),
+                round_adds,
                 # candidates ≤ out-links of a bounded round batch; their
                 # truncated lineage hides that from the planner
                 broadcast_keys=tiny,
@@ -1047,15 +1108,40 @@ class CrawlEngine:
             else:
                 shrink = (lambda df: df)
             commit_t0 = _time.time()
+            tables = {
+                "seen_delta": shrink(ok.select("url_hash")),
+                "records_delta": shrink(records_out),
+                "webtext_delta": shrink(webtext_out),
+                "fetch_log_delta": shrink(fetch_log),
+            }
+            snapshot_round = (
+                cfg.frontier_storage != "delta"
+                or round_no % cfg.frontier_snapshot_every == 0
+            )
+            if snapshot_round:
+                tables["frontier"] = frontier_out
+            else:
+                # O(round batch) persistence instead of the O(frontier)
+                # snapshot: this round's candidate additions + popped
+                # tombstones. Reconstruction (see _load_frontier_state)
+                # replays remove(dels)-then-add(adds) per round, so any
+                # run-start (recrawl) rows not yet persisted ride this
+                # add delta MINUS the hashes popped this round — a
+                # popped pending URL must not be resurrected by replay.
+                add_out = round_adds
+                if pending_add_rows is not None:
+                    add_out = add_out.union(
+                        remove_popped(
+                            pending_add_rows.select(*fr_cols), popped
+                        ).select(*fr_cols)
+                    )
+                tables["frontier_add"] = shrink(add_out)
+                tables["frontier_del"] = shrink(popped.select("url_hash"))
+            if snapshot_round or "frontier_add" in tables:
+                pending_add_rows = None  # persisted (or covered by snapshot)
             self.ckpt.commit_round(
                 round_no,
-                {
-                    "frontier": frontier_out,
-                    "seen_delta": shrink(ok.select("url_hash")),
-                    "records_delta": shrink(records_out),
-                    "webtext_delta": shrink(webtext_out),
-                    "fetch_log_delta": shrink(fetch_log),
-                },
+                tables,
                 metrics,
                 stats_cb=_round_stats_from_written,
                 # every table rides an already-materialized cache (`recs`
@@ -1067,7 +1153,14 @@ class CrawlEngine:
             # (they materialize the round's lineage); time them separately
             # so the north-rule metrics expose where a round's wall goes
             metrics["commit_wall_s"] = round(_time.time() - commit_t0, 2)
-            frontier_rows = metrics.get("frontier_rows")
+            fr_committed = metrics.get("frontier_rows")
+            if fr_committed is not None:
+                frontier_rows = fr_committed
+            elif frontier_rows is not None:
+                # delta round: exact count unknown without a frontier scan;
+                # carry a driver-side UPPER bound (adds can only dedup
+                # down) — used only to size write layouts, never semantics
+                frontier_rows += (n_links or 0) + n_popped
             bloom_t0 = _time.time()
             round_log = {"round": round_no, **metrics}
             metrics_log.append(round_log)
@@ -1138,8 +1231,14 @@ class CrawlEngine:
                 df.unpersist()
             for df in sec_caches:
                 df.unpersist()
-            # re-read from checkpoint: cuts lineage + is the resume point
-            frontier = self.ckpt.load(spark, round_no, "frontier")
+            # re-read from checkpoint: cuts lineage + is the resume point.
+            # Delta mode reconstructs snapshot+deltas with the same replay
+            # a resume would run — the in-loop state and the resume state
+            # are the same plan by construction.
+            if cfg.frontier_storage == "delta":
+                frontier, _ = self._load_frontier_state(round_no)
+            else:
+                frontier = self.ckpt.load(spark, round_no, "frontier")
             round_no += 1
 
         def _delta(name: str, schema) -> DataFrame:
