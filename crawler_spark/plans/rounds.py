@@ -27,18 +27,13 @@ Scale notes (the parts that must survive 1000 executors / 10^10 URLs):
   (pop_batch prune_shuffle) — at 10^10 rows that exchange is the round's
   largest data movement.
 
-Known next-scale step (designed, not yet needed at driver scale): the
-frontier snapshot is still written FULL each round. The delta form —
-``frontier_add`` rows plus ``(url_hash, attempts)`` pop tombstones, a
-tombstone killing generations with attempts <= its own so a same-round
-retry re-add survives — cuts the per-round write from O(frontier) to
-O(batch + links). Read-side resolution rides the pop shuffle for free:
-``Window.partitionBy(host, url_hash)`` is satisfied by the host hash
-exchange (subset clustering), so duplicate generations collapse in the
-same single shuffle the budget window already pays. Requires either
-catalog-registered bucketed tables or Iceberg bucket metadata to also
-skip the exchange entirely; on plain parquet the win is the 8x write
-reduction (compaction every K rounds, like seen_delta).
+The remaining per-round O(frontier) write — the full snapshot — has a
+delta mode (``EngineConfig.frontier_storage="delta"``): each round
+persists only its candidate additions and popped-hash tombstones (both
+O(round batch)) with a full snapshot every ``frontier_snapshot_every``
+rounds; reconstruction replays the same remove/add functions over the
+snapshot, so state is identical by construction (parity-pinned against
+full mode AND the replay oracle in tests/test_frontier_delta.py).
 """
 
 from __future__ import annotations
@@ -171,16 +166,21 @@ class EngineConfig:
     # tail/test/interactive rounds duck under.
     aqe_min_batch: int = 100_000
     # frontier persistence: "full" rewrites the whole frontier snapshot
-    # every round (simple, battle-tested); "delta" writes O(round batch)
-    # add/del deltas per round plus a full snapshot every
-    # frontier_snapshot_every rounds — at a 10^10-row frontier the
+    # every round (simple, cheapest at driver-bound round sizes); "delta"
+    # writes O(round batch) add/del deltas per round plus a full snapshot
+    # every frontier_snapshot_every rounds — at a 10^10-row frontier the
     # per-round full rewrite is the engine's largest write, so delta mode
-    # cuts commit IO ~snapshot_every×. State reconstruction replays the
-    # SAME remove_popped/add_candidates functions the live loop applies
-    # (semantics identical by construction, parity-tested in
-    # tests/test_frontier_delta.py); resume works from any committed
-    # round, mid-interval included.
-    frontier_storage: str = "full"
+    # cuts commit IO ~snapshot_every×; "auto" (default) is full below
+    # frontier_delta_threshold driver-known frontier rows and delta above
+    # (like use_bloom="auto", the at-scale configuration engages itself).
+    # State reconstruction replays the SAME remove_popped/add_candidates
+    # functions the live loop applies (semantics identical by
+    # construction, parity-tested in tests/test_frontier_delta.py); resume
+    # works from any committed round, mid-interval included, and
+    # mixed-mode checkpoints (auto crossing the threshold) reconstruct
+    # naturally — any round with a snapshot is a replay base.
+    frontier_storage: str = "auto"
+    frontier_delta_threshold: int = 10_000_000
     frontier_snapshot_every: int = 8
     extra: dict = dc_field(default_factory=dict)
 
@@ -1114,9 +1114,13 @@ class CrawlEngine:
                 "webtext_delta": shrink(webtext_out),
                 "fetch_log_delta": shrink(fetch_log),
             }
+            delta_on = cfg.frontier_storage == "delta" or (
+                cfg.frontier_storage == "auto"
+                and frontier_rows is not None
+                and frontier_rows > cfg.frontier_delta_threshold
+            )
             snapshot_round = (
-                cfg.frontier_storage != "delta"
-                or round_no % cfg.frontier_snapshot_every == 0
+                not delta_on or round_no % cfg.frontier_snapshot_every == 0
             )
             if snapshot_round:
                 tables["frontier"] = frontier_out
