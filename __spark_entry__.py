@@ -882,14 +882,17 @@ def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism/recall pins in tests/test_functions.py.
 
     Verification-cost control (this variant is instrumentation, not the
-    production path): deterministic half-sample of the corpus + a 16-hash
-    4×4 signature. 4 rows/band RAISES banding recall vs 8 at the ≥0.9
-    similarities real near-dups sit at (0.92⁴ ≫ 0.92⁸), and both engines
-    replay the identical pipeline, so the check stays exact while the md5
-    cost — the dominant term on BOTH engines — halves twice."""
+    production path): deterministic 1-in-10 sample of the corpus + a
+    16-hash 4×4 signature. 4 rows/band RAISES banding recall vs 8 at the
+    ≥0.9 similarities real near-dups sit at (0.92⁴ ≫ 0.92⁸), and both
+    engines replay the identical pipeline, so the check stays exact while
+    the md5 cost — the dominant term on BOTH engines — drops 10×. The
+    sample still contains ≥6 true ≥0.7-Jaccard pairs at sf0.1 (measured),
+    so the value-hash compare is not vacuous; the production xxhash64 path
+    runs the FULL table in tests/bench."""
     from crawler_spark.functions.dedup import minhash_lsh_pairs_md5
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
     return minhash_lsh_pairs_md5(
         docs, n_hashes=16, bands=4, shingle_n=4, threshold=0.7
     )
@@ -899,12 +902,13 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, md5-bit variant with exhaustive banding
     (max_hamming+1 bands ⇒ pigeonhole recall 1): output equals the all-pairs
     hamming filter, which the DuckDB oracle computes independently.
-    Deterministic half-sample keeps this verification variant cheap as sf
-    grows (the oracle's all-pairs hamming check is quadratic); the
-    production xxhash64 path runs the full table in tests and bench."""
+    Deterministic 1-in-4 sample keeps this verification variant cheap as
+    sf grows (the oracle's all-pairs hamming check is quadratic, so the
+    sample cuts it ~6×); the production xxhash64 path runs the full table
+    in tests and bench."""
     from crawler_spark.functions.dedup import simhash_near_pairs_md5
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
     return simhash_near_pairs_md5(docs, max_hamming=6)
 
 
@@ -1637,7 +1641,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": f"""
             WITH t AS (
               SELECT doc_id AS id, {grams4.format(t=_NORM)} AS grams
-              FROM documents WHERE doc_id % 2 = 0
+              FROM documents WHERE doc_id % 10 = 0
             ),
             tg AS (SELECT id, grams FROM t WHERE len(grams) > 0),
             e AS (SELECT id, unnest(grams) AS s FROM tg),
@@ -1672,7 +1676,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": f"""
             WITH g AS (
               SELECT doc_id, {grams.format(t=_NORM)} AS grams FROM documents
-              WHERE doc_id % 2 = 0
+              WHERE doc_id % 4 = 0
             ),
             gg AS (SELECT doc_id, grams FROM g WHERE len(grams) > 0),
             h AS (SELECT doc_id, md5(unnest(grams)) AS hx FROM gg),

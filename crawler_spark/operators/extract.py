@@ -265,6 +265,18 @@ class ConnectorConfig:
     detail_body_template: str | None = None
     strip_params: tuple[str, ...] = ()
     body_defaults: dict = field(default_factory=dict)
+    # ---- S6 stateful POST bodies (imatex.js:41-107,122-131): ASP.NET-style
+    # hosts demand fields harvested from the PREVIOUS same-host response
+    # (__VIEWSTATE/__EVENTVALIDATION) spliced into the next POST. Mapping
+    # placeholder → regex with ONE capture group: after every same-host
+    # response the fetch worker re-captures each field and holds it next to
+    # the host's cookie jar; body templates then render `{placeholder}`
+    # with the harvested value. ``session_handshake_url`` (path or absolute,
+    # resolved against the row URL) is GET-fetched first whenever a worker
+    # must POST to a host it holds no session state for — the batch
+    # analog of the reference's "load the form page, then post it back".
+    session_field_regex: dict = field(default_factory=dict)
+    session_handshake_url: str | None = None
     # Gallica-style typed secondary-fetch chain (gallica.js:83-148): extra
     # per-record fetches whose fields merge into the parent record under a
     # `<kind>.` prefix — see SecondaryFetch above

@@ -25,17 +25,28 @@ from pyspark.sql import functions as F
 
 MAX_ATTEMPTS = 10  # base.js:46-56 (axios-retry retries: 10)
 
+#: semi-filter broadcast gate (mirrors BloomTable.BROADCAST_MAX_BYTES):
+#: the round batch is budget-bounded per host but unbounded in hosts, so
+#: the URL-set broadcast is hinted only under a driver-known row bound
+BROADCAST_MAX_BYTES = 64 * 1024 * 1024
+URL_BYTES = 256  # ~100 B url string + hashed-relation overhead
 
-def fixture_fetch(batch: DataFrame, pages: DataFrame) -> DataFrame:
+
+def fixture_fetch(
+    batch: DataFrame, pages: DataFrame, batch_bound: int | None = None
+) -> DataFrame:
     """J2: popped batch ⋈ pages on url → body column; miss ⇒ status 404.
 
     Join shape chosen for the 100 TB case: a naive ``batch LEFT JOIN pages``
     forces building the *pages* side (BroadcastHashJoin LeftOuter can only
     build right), shuffling or broadcasting the huge table. Instead:
 
-    1. broadcast-SEMI-filter the pages scan by the bounded round batch
-       (≤ sum of host budgets) — one streaming pass over pages, the
-       broadcast hash set acts as the runtime row filter;
+    1. SEMI-filter the pages scan by the bounded round batch — broadcast
+       when the driver-known ``batch_bound`` (the round loop passes its
+       exact ``n_popped``) estimates under BROADCAST_MAX_BYTES, so one
+       streaming pass over pages with the hash set as the runtime row
+       filter; a host-unbounded batch falls back to a shuffle semi-join
+       instead of blowing the driver;
     2. LEFT-join the batch against the now-bounded survivors (builds the
        small right side). Misses fall out of the left join as 404s — no
        second pages scan.
@@ -47,10 +58,13 @@ def fixture_fetch(batch: DataFrame, pages: DataFrame) -> DataFrame:
     ]
     if "lang" in pages.columns:
         page_cols.append(F.col("lang"))
+    batch_urls = batch.select(F.col("url").alias("__b_url"))
+    if batch_bound is not None and batch_bound * URL_BYTES <= BROADCAST_MAX_BYTES:
+        batch_urls = F.broadcast(batch_urls)
     relevant = (
         pages.select(*page_cols)
         .join(
-            F.broadcast(batch.select(F.col("url").alias("__b_url"))),
+            batch_urls,
             F.col("__page_url") == F.col("__b_url"),
             "left_semi",
         )
@@ -105,15 +119,19 @@ class _SafeDict(dict):
         return ""
 
 
-def build_request(url: str, kind: str, cfg) -> tuple[str, bytes | None, dict]:
+def build_request(
+    url: str, kind: str, cfg, session: dict | None = None
+) -> tuple[str, bytes | None, dict]:
     """(send_url, data, extra_headers) for one frontier row.
 
     GET connectors (or no config) pass through untouched. POST connectors
     (joconde.js:44-51 _msearch NDJSON, paris-musees.js:65-80 GraphQL,
     ceres-mcu.js:111-118 form fields, mtmad.js:80-93 JSON) fill the
     kind-appropriate body template from the frontier URL's query params
-    (plus ``body_defaults`` and ``{id}`` = last path segment), then strip
-    the identity-only params from the sent URL."""
+    (plus ``body_defaults``, ``session`` fields harvested from earlier
+    same-host responses — imatex.js:41-107 __VIEWSTATE splicing — and
+    ``{id}`` = last path segment), then strip the identity-only params
+    from the sent URL. Precedence: defaults < session < URL params."""
     if cfg is None or cfg.method == "GET":
         return url, None, {}
     if kind == "secondary":
@@ -132,6 +150,8 @@ def build_request(url: str, kind: str, cfg) -> tuple[str, bytes | None, dict]:
     sp = urlsplit(url)
     params = dict(parse_qsl(sp.query))
     ns = _SafeDict(cfg.body_defaults)
+    if session:
+        ns.update(session)
     ns.update(params)
     ns["id"] = sp.path.rsplit("/", 1)[-1]
     data = tpl.format_map(ns).encode("utf-8")
@@ -189,12 +209,18 @@ def live_fetch(
 
     def _fetch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import http.cookiejar
+        import re as _re
         import time as _time
         import urllib.error
         import urllib.request
+        from urllib.parse import urljoin
 
         openers: dict[str, urllib.request.OpenerDirector] = {}
         last_hit: dict[str, float] = {}
+        # S6 stateful sessions (imatex.js:41-107): harvested response
+        # fields (__VIEWSTATE & co) live next to the host's cookie jar for
+        # exactly as long as the worker owns the host's contiguous run
+        session_state: dict[str, dict] = {}
 
         def opener_for(host: str):
             if host not in openers:
@@ -203,6 +229,23 @@ def live_fetch(
                     urllib.request.HTTPCookieProcessor(jar)
                 )
             return openers[host]
+
+        def harvest(host: str, cfg, body: bytes | None) -> None:
+            """Re-capture each session field from a same-host response."""
+            if cfg is None or not cfg.session_field_regex or body is None:
+                return
+            text = body.decode(cfg.encoding or "utf-8", "replace")
+            st = session_state.setdefault(host, {})
+            for name, rx in cfg.session_field_regex.items():
+                m = _re.search(rx, text)
+                if m:
+                    st[name] = m.group(1)
+
+        def wait_politeness(host: str, delay) -> None:
+            if delay and host in last_hit:
+                wait = last_hit[host] + delay / 1000.0 - _time.monotonic()
+                if wait > 0:
+                    _time.sleep(wait)
 
         for pdf in it:
             out = {c: [] for c in in_cols if c != "__delay_ms"}
@@ -221,10 +264,7 @@ def live_fetch(
             for row in pdf.itertuples(index=False, name=None):
                 host = row[host_i] if host_i is not None else ""
                 delay = (row[delay_i] or 0) if delay_i is not None else 0
-                if delay and host in last_hit:
-                    wait = last_hit[host] + delay / 1000.0 - _time.monotonic()
-                    if wait > 0:
-                        _time.sleep(wait)
+                wait_politeness(host, delay)
                 body, status = None, -1
                 try:
                     cfg = (
@@ -234,10 +274,39 @@ def live_fetch(
                         if connectors
                         else None
                     )
+                    # stateful-POST handshake (imatex.js:38-44): a worker
+                    # holding no session state for a host that needs it
+                    # GETs the form page first and harvests the fields —
+                    # the batch analog of "load the form, then post it
+                    # back". Honors crawl-delay like any other request.
+                    if (
+                        cfg is not None
+                        and cfg.session_field_regex
+                        and cfg.method == "POST"
+                        and cfg.session_handshake_url
+                        and any(
+                            k not in session_state.get(host, {})
+                            for k in cfg.session_field_regex
+                        )
+                    ):
+                        hs_url = urljoin(row[url_i], cfg.session_handshake_url)
+                        try:
+                            hs_req = urllib.request.Request(
+                                hs_url, headers={"User-Agent": user_agent}
+                            )
+                            with opener_for(host).open(
+                                hs_req, timeout=timeout_s
+                            ) as hr:
+                                harvest(host, cfg, hr.read(max_bytes))
+                        except Exception:
+                            pass  # handshake failure surfaces on the POST
+                        last_hit[host] = _time.monotonic()
+                        wait_politeness(host, delay)
                     send_url, data, extra = build_request(
                         row[url_i],
                         row[kind_i] if kind_i is not None else "record",
                         cfg,
+                        session=session_state.get(host),
                     )
                     req = urllib.request.Request(
                         send_url,
@@ -249,6 +318,7 @@ def live_fetch(
                         status = r.status
                         if len(body) > max_bytes:
                             body, status = None, 413  # 50 MB cap (base.js:43)
+                    harvest(host, cfg, body)
                 except urllib.error.HTTPError as e:
                     status = e.code
                 except Exception:

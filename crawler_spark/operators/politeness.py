@@ -50,18 +50,29 @@ def apply_robots(frontier: DataFrame, politeness: DataFrame) -> DataFrame:
     return joined.where(~blocked).drop("__p_host", "__disallow")
 
 
+#: join-back broadcast gate — mirrors BloomTable.BROADCAST_MAX_BYTES: the
+#: popped key set is bounded by the round batch, but "sum of per-host
+#: budgets" is unbounded in hosts, so past this estimate the semi-join
+#: falls back to a plain shuffle instead of blowing the driver
+BROADCAST_MAX_BYTES = 64 * 1024 * 1024
+#: per-key driver estimate: 8 B url_hash + LongHashedRelation overhead
+KEY_BYTES = 48
+
+
 def pop_batch(
     frontier: DataFrame,
     politeness: DataFrame | None = None,
     default_budget: int = 100,
     global_batch: int | None = None,
     prune_shuffle: bool = True,
+    popped_bound: int | None = None,
 ) -> DataFrame:
     """W1: per-host top-k by priority, then optional global cap.
 
-    One shuffle (the window partitionBy host); the global cap is a TakeOrdered
-    — both AQE-friendly. The reference's sequential loop is the degenerate
-    budget=1, one-host case.
+    One shuffle (the window partitionBy host); the global cap is a
+    ``orderBy().limit()`` → TakeOrderedAndProject (per-partition heaps +
+    driver merge of k rows), NEVER a global row_number window (that would
+    funnel the whole budget-bounded batch through one task).
 
     ``prune_shuffle`` (default): the window exchange moves ONLY the
     ordering tuple + host + url_hash (~40 B/row), not the full frontier
@@ -71,7 +82,10 @@ def pop_batch(
     movement, so ~5x less shuffle volume for a second (column-pruned,
     shuffle-free) scan of the frontier is the right trade everywhere
     except tiny frames. The join back is key-unique (J4 invariant: one
-    frontier row per url_hash) and broadcast-bounded by the popped batch.
+    frontier row per url_hash) and broadcast-hinted only when a
+    driver-known bound on the popped batch (``popped_bound``, e.g. the
+    manifest-carried frontier row count, and/or ``global_batch``) fits
+    BROADCAST_MAX_BYTES — unbounded pops fall back to a shuffle semi-join.
     """
     order_cols = [
         "host", "url_hash", "depth", "score", "seed_idx", "page_no",
@@ -99,20 +113,22 @@ def pop_batch(
         ranked = ranked.where(F.col("__rn") <= F.lit(default_budget))
     ranked = ranked.drop("__rn")
     if global_batch is not None:
-        w_all = Window.orderBy(*pop_order())
-        ranked = (
-            ranked.withColumn("__grn", F.row_number().over(w_all))
-            .where(F.col("__grn") <= global_batch)
-            .drop("__grn")
-        )
+        # TakeOrderedAndProject: each partition keeps a k-row heap, the
+        # driver merges k rows total — same shape as _w2_crawl_order_rank
+        ranked = ranked.orderBy(*pop_order()).limit(global_batch)
     if not prune_shuffle:
         return ranked
-    # join the surviving (budget-bounded) keys back to the full rows:
-    # broadcast hash join, probe side a second column-complete scan of the
-    # frontier — scans are cheap next to the full-row window exchange this
+    # join the surviving (budget-bounded) keys back to the full rows: a
+    # second column-complete scan of the frontier probed by the popped key
+    # set — scans are cheap next to the full-row window exchange this
     # avoided. url_hash is unique in the frontier (J4), so row multiplicity
-    # is unchanged.
-    keys = F.broadcast(ranked.select(F.col("url_hash").alias("__pop_h")))
+    # is unchanged. Broadcast only under a driver-known size bound.
+    bound = popped_bound
+    if global_batch is not None:
+        bound = global_batch if bound is None else min(bound, global_batch)
+    keys = ranked.select(F.col("url_hash").alias("__pop_h"))
+    if bound is not None and bound * KEY_BYTES <= BROADCAST_MAX_BYTES:
+        keys = F.broadcast(keys)
     return frontier.join(
         keys, frontier["url_hash"] == F.col("__pop_h"), "left_semi"
     )

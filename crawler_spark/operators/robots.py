@@ -138,3 +138,61 @@ def politeness_from_robots(
         .mapInPandas(_parse, ROBOTS_POLITENESS_SCHEMA)
         .dropDuplicates(["host"])
     )
+
+
+def robots_wave(
+    host_urls: DataFrame,
+    timeout_s: float = 20.0,
+    user_agent: str = "crawler-spark/0.1",
+    default_delay_ms: int = 0,
+    default_budget: int = 1000,
+) -> DataFrame:
+    """Live robots.txt acquisition: one GET per host, distributed.
+
+    ``host_urls``: (host, url) rows — one REPRESENTATIVE full URL per host
+    (the scheme+netloc, ports included, come from it; the bare host column
+    has no port). Each host's ``<scheme>://<netloc>/robots.txt`` is fetched
+    through the same live fetch stage the crawl uses (per-host openers,
+    politeness-ready), then parsed with ``parse_robots``.
+
+    Every probed host gets a row: a fetch failure or non-200 yields the
+    explicit allow-all defaults (RFC 9309 §2.3.1 — an unavailable robots
+    file allows crawling), which also RECORDS the probe so the engine's
+    anti-join never re-probes the host each round.
+    """
+    from crawler_spark.operators.fetch import live_fetch
+
+    batch = host_urls.select(
+        F.concat(
+            F.regexp_extract("url", r"^([a-z][a-z0-9+.\-]*://[^/]+)", 1),
+            F.lit("/robots.txt"),
+        ).alias("url"),
+        "host",
+        F.lit(0).alias("attempts"),
+    )
+    fetched = live_fetch(batch, timeout_s=timeout_s, user_agent=user_agent)
+
+    def _parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"host": [], "crawl_delay_ms": [], "budget_per_round": [],
+                   "disallow": []}
+            for host, body, status in zip(
+                pdf["host"], pdf["body"], pdf["status"]
+            ):
+                ok = status == 200 and body is not None
+                parsed = parse_robots(bytes(body) if ok else None, user_agent)
+                out["host"].append(host)
+                out["crawl_delay_ms"].append(
+                    parsed["crawl_delay_ms"]
+                    if parsed["crawl_delay_ms"] is not None
+                    else default_delay_ms
+                )
+                out["budget_per_round"].append(default_budget)
+                out["disallow"].append(parsed["disallow"])
+            yield pd.DataFrame(out)
+
+    return (
+        fetched.select("host", "body", "status")
+        .mapInPandas(_parse, ROBOTS_POLITENESS_SCHEMA)
+        .dropDuplicates(["host"])
+    )

@@ -487,7 +487,8 @@ class BloomTable:
         version: int,
         deleted: "CuckooFilter | None" = None,
         hash_col: str = "url_hash",
-        cache_registry: list = None,  # REQUIRED — see docstring
+        *,
+        cache_registry: list,  # keyword-only, genuinely required
         strategy: str = "auto",
     ) -> DataFrame:
         """J1 with the table-backed Bloom pre-filter (exact confirm after).
@@ -501,12 +502,13 @@ class BloomTable:
         per executor. Both strategies return identical rows (parity-tested).
 
         The internal flagged frame is persisted (consumed by both the fresh
-        and suspect branches); ``cache_registry`` is REQUIRED (a list the
-        flagged handle is appended to) so every caller owns unpersisting it
-        once the round's outputs are materialized — with a silent default,
-        10^4 rounds would each leak a candidate-set-sized cache block until
-        session stop (round-2 ADVICE). ``deleted`` defaults to this table's
-        own revocation cuckoo (``mark_deleted``)."""
+        and suspect branches); ``cache_registry`` is keyword-only and
+        REQUIRED (a list the flagged handle is appended to) so every caller
+        owns unpersisting it once the round's outputs are materialized —
+        with a silent default, 10^4 rounds would each leak a
+        candidate-set-sized cache block until session stop (round-2
+        ADVICE); the signature itself now enforces the contract. ``deleted``
+        defaults to this table's own revocation cuckoo (``mark_deleted``)."""
         if cache_registry is None:
             raise TypeError(
                 "filter_unseen requires cache_registry=<list>: the internal"

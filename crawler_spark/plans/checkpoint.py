@@ -97,6 +97,8 @@ class Checkpointer:
         for d in list(os.listdir(self.root)):
             if d.startswith("round=") or d == "compact":
                 shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+            elif d == "frontier_expiry.json":
+                os.remove(os.path.join(self.root, d))
 
     def cleanup_partial(self) -> None:
         """Remove round dirs that never committed (kill mid-round)."""
@@ -222,6 +224,51 @@ class Checkpointer:
         for s in os.listdir(d):
             if s.startswith("upto=") and int(s.split("=", 1)[1]) < upto:
                 shutil.rmtree(os.path.join(d, s), ignore_errors=True)
+
+    # -- delta-frontier expiry -------------------------------------------------
+    # Delta mode appends O(batch) frontier_add/frontier_del dirs every round
+    # and an O(frontier) snapshot every interval — unbounded over a 10^4-round
+    # crawl, and at 10^10 frontier rows the OLD SNAPSHOTS dominate storage.
+    # A snapshot subsumes every add/del ≤ its round (that is what
+    # _load_frontier_state replays), so history behind a kept snapshot is
+    # reconstructible-from-newer and safe to expire.
+
+    def expire_frontier(self, keep_intervals: int = 2) -> int | None:
+        """Expire delta-frontier history: keep the newest ``keep_intervals``
+        frontier snapshots plus all add/del deltas at-or-after the oldest
+        kept snapshot; delete older snapshots and older add/del dirs.
+
+        Returns (and records in ``frontier_expiry.json``) the horizon —
+        the oldest round a resume can still replay from. Output deltas
+        (records/webtext/seen/fetch_log) are NEVER touched: they remain the
+        authoritative crawl output, and the seen set keeps its own compact.
+        Manifests stay intact; ``has_table`` reflects the expiry, which is
+        what every reader branches on."""
+        snaps = [
+            r for r in self.committed_rounds() if self.has_table(r, "frontier")
+        ]
+        if len(snaps) <= max(1, keep_intervals):
+            return None
+        horizon = snaps[-keep_intervals]
+        for r in self.committed_rounds():
+            if r >= horizon:
+                continue
+            for t in ("frontier", "frontier_add", "frontier_del"):
+                p = os.path.join(self.round_dir(r), t)
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+        with open(os.path.join(self.root, "frontier_expiry.json"), "w") as fh:
+            json.dump({"resume_horizon": horizon}, fh)
+        return horizon
+
+    def frontier_horizon(self) -> int | None:
+        """Oldest round frontier state can be reconstructed for (None =
+        full history)."""
+        try:
+            with open(os.path.join(self.root, "frontier_expiry.json")) as fh:
+                return json.load(fh).get("resume_horizon")
+        except (OSError, ValueError):
+            return None
 
     # -- readers --------------------------------------------------------------
     @staticmethod

@@ -101,6 +101,12 @@ def _round_stats_from_written(lineage: dict) -> dict:
     # Delta-frontier rounds don't write the snapshot — they report None and
     # the loop keeps a driver-side upper bound instead.
     n_frontier = _footer_rows("frontier") if "frontier" in lineage else None
+    # delta rounds: exact row count of the add delta (footer metadata only).
+    # Dedup against the live frontier can only shrink it, so it is a true
+    # upper bound on this round's frontier growth — the loop uses it to keep
+    # its driver-side frontier_rows bound honest on BIG rounds too (where no
+    # n_links count action ever runs).
+    n_adds = _footer_rows("frontier_add") if "frontier_add" in lineage else None
     fl = lineage["fetch_log_delta"]
     n_ok = n_failed = n_bytes = 0
     for f in fl["files"]:
@@ -119,6 +125,7 @@ def _round_stats_from_written(lineage: dict) -> dict:
         "bytes_fetched": n_bytes,
         "records_written": n_records,
         "frontier_rows": n_frontier,
+        "frontier_adds": n_adds,
     }
 
 
@@ -155,6 +162,16 @@ class EngineConfig:
     # (real HTTP via stdlib urllib, per-host crawl-delay enforced in-worker)
     fetch_mode: str = "fixture"
     fetch_timeout_s: float = 60.0  # base.js:39
+    user_agent: str = "crawler-spark/0.1"
+    # live robots.txt acquisition (live mode only): a bounded fetch wave of
+    # <scheme://netloc>/robots.txt at run start (seed + recrawl hosts) and
+    # per round (hosts newly added to the frontier — each URL's host is
+    # probed before the round that could pop it). Parsed rows append to a
+    # persistent ckpt-side table; user-supplied politeness rows always win
+    # for their hosts. Unavailable robots ⇒ explicit allow-all row
+    # (RFC 9309 §2.3.1), which also records the probe.
+    live_robots: bool = True
+    robots_timeout_s: float = 20.0
     # AQE self-tuning: AQE's value (runtime coalescing, skew-join splits)
     # begins when round batches carry real data; below this popped-URL
     # count the engine turns spark.sql.adaptive.enabled off for the round
@@ -163,8 +180,12 @@ class EngineConfig:
     # ~45 s/round of driver time at 20-URL rounds (319 jobs → 144, wall
     # 225 s → 87 s) while changing nothing about the result. A 100 TB crawl
     # pops millions of URLs per round and keeps AQE on throughout; only
-    # tail/test/interactive rounds duck under.
-    aqe_min_batch: int = 100_000
+    # tail/test/interactive rounds duck under. None (default) derives the
+    # threshold from CLUSTER WIDTH: defaultParallelism × target_per_task ×
+    # 16 (= the measured 100k on local[32] with the default 200-row
+    # target), so the tiny-round optimizations scale with the executor
+    # count instead of being pinned to this box. An int pins it.
+    aqe_min_batch: int | None = None
     # frontier persistence: "full" rewrites the whole frontier snapshot
     # every round (simple, cheapest at driver-bound round sizes); "delta"
     # writes O(round batch) add/del deltas per round plus a full snapshot
@@ -182,7 +203,33 @@ class EngineConfig:
     frontier_storage: str = "auto"
     frontier_delta_threshold: int = 10_000_000
     frontier_snapshot_every: int = 8
+    # delta-frontier expiry: keep only the newest N frontier snapshots (and
+    # the add/del deltas they need) — bounds checkpoint storage over a long
+    # delta crawl, where old O(frontier) snapshots dominate. None (default)
+    # keeps full history (kill-anywhere resume to ANY round); production
+    # sets e.g. 2, trading resume depth for bounded storage — the horizon
+    # is recorded in frontier_expiry.json.
+    frontier_expire_intervals: int | None = None
     extra: dict = dc_field(default_factory=dict)
+
+
+def tiny_round_thresholds(
+    default_parallelism: int, cfg: "EngineConfig"
+) -> tuple[int, int]:
+    """(aqe_min, shuffle_floor) for the tiny-round optimizations, derived
+    from CLUSTER WIDTH unless pinned: the AQE/narrow-shuffle switch engages
+    below defaultParallelism × target_per_task × 16 popped URLs (= the
+    measured 100k on local[32] with the default 200-row target), and the
+    narrowed shuffle never drops below 1/8 of the cores — so a 4000-core
+    cluster keeps both behaviors at proportionally bigger rounds instead of
+    inheriting this box's constants."""
+    par = max(1, default_parallelism)
+    aqe_min = (
+        cfg.aqe_min_batch
+        if cfg.aqe_min_batch is not None
+        else par * cfg.target_per_task * 16
+    )
+    return aqe_min, max(4, par // 8)
 
 
 @dataclass
@@ -209,6 +256,10 @@ class CrawlEngine:
         self.pages = pages
         self.seeds = seeds
         self.politeness = politeness
+        # live robots acquisition: user-supplied rows are kept separate so
+        # they always win over probed ones; self.politeness becomes the
+        # effective union the round loop enforces
+        self._user_politeness = politeness
         self.cfg = cfg or EngineConfig(ckpt_dir="/tmp/crawler_spark_ckpt")
         # per-connector extraction programs (body format, selectors,
         # encoding); shipped inside the extractor task closures
@@ -216,6 +267,10 @@ class CrawlEngine:
         self.ckpt = Checkpointer(self.cfg.ckpt_dir)
         import os as _os
 
+        # probed-robots politeness rows persist NEXT TO the checkpoint (a
+        # cache keyed by host, not by round — resume reuses it; re-probing
+        # on every resume would hammer every known host)
+        self._robots_dir = _os.path.join(self.cfg.ckpt_dir, "robots_politeness")
         bloom_root = _os.path.join(self.cfg.ckpt_dir, "blooms")
         if self.cfg.bloom_partitions is None:
             # auto: adopt the persisted partition count (resume keeps a
@@ -240,6 +295,74 @@ class CrawlEngine:
     def _empty(self, schema) -> DataFrame:
         return self.spark.createDataFrame([], schema)
 
+    # ---- live robots.txt acquisition -------------------------------------
+    def _load_robots_table(self) -> DataFrame | None:
+        import os as _os
+
+        if not _os.path.isdir(self._robots_dir):
+            return None
+        try:
+            return self.spark.read.parquet(self._robots_dir)
+        except Exception:
+            return None
+
+    def _refresh_effective_politeness(self) -> None:
+        rob = self._load_robots_table()
+        if rob is None:
+            self.politeness = self._user_politeness
+        elif self._user_politeness is None:
+            self.politeness = rob
+        else:
+            extra = rob.join(
+                self._user_politeness.select("host"), "host", "left_anti"
+            )
+            self.politeness = self._user_politeness.unionByName(extra)
+
+    def _robots_refresh(self, urls_df: DataFrame | None) -> None:
+        """Probe /robots.txt for every host in ``urls_df`` not yet covered
+        (user politeness row or previous probe), append the parsed rows to
+        the persistent robots table, and swap the effective politeness.
+
+        Bounded by construction: the candidate set is one row per DISTINCT
+        host of a round-batch-bounded frame (seeds / recrawl marks /
+        round_adds), anti-joined against the known-host table — every
+        probed host (success or not) gets a row, so no host is probed
+        twice. All work is distributed; the only driver value is the wave
+        row count that gates the append."""
+        cfg = self.cfg
+        if cfg.fetch_mode != "live" or not cfg.live_robots or urls_df is None:
+            return
+        from crawler_spark.operators.robots import robots_wave
+
+        cand = (
+            urls_df.select("url", url_host(F.col("url")).alias("host"))
+            .where(F.col("host").isNotNull())
+            .groupBy("host")
+            .agg(F.min("url").alias("url"))
+        )
+        known = [
+            t.select("host")
+            for t in (self._user_politeness, self._load_robots_table())
+            if t is not None
+        ]
+        if known:
+            k = known[0]
+            for o in known[1:]:
+                k = k.union(o)
+            cand = cand.join(k.dropDuplicates(["host"]), "host", "left_anti")
+        wave = robots_wave(
+            cand,
+            timeout_s=cfg.robots_timeout_s,
+            user_agent=cfg.user_agent,
+            default_budget=cfg.default_budget,
+        ).persist()
+        try:
+            if wave.count():
+                wave.write.mode("append").parquet(self._robots_dir)
+                self._refresh_effective_politeness()
+        finally:
+            wave.unpersist()
+
     def _candidate_schema_cols(self):
         return [f.name for f in schemas.FRONTIER.fields]
 
@@ -260,6 +383,13 @@ class CrawlEngine:
                 snap = r
                 break
         if snap is None:
+            horizon = self.ckpt.frontier_horizon()
+            if horizon is not None:
+                raise RuntimeError(
+                    f"frontier state for round {upto} was expired"
+                    f" (frontier_expire_intervals): resume horizon is round"
+                    f" {horizon} — resume from a round ≥ the horizon"
+                )
             raise RuntimeError(
                 f"no frontier snapshot ≤ round {upto} in {self.ckpt.root} —"
                 " delta-frontier checkpoints always snapshot round 0, so"
@@ -310,14 +440,26 @@ class CrawlEngine:
         # correctness
         frontier_rows: int | None
         if latest is not None:
-            if cfg.frontier_storage == "delta":
-                # mid-interval resume: snapshot + delta replay (identical
-                # state by construction — see _load_frontier_state)
-                frontier, snap = self._load_frontier_state(latest)
-                fr = self.ckpt.round_metric(snap, "frontier_rows")
-            else:
+            # branch on what the checkpoint actually contains, not the
+            # config string: in "auto" mode delta commits engage past the
+            # row threshold, so the latest round may or may not carry a
+            # frontier snapshot — ckpt.has_table is the ground truth
+            if self.ckpt.has_table(latest, "frontier"):
                 frontier = self.ckpt.load(spark, latest, "frontier")
                 fr = self.ckpt.round_metric(latest, "frontier_rows")
+            else:
+                # mid-interval resume: snapshot + delta replay (identical
+                # state by construction — see _load_frontier_state). The
+                # row bound is the snapshot's exact count plus each later
+                # delta round's committed adds bound, so auto-mode's
+                # delta-engagement check survives the resume.
+                frontier, snap = self._load_frontier_state(latest)
+                fr = self.ckpt.round_metric(snap, "frontier_rows")
+                if fr is not None:
+                    for _q in self.ckpt.committed_rounds():
+                        if snap < _q <= latest:
+                            _a = self.ckpt.round_metric(_q, "frontier_adds")
+                            fr += int(_a) if _a is not None else 0
             round_no = latest + 1
             frontier_rows = int(fr) if fr is not None else None
         else:
@@ -350,17 +492,29 @@ class CrawlEngine:
             )
             frontier = add_candidates(frontier, rows)
             recrawl_hashes = rows.select("url_hash").persist()
-            # delta-frontier mode: run-start additions exist only in this
-            # run's memory until a commit persists them — ride the first
-            # committed round's add delta (a snapshot commit covers them
-            # implicitly and clears the pending set too)
-            if cfg.frontier_storage == "delta":
+            # delta-frontier persistence: run-start additions exist only in
+            # this run's memory until a commit persists them — ride the
+            # first committed round's add delta (a snapshot commit covers
+            # them implicitly and clears the pending set too). Armed for
+            # "auto" as well: delta commits can engage mid-run there.
+            if cfg.frontier_storage in ("delta", "auto"):
                 pending_add_rows = rows
             # revoked-seen hashes go to the table's cuckoo override
             _rc = [r["url_hash"] for r in recrawl_hashes.collect()]
             if frontier_rows is not None:
                 frontier_rows += len(_rc)
             self.bloom_table.mark_deleted(np.array(_rc, dtype=np.int64))
+
+        # live robots acquisition: effective politeness from any prior
+        # probes, then a run-start wave over seed (+ recrawl) hosts so the
+        # FIRST pop already honors their rules; the per-round wave below
+        # covers hosts newly discovered by link extraction
+        self._refresh_effective_politeness()
+        if cfg.fetch_mode == "live" and cfg.live_robots:
+            src = self.seeds.select("url")
+            if recrawl is not None:
+                src = src.union(recrawl.select("url"))
+            self._robots_refresh(src)
 
         start_latest = latest if latest is not None else -1
         # the round whose commit the bloom table must cover to be trusted
@@ -446,6 +600,14 @@ class CrawlEngine:
         frontier_rows=None, pending_add_rows=None,
     ) -> CrawlResult:
         spark, cfg = self.spark, self.cfg
+        # tiny-round thresholds derived from CLUSTER WIDTH (unless pinned):
+        # the AQE/narrow-shuffle switch scales with defaultParallelism so a
+        # 4000-core cluster keeps its optimizations at proportionally bigger
+        # "tiny" rounds, and the narrowed width never starves the cluster
+        # below 1/8 of its cores (local[32] → the measured 100k / floor 4)
+        aqe_min, shuffle_floor = tiny_round_thresholds(
+            spark.sparkContext.defaultParallelism, cfg
+        )
         # whether fetched pages carry a lang column, decided ONCE from the
         # run's inputs: live_fetch always emits `lang`, fixture mode
         # inherits it from the pages table. Checking `details.columns` /
@@ -496,6 +658,9 @@ class CrawlEngine:
                 self.politeness,
                 cfg.default_budget,
                 cfg.global_batch,
+                # driver-known bound gating the join-back broadcast: pops
+                # can never exceed the manifest-carried frontier row bound
+                popped_bound=frontier_rows,
             ).persist()
             # ONE action sizes everything downstream: n_popped doubles as
             # the round-batch count (repartition preserves it), the salt
@@ -523,7 +688,7 @@ class CrawlEngine:
                 continue
 
             if orig_aqe == "true":
-                want = "false" if n_popped < cfg.aqe_min_batch else "true"
+                want = "false" if n_popped < aqe_min else "true"
                 if spark.conf.get("spark.sql.adaptive.enabled") != want:
                     spark.conf.set("spark.sql.adaptive.enabled", want)
             # narrow the shuffle width while the round batch is tiny: with
@@ -536,9 +701,9 @@ class CrawlEngine:
             want_shuffle = str(
                 min(
                     int(orig_shuffle),
-                    max(4, -(-n_popped // max(1, cfg.target_per_task))),
+                    max(shuffle_floor, -(-n_popped // max(1, cfg.target_per_task))),
                 )
-                if n_popped < cfg.aqe_min_batch
+                if n_popped < aqe_min
                 else int(orig_shuffle)
             )
             if spark.conf.get("spark.sql.shuffle.partitions") != want_shuffle:
@@ -587,7 +752,9 @@ class CrawlEngine:
                     connectors=self.connectors,
                 ).persist()
             else:
-                fetched = fixture_fetch(popped, self.pages).persist()
+                fetched = fixture_fetch(
+                    popped, self.pages, batch_bound=n_popped
+                ).persist()
             # materialize the fetch EXACTLY once, before any of the
             # concurrent commit writes downstream can race to be its first
             # materializer — concurrent first-computes of an uncached block
@@ -595,7 +762,7 @@ class CrawlEngine:
             # HTTP requests (duplicate fetches would break politeness)
             fetched.count()
             fetched_cache = fetched
-            if n_popped < cfg.aqe_min_batch:
+            if n_popped < aqe_min:
                 # driver-bound tail/test rounds: EVERY Dataset op eagerly
                 # re-analyzes its whole logical plan, so at tiny batches the
                 # dominant round cost is Catalyst analysis over the
@@ -626,7 +793,7 @@ class CrawlEngine:
             # broadcast-small; at tiny batches hint it explicitly — the
             # driver KNOWS the bound (n_popped). Big rounds keep planner /
             # AQE decisions.
-            tiny = n_popped < cfg.aqe_min_batch
+            tiny = n_popped < aqe_min
             _b = F.broadcast if tiny else (lambda df: df)
 
             searches = ok.where(F.col("kind") == "search")
@@ -862,7 +1029,7 @@ class CrawlEngine:
             # first-materializers of the same cache blocks
             n_recs = recs.count()
             recs_cache = recs
-            if n_popped < cfg.aqe_min_batch:
+            if n_popped < aqe_min:
                 # same lineage-truncation rationale as `fetched` above: the
                 # extract+enrich plan feeds records, webtext AND the
                 # frontier's related expansion — shallow it once, every
@@ -1163,8 +1330,15 @@ class CrawlEngine:
             elif frontier_rows is not None:
                 # delta round: exact count unknown without a frontier scan;
                 # carry a driver-side UPPER bound (adds can only dedup
-                # down) — used only to size write layouts, never semantics
-                frontier_rows += (n_links or 0) + n_popped
+                # down) — used only to size write layouts and the auto-mode
+                # delta-engagement check, never semantics. The add-delta
+                # footer count covers BIG rounds too (n_links is only
+                # counted on tiny rounds); n_popped covers rows the replay
+                # may re-admit via the popped-tombstone ordering.
+                adds_bound = metrics.get("frontier_adds")
+                if adds_bound is None:
+                    adds_bound = (n_links or 0) + n_popped
+                frontier_rows += adds_bound
             bloom_t0 = _time.time()
             round_log = {"round": round_no, **metrics}
             metrics_log.append(round_log)
@@ -1222,9 +1396,17 @@ class CrawlEngine:
                     )
             round_log["bloom_wall_s"] = round(_time.time() - bloom_t0, 2)
             last_committed = round_no
+            # live robots: probe hosts first discovered this round (adds
+            # are round-batch-bounded) — they can only be popped from the
+            # NEXT round on, so their rules are in force before any fetch
+            self._robots_refresh(round_adds.select("url"))
             ce = cfg.compact_every or cfg.bloom_rebuild_every
             if round_no > 0 and round_no % ce == 0:
                 self.ckpt.compact(spark, "seen_delta", upto=round_no)
+            if snapshot_round and cfg.frontier_expire_intervals:
+                # bounded delta-frontier history: old snapshots + the
+                # add/del dirs they subsume expire behind the horizon
+                self.ckpt.expire_frontier(cfg.frontier_expire_intervals)
 
             popped_raw.unpersist()
             popped.unpersist()
@@ -1236,13 +1418,16 @@ class CrawlEngine:
             for df in sec_caches:
                 df.unpersist()
             # re-read from checkpoint: cuts lineage + is the resume point.
-            # Delta mode reconstructs snapshot+deltas with the same replay
+            # Delta rounds reconstruct snapshot+deltas with the same replay
             # a resume would run — the in-loop state and the resume state
-            # are the same plan by construction.
-            if cfg.frontier_storage == "delta":
-                frontier, _ = self._load_frontier_state(round_no)
-            else:
+            # are the same plan by construction. Branch on what THIS round
+            # actually committed (snapshot_round), never on the config
+            # string: "auto" engages delta commits past the row threshold
+            # and must reload through the replay path too.
+            if snapshot_round:
                 frontier = self.ckpt.load(spark, round_no, "frontier")
+            else:
+                frontier, _ = self._load_frontier_state(round_no)
             round_no += 1
 
         def _delta(name: str, schema) -> DataFrame:

@@ -10,6 +10,7 @@ file-level claim that delta rounds actually skip the snapshot write."""
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from crawler_spark.oracle.replay import replay
 from crawler_spark.plans.rounds import CrawlEngine, EngineConfig
@@ -23,7 +24,7 @@ def site():
     return generate_site(SPEC)
 
 
-def _run(spark, site, ckpt_dir, storage, max_rounds=10_000, **kw):
+def _run(spark, site, ckpt_dir, storage, max_rounds=10_000, recrawl=None, **kw):
     sdfs = site_to_spark(spark, site)
     cfg = EngineConfig(
         ckpt_dir=ckpt_dir,
@@ -31,14 +32,26 @@ def _run(spark, site, ckpt_dir, storage, max_rounds=10_000, **kw):
         use_bloom=True,
         bloom_partitions=2,
         frontier_storage=storage,
-        frontier_snapshot_every=4,
+        frontier_snapshot_every=kw.pop("frontier_snapshot_every", 4),
         max_rounds=max_rounds,
+        **kw,
     )
     eng = CrawlEngine(
         spark, sdfs["pages"], sdfs["seeds"], sdfs["politeness"], cfg,
         connectors=site["connectors"],
     )
-    return eng.run()
+    return eng.run(recrawl=recrawl)
+
+
+def _round_layout(ck):
+    snap_rounds, delta_rounds = [], []
+    for d in os.listdir(ck):
+        if not d.startswith("round="):
+            continue
+        r = int(d.split("=", 1)[1])
+        names = set(os.listdir(os.path.join(ck, d)))
+        (snap_rounds if "frontier" in names else delta_rounds).append(r)
+    return sorted(snap_rounds), sorted(delta_rounds)
 
 
 def _key(res):
@@ -85,6 +98,62 @@ def test_delta_rounds_skip_snapshot_write(spark, site, tmp_path):
     assert all(r % 4 != 0 for r in delta_rounds)
 
 
+def test_auto_crosses_threshold_and_matches_full(spark, site, tmp_path):
+    """frontier_storage="auto" (the at-scale DEFAULT) engages delta commits
+    once the driver-known frontier bound crosses frontier_delta_threshold —
+    the engine must then reload/resume through the replay path even though
+    the config string is not "delta" (round-3 verdict: the literal-string
+    checks crashed the first auto-engaged delta round)."""
+    ck = str(tmp_path / "auto")
+    res = _run(spark, site, ck, "auto", frontier_delta_threshold=10)
+    full = _run(spark, site, str(tmp_path / "full_a"), "full")
+    assert res.rounds == full.rounds
+    assert _key(res) == _key(full)
+    # layout proof the threshold actually engaged mid-run: delta rounds
+    # exist, and round 0 (below threshold) wrote a snapshot
+    snap_rounds, delta_rounds = _round_layout(ck)
+    assert 0 in snap_rounds
+    assert delta_rounds, "auto mode never engaged delta commits"
+
+
+def test_auto_kill_resume_after_crossing(spark, site, tmp_path):
+    """Kill an auto-mode crawl after the delta threshold engaged (latest
+    committed round has NO frontier snapshot), then resume: the resume path
+    must reconstruct from snapshot+deltas keyed on what the checkpoint
+    contains, not on the config string."""
+    ck = str(tmp_path / "auto_kr")
+    _run(spark, site, ck, "auto", frontier_delta_threshold=10, max_rounds=3)
+    snap_rounds, delta_rounds = _round_layout(ck)
+    assert delta_rounds, "precondition: the kill landed before delta engaged"
+    assert max(snap_rounds + delta_rounds) in delta_rounds, (
+        "precondition: latest committed round must be a delta round"
+    )
+    res = _run(spark, site, ck, "auto", frontier_delta_threshold=10)
+    full = _run(spark, site, str(tmp_path / "full_b"), "full")
+    assert _key(res) == _key(full)
+
+
+def test_auto_recrawl_rides_delta(spark, site, tmp_path):
+    """Run-start recrawl additions must be armed for delta persistence in
+    auto mode too: with a long snapshot interval, the recrawl round commits
+    only add/del deltas, and the end-of-round replay reconstructs the
+    frontier from them — unarmed pending rows (the round-3 bug) would drop
+    every recrawl URL beyond the first round's per-host budget."""
+    kw = dict(frontier_delta_threshold=5, frontier_snapshot_every=100)
+    ck = str(tmp_path / "auto_rc")
+    first = _run(spark, site, ck, "auto", **kw)
+    # 12 urls on ONE host with budget 7: the recrawl needs ≥2 rounds, so
+    # the second round's pops only exist if the add delta carried them
+    urls = [(f"http://h0.example.test/record/{i}", "c0") for i in range(1, 13)]
+    rc = spark.createDataFrame(urls, "url string, connector_id string")
+    second = _run(spark, site, ck, "auto", recrawl=rc, **kw)
+    refetched = second.fetch_log.where(
+        (F.col("round") >= first.rounds) & (F.col("status") == 200)
+    ).select("url").collect()
+    assert sorted(r["url"] for r in refetched) == sorted(u for u, _ in urls)
+    assert second.records.count() == first.records.count() + len(urls)
+
+
 def test_delta_kill_resume_mid_interval(spark, site, tmp_path):
     ck = str(tmp_path / "resume")
     # kill after 3 rounds: rounds 1,2 are delta commits (snapshot only at 0)
@@ -97,3 +166,35 @@ def test_delta_kill_resume_mid_interval(spark, site, tmp_path):
     n = res.records.count()
     res2 = _run(spark, site, ck, "delta")
     assert res2.records.count() == n
+
+
+def test_delta_expiry_bounds_history_and_resumes(spark, site, tmp_path):
+    """frontier_expire_intervals=2: over a long delta crawl the number of
+    retained frontier snapshots stays ≤ 2 and add/del dirs only survive
+    at-or-after the oldest kept snapshot (bounded checkpoint storage);
+    output deltas are untouched, a kill/resume from the latest round still
+    reconstructs correctly, and the recorded horizon matches the layout."""
+    from crawler_spark.plans.checkpoint import Checkpointer
+
+    ck = str(tmp_path / "expiry")
+    # snapshot every 2 rounds → several expiry opportunities; kill mid-run
+    _run(spark, site, ck, "delta", frontier_snapshot_every=2,
+         frontier_expire_intervals=2, max_rounds=7)
+    res = _run(spark, site, ck, "delta", frontier_snapshot_every=2,
+               frontier_expire_intervals=2)  # resume past expired history
+    full = _run(spark, site, str(tmp_path / "ref_e"), "full")
+    assert _key(res) == _key(full)
+
+    cp = Checkpointer(ck)
+    snaps = [r for r in cp.committed_rounds() if cp.has_table(r, "frontier")]
+    assert len(snaps) <= 2, snaps
+    horizon = cp.frontier_horizon()
+    assert horizon is not None and horizon == snaps[0]
+    for r in cp.committed_rounds():
+        if r < horizon:
+            # frontier history expired, crawl OUTPUT deltas retained
+            assert not cp.has_table(r, "frontier_add")
+            assert not cp.has_table(r, "frontier_del")
+            assert not cp.has_table(r, "frontier")
+            assert cp.has_table(r, "records_delta")
+            assert cp.has_table(r, "seen_delta")

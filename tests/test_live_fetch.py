@@ -360,6 +360,236 @@ def test_live_secondary_chain_parity(spark, tmp_path):
         srv.shutdown()
 
 
+def test_build_request_session_fields():
+    """Session fields harvested from earlier responses fill body-template
+    placeholders; URL params still win (identity beats harvested state)."""
+    from crawler_spark.operators.extract import ConnectorConfig
+    from crawler_spark.operators.fetch import build_request
+
+    cfg = ConnectorConfig(
+        connector_id="c",
+        method="POST",
+        body_template="page={page}&__VIEWSTATE={viewstate}&ev={ev}",
+        session_field_regex={
+            "viewstate": r'name="__VIEWSTATE" value="([^"]*)"',
+            "ev": r'name="__EVENTVALIDATION" value="([^"]*)"',
+        },
+    )
+    url, data, _ = build_request(
+        "http://h/search?page=3", "search", cfg,
+        session={"viewstate": "VS9", "ev": "E1"},
+    )
+    assert data == b"page=3&__VIEWSTATE=VS9&ev=E1"
+    # no session yet: fields render '' (the handshake normally fills them)
+    _, data, _ = build_request("http://h/search?page=3", "search", cfg)
+    assert data == b"page=3&__VIEWSTATE=&ev="
+    # URL params override session values of the same name
+    _, data, _ = build_request(
+        "http://h/search?page=3&ev=fromurl", "search", cfg,
+        session={"viewstate": "VS9", "ev": "stale"},
+    )
+    assert data == b"page=3&__VIEWSTATE=VS9&ev=fromurl"
+
+
+def test_live_viewstate_post_paging(spark, tmp_path):
+    """S6 completion (imatex.js:41-107,122-131): a full live crawl over an
+    ASP.NET-style host where every search POST must carry a __VIEWSTATE
+    token issued by a PREVIOUS response on the same host. The worker
+    handshakes (GET the form), harvests the token, splices it into each
+    POST, and re-harvests from every response — the server rejects any
+    POST with a missing/unissued/reused token, so paging only works if the
+    response-derived body state really flows request-to-request."""
+    import dataclasses
+    import re
+    from urllib.parse import parse_qsl
+
+    site = generate_site(
+        SiteSpec(n_hosts=1, details_per_host=8, limit=4, related_per_host=0)
+    )
+    by_path = {}
+    for r in site["pages"].itertuples():
+        by_path[r.url.split("example.test", 1)[1]] = bytes(r.html)
+
+    issued: set = set()
+    used: set = set()
+    violations: list = []
+    post_pages: list = []
+    counter = [0]
+
+    def fresh() -> str:
+        counter[0] += 1
+        t = f"VS{counter[0]}"
+        issued.add(t)
+        return t
+
+    def stamp(body: bytes) -> bytes:
+        # ASP.NET re-issues a fresh token with every response; a comment
+        # keeps the DOM (and extraction parity) untouched
+        return body + f'<!--name="__VIEWSTATE" value="{fresh()}"-->'.encode()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/form":
+                self.send_response(200)
+                self.end_headers()
+                self.wfile.write(stamp(b"<html><body>form</body></html>"))
+                return
+            if self.path.startswith("/search"):
+                self.send_response(405)  # search pages are POST-only
+                self.end_headers()
+                return
+            body = by_path.get(self.path)
+            if body is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            fields = dict(parse_qsl(self.rfile.read(n).decode()))
+            tok = fields.get("__VIEWSTATE", "")
+            if tok not in issued or tok in used:
+                violations.append((self.path, fields))
+                self.send_response(409)
+                self.end_headers()
+                return
+            used.add(tok)
+            page = by_path.get(f"/search?page={fields.get('page')}")
+            post_pages.append(fields.get("page"))
+            if page is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(stamp(page))
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        local = _localized(site, base)
+        connectors = {
+            cid: dataclasses.replace(
+                c,
+                method="POST",
+                content_type="application/x-www-form-urlencoded",
+                body_template="page={page}&__VIEWSTATE={viewstate}",
+                strip_params=("page",),
+                session_field_regex={
+                    "viewstate": r'name="__VIEWSTATE" value="([^"]*)"'
+                },
+                session_handshake_url="/form",
+            )
+            for cid, c in site["connectors"].items()
+        }
+        sdfs = site_to_spark(spark, local)
+        cfg = EngineConfig(
+            ckpt_dir=str(tmp_path / "ck"), default_budget=8,
+            fetch_mode="live", fetch_timeout_s=10,
+        )
+        res = CrawlEngine(
+            spark, None, sdfs["seeds"], sdfs["politeness"], cfg,
+            connectors=connectors,
+        ).run()
+
+        assert not violations, violations
+        assert sorted(post_pages) == ["1", "2"]  # both pages POSTed once
+        # extraction parity vs the sequential oracle over the clean corpus
+        pages = {
+            r.url.replace("http://h0.example.test", base): r.html
+            for r in site["pages"].itertuples()
+        }
+        oracle = replay(
+            pages, local["seeds"].to_dict("records"), site["connectors"]
+        )
+        got = {r["url"]: r["text"] for r in res.webtext.collect()}
+        assert got == oracle.webtext and len(got) > 0
+    finally:
+        srv.shutdown()
+
+
+def test_live_robots_acquired_and_enforced(spark, tmp_path):
+    """Live robots.txt acquisition: NO user-supplied politeness table — the
+    engine's run-start wave fetches /robots.txt itself, and the parsed
+    disallow prefix + crawl-delay are enforced for the whole crawl: the
+    disallowed record is never requested, and same-host requests are spaced
+    by the served Crawl-delay."""
+    import time as _time
+
+    site = generate_site(
+        SiteSpec(n_hosts=1, details_per_host=6, limit=3, related_per_host=0)
+    )
+    by_path = {}
+    for r in site["pages"].itertuples():
+        by_path[r.url.split("example.test", 1)[1]] = bytes(r.html)
+    robots = b"User-agent: *\nDisallow: /record/3\nCrawl-delay: 0.3\n"
+    arrivals: list = []
+    paths_seen: list = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            arrivals.append(_time.monotonic())
+            paths_seen.append(self.path)
+            if self.path == "/robots.txt":
+                self.send_response(200)
+                self.end_headers()
+                self.wfile.write(robots)
+                return
+            body = by_path.get(self.path)
+            if body is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        local = _localized(site, base)
+        sdfs = site_to_spark(spark, local)
+        cfg = EngineConfig(
+            ckpt_dir=str(tmp_path / "ck"), default_budget=8,
+            fetch_mode="live", fetch_timeout_s=10,
+        )
+        res = CrawlEngine(
+            spark, None, sdfs["seeds"], politeness=None, cfg=cfg,
+            connectors=site["connectors"],
+        ).run()
+
+        assert "/robots.txt" in paths_seen  # the wave really probed
+        fetched = {r["url"] for r in res.fetch_log.collect()}
+        assert f"{base}/record/3" not in fetched  # disallow enforced
+        got = {
+            r["url"] for r in res.records.select("url").collect()
+        }
+        expect = {
+            f"{base}/record/{i}" for i in range(1, 7) if i != 3
+        }
+        assert got == expect
+        # crawl-delay honored between same-host CRAWL requests (the probe
+        # runs in its own stage; measure gaps after it)
+        crawl_arrivals = [
+            t for t, p in zip(arrivals, paths_seen) if p != "/robots.txt"
+        ]
+        gaps = [b - a for a, b in zip(crawl_arrivals, crawl_arrivals[1:])]
+        assert gaps and all(g >= 0.25 for g in gaps), gaps
+    finally:
+        srv.shutdown()
+
+
 def test_live_fetch_enforces_crawl_delay(spark):
     """The in-worker crawl-delay really spaces a host's requests: with
     crawl_delay_ms=400 the server must observe >=400ms between arrivals.

@@ -25,12 +25,77 @@ def test_fetch_join_broadcasts_batch_not_pages(spark, tmp_path):
         F.concat(F.lit("http://h/"), F.col("id").cast("string")).alias("url"),
         F.lit(0).alias("attempts"),
     )
-    plan = _executed_plan(fixture_fetch(batch, pages))
+    plan = _executed_plan(fixture_fetch(batch, pages, batch_bound=100))
     # pages side passes through a LeftSemi whose BUILD side is the batch
     assert "LeftSemi" in plan
     assert "BuildRight" in plan
     # and the only outer join builds the (bounded) semi-filtered result
     assert plan.count("SortMergeJoin") == 0
+
+
+def test_fetch_broadcast_gate_both_sides(spark):
+    """The batch-URL broadcast is hinted only under a driver-known row
+    bound that fits BROADCAST_MAX_BYTES — a host-unbounded batch must NOT
+    carry the hint (the round batch is per-host-bounded but unbounded in
+    hosts, so at 10^10-frontier scale the hint would blow the driver)."""
+    from crawler_spark.operators import fetch as fetch_mod
+
+    pages = spark.range(1000).select(
+        F.concat(F.lit("http://h/"), F.col("id").cast("string")).alias("url"),
+        F.encode(F.lit("<html>x</html>"), "utf-8").alias("html"),
+        F.current_timestamp().alias("warc_ts"),
+    )
+    batch = spark.range(50).select(
+        F.concat(F.lit("http://h/"), F.col("id").cast("string")).alias("url"),
+        F.lit(0).alias("attempts"),
+    )
+    over = fetch_mod.BROADCAST_MAX_BYTES // fetch_mod.URL_BYTES + 1
+    small = fetch_mod.fixture_fetch(batch, pages, batch_bound=50)
+    big = fetch_mod.fixture_fetch(batch, pages, batch_bound=over)
+    # the hint surfaces in the optimized logical plan's Join node
+    # (rightHint=(strategy=broadcast)): present under the gate, absent
+    # (left to Catalyst stats/AQE) past it
+    small_opt = small._jdf.queryExecution().optimizedPlan().toString()
+    big_opt = big._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" in small_opt.lower()
+    assert "broadcast" not in big_opt.lower()
+    # parity: both plans return the same rows
+    assert sorted(r["url"] for r in small.collect()) == sorted(
+        r["url"] for r in big.collect()
+    )
+
+
+def test_pop_batch_global_cap_is_take_ordered(spark):
+    """pop_batch(global_batch=...) must compile the global cap to
+    TakeOrderedAndProject — never a single-partition row_number window
+    funneling the whole budget-bounded batch through one task."""
+    from crawler_spark.operators.politeness import pop_batch
+
+    frontier = spark.range(500).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 7).cast("string"),
+                 F.lit("/p/"), F.col("id").cast("string")).alias("url"),
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+        F.concat(F.lit("h"), (F.col("id") % 7).cast("string")).alias("host"),
+        (F.col("id") % 3).cast("int").alias("depth"),
+        F.lit(0.0).alias("score"),
+        F.lit(0).alias("seed_idx"),
+        F.lit(0).alias("page_no"),
+        (F.col("id") % 11).cast("int").alias("in_page_idx"),
+        F.col("id").cast("int").alias("dfs_rank"),
+        F.lit(0).alias("round_added"),
+        F.lit(0).alias("attempts"),
+        F.lit(0).alias("not_before"),
+        F.lit("record").alias("kind"),
+        F.lit("c0").alias("connector_id"),
+    )
+    out = pop_batch(frontier, None, default_budget=20, global_batch=37,
+                    popped_bound=500)
+    plan = _executed_plan(out)
+    assert "TakeOrderedAndProject" in plan
+    # the real hazard: a global row_number window needs Exchange
+    # SinglePartition — the whole batch through one task
+    assert "SinglePartition" not in plan
+    assert out.count() == 37
 
 
 def test_parquet_pushdown_and_pruning(spark, tmp_path):
@@ -120,6 +185,23 @@ def test_decontaminate_broadcasts_benchmark(spark):
     plan = _executed_plan(decontaminate(docs, bench, n=8, min_overlap=2))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_tiny_round_thresholds_scale_with_cluster_width():
+    """The AQE/narrow-shuffle tiny-round switches derive from
+    defaultParallelism (unless pinned): local[32] reproduces the measured
+    100k constant, a 4000-core cluster scales both proportionally, and an
+    explicit aqe_min_batch pins the threshold."""
+    from crawler_spark.plans.rounds import EngineConfig, tiny_round_thresholds
+
+    cfg = EngineConfig(ckpt_dir="/tmp/x")
+    assert tiny_round_thresholds(32, cfg) == (32 * 200 * 16, 4)  # = 102_400
+    aqe, floor = tiny_round_thresholds(4000, cfg)
+    assert aqe == 4000 * 200 * 16 and floor == 500
+    pinned = EngineConfig(ckpt_dir="/tmp/x", aqe_min_batch=123)
+    assert tiny_round_thresholds(4000, pinned)[0] == 123
+    # degenerate widths never produce a zero floor
+    assert tiny_round_thresholds(1, cfg) == (1 * 200 * 16, 4)
 
 
 def test_bloom_table_filter_strategies(spark, tmp_path):
