@@ -132,6 +132,13 @@ def _round_stats_from_written(lineage: dict) -> dict:
 @dataclass
 class EngineConfig:
     ckpt_dir: str
+    # round checkpointing backend: None (default) = the parquet+manifest
+    # emulation under ckpt_dir; "[catalog.]namespace.prefix" = catalog
+    # tables via plans/catalog.CatalogCheckpointer — real Iceberg tables
+    # when an Iceberg catalog is configured, the session catalog otherwise.
+    # ckpt_dir is still required either way: the Bloom bitset table and the
+    # probed-robots cache are filesystem sidecars.
+    catalog_checkpoint: str | None = None
     default_budget: int = 1000
     global_batch: int | None = None
     max_rounds: int = 10_000
@@ -264,7 +271,12 @@ class CrawlEngine:
         # per-connector extraction programs (body format, selectors,
         # encoding); shipped inside the extractor task closures
         self.connectors = connectors
-        self.ckpt = Checkpointer(self.cfg.ckpt_dir)
+        if self.cfg.catalog_checkpoint:
+            from crawler_spark.plans.catalog import CatalogCheckpointer
+
+            self.ckpt = CatalogCheckpointer(spark, self.cfg.catalog_checkpoint)
+        else:
+            self.ckpt = Checkpointer(self.cfg.ckpt_dir)
         import os as _os
 
         # probed-robots politeness rows persist NEXT TO the checkpoint (a

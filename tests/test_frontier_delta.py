@@ -26,9 +26,13 @@ def site():
 
 def _run(spark, site, ckpt_dir, storage, max_rounds=10_000, recrawl=None, **kw):
     sdfs = site_to_spark(spark, site)
+    # use_politeness=False drops the per-host budget table so default_budget
+    # really caps each round (→ long crawls for the expiry test)
+    politeness = sdfs["politeness"] if kw.pop("use_politeness", True) else None
     cfg = EngineConfig(
         ckpt_dir=ckpt_dir,
-        default_budget=7,  # small budget → many rounds → several deltas
+        # small budget → many rounds → several deltas
+        default_budget=kw.pop("default_budget", 7),
         use_bloom=True,
         bloom_partitions=2,
         frontier_storage=storage,
@@ -37,7 +41,7 @@ def _run(spark, site, ckpt_dir, storage, max_rounds=10_000, recrawl=None, **kw):
         **kw,
     )
     eng = CrawlEngine(
-        spark, sdfs["pages"], sdfs["seeds"], sdfs["politeness"], cfg,
+        spark, sdfs["pages"], sdfs["seeds"], politeness, cfg,
         connectors=site["connectors"],
     )
     return eng.run(recrawl=recrawl)
@@ -177,12 +181,14 @@ def test_delta_expiry_bounds_history_and_resumes(spark, site, tmp_path):
     from crawler_spark.plans.checkpoint import Checkpointer
 
     ck = str(tmp_path / "expiry")
-    # snapshot every 2 rounds → several expiry opportunities; kill mid-run
+    # budget 3 → a long crawl; snapshot every 2 rounds → several expiry
+    # opportunities; kill mid-run, then resume past expired history
+    kw = dict(default_budget=3, use_politeness=False)
     _run(spark, site, ck, "delta", frontier_snapshot_every=2,
-         frontier_expire_intervals=2, max_rounds=7)
+         frontier_expire_intervals=2, max_rounds=9, **kw)
     res = _run(spark, site, ck, "delta", frontier_snapshot_every=2,
-               frontier_expire_intervals=2)  # resume past expired history
-    full = _run(spark, site, str(tmp_path / "ref_e"), "full")
+               frontier_expire_intervals=2, **kw)
+    full = _run(spark, site, str(tmp_path / "ref_e"), "full", **kw)
     assert _key(res) == _key(full)
 
     cp = Checkpointer(ck)
