@@ -882,17 +882,20 @@ def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism/recall pins in tests/test_functions.py.
 
     Verification-cost control (this variant is instrumentation, not the
-    production path): deterministic 1-in-10 sample of the corpus + a
-    16-hash 4×4 signature. 4 rows/band RAISES banding recall vs 8 at the
-    ≥0.9 similarities real near-dups sit at (0.92⁴ ≫ 0.92⁸), and both
-    engines replay the identical pipeline, so the check stays exact while
-    the md5 cost — the dominant term on BOTH engines — drops 10×. The
-    sample still contains ≥6 true ≥0.7-Jaccard pairs at sf0.1 (measured),
-    so the value-hash compare is not vacuous; the production xxhash64 path
-    runs the FULL table in tests/bench."""
+    production path): deterministic SIZE-ADAPTIVE sample — 1-in-10 when the
+    table has ≥2000 docs (sf0.1+: keeps the md5 cost, the dominant term on
+    BOTH engines, under the driver budget with ≥6 true ≥0.7-Jaccard pairs
+    surviving, measured), 1-in-2 below (sf0.01: 6 pairs survive, so the
+    value-hash compare is never vacuous). The oracle SQL applies the SAME
+    count-based rule, so both engines sample identically at any sf. The
+    16-hash 4×4 signature: 4 rows/band RAISES banding recall vs 8 at the
+    ≥0.9 similarities real near-dups sit at (0.92⁴ ≫ 0.92⁸). The
+    production xxhash64 path runs the FULL table in tests/bench."""
     from crawler_spark.functions.dedup import minhash_lsh_pairs_md5
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    docs = _t(spark, sf_dir, "documents")
+    mod = 10 if docs.count() >= 2000 else 2
+    docs = docs.where(F.col("doc_id") % mod == 0)
     return minhash_lsh_pairs_md5(
         docs, n_hashes=16, bands=4, shingle_n=4, threshold=0.7
     )
@@ -902,13 +905,16 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, md5-bit variant with exhaustive banding
     (max_hamming+1 bands ⇒ pigeonhole recall 1): output equals the all-pairs
     hamming filter, which the DuckDB oracle computes independently.
-    Deterministic 1-in-4 sample keeps this verification variant cheap as
-    sf grows (the oracle's all-pairs hamming check is quadratic, so the
-    sample cuts it ~6×); the production xxhash64 path runs the full table
-    in tests and bench."""
+    Deterministic SIZE-ADAPTIVE sample (same count rule in the oracle SQL):
+    1-in-4 at ≥2000 docs keeps the oracle's quadratic all-pairs hamming
+    check cheap as sf grows; the full table below (sf0.01 is small enough,
+    and more pairs = stronger evidence). The production xxhash64 path runs
+    the full table in tests and bench."""
     from crawler_spark.functions.dedup import simhash_near_pairs_md5
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+    docs = _t(spark, sf_dir, "documents")
+    mod = 4 if docs.count() >= 2000 else 1
+    docs = docs.where(F.col("doc_id") % mod == 0)
     return simhash_near_pairs_md5(docs, max_hamming=6)
 
 
@@ -1639,9 +1645,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(c.g, b.g)) >= 5
         """,
         "dedup_minhash_lsh": f"""
-            WITH t AS (
+            WITH t0 AS MATERIALIZED (
+              -- sample FIRST, MATERIALIZED: the scalar-subquery modulus
+              -- defeats filter pushdown and plain CTEs are inlined, so
+              -- without this the gram transform runs over unsampled rows
+              SELECT doc_id, text FROM documents
+              WHERE doc_id % (CASE WHEN (SELECT count(*) FROM documents)
+                                        >= 2000 THEN 10 ELSE 2 END) = 0
+            ),
+            t AS (
               SELECT doc_id AS id, {grams4.format(t=_NORM)} AS grams
-              FROM documents WHERE doc_id % 10 = 0
+              FROM t0
             ),
             tg AS (SELECT id, grams FROM t WHERE len(grams) > 0),
             e AS (SELECT id, unnest(grams) AS s FROM tg),
@@ -1674,9 +1688,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, jaccard_sim FROM v WHERE jaccard_sim >= 0.7
         """,
         "dedup_simhash": f"""
-            WITH g AS (
-              SELECT doc_id, {grams.format(t=_NORM)} AS grams FROM documents
-              WHERE doc_id % 4 = 0
+            WITH g0 AS MATERIALIZED (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id % (CASE WHEN (SELECT count(*) FROM documents)
+                                        >= 2000 THEN 4 ELSE 1 END) = 0
+            ),
+            g AS (
+              SELECT doc_id, {grams.format(t=_NORM)} AS grams FROM g0
             ),
             gg AS (SELECT doc_id, grams FROM g WHERE len(grams) > 0),
             h AS (SELECT doc_id, md5(unnest(grams)) AS hx FROM gg),
