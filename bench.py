@@ -44,7 +44,11 @@ N_URLS_SCALING = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_URLS", "6000000")
 # per-config minimum is the closest observable to the unloaded machine, and
 # interleaving keeps a load burst from biasing one config. K=1 measured 0.67
 # on a busy box vs 0.98 idle for the identical build.
-SCALING_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_RUNS", "3"))
+# 5 interleaved (4,16) pairs: the median-of-pair-ratios estimator needs an
+# odd K with slack — at K=3 a single noisy window IS the median (measured:
+# 0.796 vs 0.964 for the same build an hour apart); at K=5 two windows can
+# be bad and the median still lands on a clean pair
+SCALING_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_RUNS", "5"))
 # shuffle width for the scaling legs — identical at both core counts
 # (identical plans); sized for ~8 waves on the 16-core leg so ragged final
 # waves amortize instead of idling most of the big config's cores

@@ -56,6 +56,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "source into <out>/assets (gated by --no-files)")
     # the reference's three user-facing modes (silknow-crawler.js:34-40,
     # base.js:165)
+    p.add_argument("--catalog-checkpoint", default=None,
+                   help="checkpoint to catalog tables instead of parquet "
+                        "dirs: '[catalog.]namespace.prefix' (Iceberg when an "
+                        "Iceberg catalog is configured); --ckpt stays the "
+                        "filesystem sidecar root (blooms, robots cache)")
+    p.add_argument("--no-live-robots", dest="live_robots",
+                   action="store_false",
+                   help="live mode: skip the automatic robots.txt fetch "
+                        "waves (politeness then comes only from --politeness)")
+    p.add_argument("--user-agent", default="crawler-spark/0.1")
     p.add_argument("--force", action="store_true",
                    help="ignore the URL-seen set and re-crawl everything "
                         "(base.js:165)")
@@ -106,9 +116,14 @@ def _report_mode(spark, args) -> int:
     """--list-fields / --check-images: the reference's no-crawl modes run
     over the records already checkpointed under --ckpt
     (silknow-crawler.js:34-40)."""
-    from crawler_spark.plans.checkpoint import Checkpointer
+    if getattr(args, "catalog_checkpoint", None):
+        from crawler_spark.plans.catalog import CatalogCheckpointer
 
-    ckpt = Checkpointer(args.ckpt)
+        ckpt = CatalogCheckpointer(spark, args.catalog_checkpoint)
+    else:
+        from crawler_spark.plans.checkpoint import Checkpointer
+
+        ckpt = Checkpointer(args.ckpt)
     records = ckpt.load_all_deltas(spark, "records_delta")
     if records is None:
         raise SystemExit("no checkpointed records under --ckpt")
@@ -208,6 +223,9 @@ def main(argv: list[str] | None = None) -> int:
         force=args.force,
         fetch_mode=args.fetch_mode,
         fetch_timeout_s=args.fetch_timeout,
+        catalog_checkpoint=args.catalog_checkpoint,
+        live_robots=args.live_robots,
+        user_agent=args.user_agent,
     )
     eng = CrawlEngine(
         spark, pages, seeds, politeness, cfg,
