@@ -56,7 +56,11 @@ def exact_dedup(
 
 
 def char_gram_rows(
-    df: DataFrame, n: int, id_col: str, text_col: str
+    df: DataFrame,
+    n: int,
+    id_col: str,
+    text_col: str,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """(id, gram) rows of RAW char n-gram strings (with duplicates), fully
     whole-stage-codegen: project the normalized text ONCE, explode the
@@ -64,20 +68,23 @@ def char_gram_rows(
     (``char_ngrams``) re-evaluates the normalization regex for every gram
     inside an interpreted higher-order transform and pays an O(n²)
     interpreted ``array_distinct`` — ~10× slower per doc (measured 13.7 s
-    vs <2 s for 500 docs); this is the hot-path shape. Consumers that need
+    vs <2 s for 500 docs); this is the hot-path shape, and
+    ``gram_hash_rows`` is its xxhash64 projection. Consumers that need
     per-doc distinct gram sets aggregate with ``collect_set`` (dedup is
     free there), so duplicates are deliberately NOT dropped here."""
+    extra = extra_cols or []
     norm = df.select(
-        F.col(id_col).alias("id"), normalized(F.col(text_col)).alias("__t")
+        *extra, F.col(id_col).alias("id"), normalized(F.col(text_col)).alias("__t")
     ).where(F.length("__t") >= n)
     return norm.select(
+        *extra,
         "id",
         "__t",
         F.explode(
             F.sequence(F.lit(1), F.length("__t") - (n - 1))
         ).alias("__i"),
     ).select(
-        "id", F.col("__t").substr(F.col("__i"), F.lit(n)).alias("gram")
+        *extra, "id", F.col("__t").substr(F.col("__i"), F.lit(n)).alias("gram")
     )
 
 
@@ -108,25 +115,11 @@ def gram_hash_rows(
     text_col: str,
     extra_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, gram) rows: xxhash64 of each char n-gram of the normalized text.
-
-    Explode + substring + xxhash64 are all whole-stage-codegen operators —
-    ~10× faster than the equivalent higher-order ``transform(sequence(...))``
-    expression chain, which executes interpreted. Duplicate grams are NOT
-    deduped here (consumers dedup in their aggregation).
-    """
-    extra = extra_cols or []
-    t = normalized(F.col(text_col))
-    base = df.select(*extra, F.col(id_col).alias("id"), t.alias("__t"))
-    idx = F.when(
-        F.length("__t") >= n, F.expr(f"sequence(1, length(__t) - {n - 1})")
-    ).otherwise(F.expr("array()"))
-    return base.select(
-        *extra, "id", F.explode(idx).alias("__i"), "__t"
-    ).select(
-        *extra,
-        "id",
-        F.xxhash64(F.expr(f"substring(__t, __i, {n})")).alias("gram"),
+    """(id, gram) rows: xxhash64 of each char n-gram of the normalized text
+    — ``char_gram_rows`` with the hash projection (one generator, two
+    projections; keeping them separate once let the guards drift)."""
+    return char_gram_rows(df, n, id_col, text_col, extra_cols).withColumn(
+        "gram", F.xxhash64("gram")
     )
 
 

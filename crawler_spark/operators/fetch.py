@@ -219,8 +219,12 @@ def live_fetch(
         last_hit: dict[str, float] = {}
         # S6 stateful sessions (imatex.js:41-107): harvested response
         # fields (__VIEWSTATE & co) live next to the host's cookie jar for
-        # exactly as long as the worker owns the host's contiguous run
+        # exactly as long as the worker owns the host's contiguous run.
+        # handshaked: hosts whose form page was already fetched — ONE
+        # attempt per host per worker, even if the page cannot yield every
+        # configured field (retrying per row would double request volume)
         session_state: dict[str, dict] = {}
+        handshaked: set[str] = set()
 
         def opener_for(host: str):
             if host not in openers:
@@ -279,16 +283,32 @@ def live_fetch(
                     # GETs the form page first and harvests the fields —
                     # the batch analog of "load the form, then post it
                     # back". Honors crawl-delay like any other request.
-                    if (
+                    # Gated on the ROW actually POSTing (a detail row with
+                    # no detail template goes out as a plain GET and needs
+                    # no session) and attempted at most once per host.
+                    kind = row[kind_i] if kind_i is not None else "record"
+                    will_post = (
                         cfg is not None
-                        and cfg.session_field_regex
                         and cfg.method == "POST"
+                        and kind != "secondary"
+                        and (
+                            cfg.body_template
+                            if kind == "search"
+                            else cfg.detail_body_template
+                        )
+                        is not None
+                    )
+                    if (
+                        will_post
+                        and cfg.session_field_regex
                         and cfg.session_handshake_url
+                        and host not in handshaked
                         and any(
                             k not in session_state.get(host, {})
                             for k in cfg.session_field_regex
                         )
                     ):
+                        handshaked.add(host)
                         hs_url = urljoin(row[url_i], cfg.session_handshake_url)
                         try:
                             hs_req = urllib.request.Request(
@@ -304,7 +324,7 @@ def live_fetch(
                         wait_politeness(host, delay)
                     send_url, data, extra = build_request(
                         row[url_i],
-                        row[kind_i] if kind_i is not None else "record",
+                        kind,
                         cfg,
                         session=session_state.get(host),
                     )

@@ -155,10 +155,19 @@ def robots_wave(
     through the same live fetch stage the crawl uses (per-host openers,
     politeness-ready), then parsed with ``parse_robots``.
 
-    Every probed host gets a row: a fetch failure or non-200 yields the
-    explicit allow-all defaults (RFC 9309 §2.3.1 — an unavailable robots
-    file allows crawling), which also RECORDS the probe so the engine's
-    anti-join never re-probes the host each round.
+    Every probed host gets a row, per RFC 9309 §2.3.1:
+
+    * **200** — parsed rules;
+    * **4xx / missing** (»unavailable«, §2.3.1.3) — explicit allow-all;
+    * **5xx / network error / timeout** (»unreachable«, §2.3.1.4) —
+      complete DISALLOW (``disallow=["/"]``), and the row's
+      ``probe_status`` marks it TRANSIENT: the engine excludes transient
+      rows from its probed-host anti-join, so the host is re-probed on
+      the next wave instead of being blocked (or worse, allowed) forever
+      on one flaky response.
+
+    The extra ``probe_status`` column is engine bookkeeping — drop it
+    before joining with user-supplied politeness rows.
     """
     from crawler_spark.operators.fetch import live_fetch
 
@@ -175,12 +184,17 @@ def robots_wave(
     def _parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {"host": [], "crawl_delay_ms": [], "budget_per_round": [],
-                   "disallow": []}
+                   "disallow": [], "probe_status": []}
             for host, body, status in zip(
                 pdf["host"], pdf["body"], pdf["status"]
             ):
-                ok = status == 200 and body is not None
-                parsed = parse_robots(bytes(body) if ok else None, user_agent)
+                status = int(status)
+                if status == 200 and body is not None:
+                    parsed = parse_robots(bytes(body), user_agent)
+                elif 400 <= status < 500:
+                    parsed = {"disallow": [], "crawl_delay_ms": None}
+                else:  # 5xx / -1 network / timeout: unreachable ⇒ disallow
+                    parsed = {"disallow": ["/"], "crawl_delay_ms": None}
                 out["host"].append(host)
                 out["crawl_delay_ms"].append(
                     parsed["crawl_delay_ms"]
@@ -189,10 +203,11 @@ def robots_wave(
                 )
                 out["budget_per_round"].append(default_budget)
                 out["disallow"].append(parsed["disallow"])
+                out["probe_status"].append(status)
             yield pd.DataFrame(out)
 
     return (
         fetched.select("host", "body", "status")
-        .mapInPandas(_parse, ROBOTS_POLITENESS_SCHEMA)
+        .mapInPandas(_parse, ROBOTS_POLITENESS_SCHEMA + ", probe_status int")
         .dropDuplicates(["host"])
     )

@@ -284,6 +284,8 @@ def enrich_secondaries(
     fetch_mode: str = "fixture",
     timeout_s: float = 60.0,
     politeness: DataFrame | None = None,
+    user_agent: str = "crawler-spark/0.1",
+    batch_bound: int | None = None,
 ) -> DataFrame:
     """Full per-round enrichment: seed hop-0 from parent fields, fetch-join
     + parse each hop, merge chains back into the records. Returns
@@ -320,10 +322,15 @@ def enrich_secondaries(
             fetched = live_fetch(
                 live_secondary_batch(wave, politeness),
                 timeout_s=timeout_s,
+                user_agent=user_agent,
                 connectors=connectors,
             )
         else:
-            fetched = fixture_fetch(wave, pages)
+            # batch_bound (driver-known: the round's detail count bounds
+            # every hop's wave) keeps the pages-side semi-filter broadcast
+            # — without it the hint is dropped and the huge pages scan can
+            # plan as a sort-merge join per hop
+            fetched = fixture_fetch(wave, pages, batch_bound=batch_bound)
         parsed = parse_hop(fetched, connectors, hop).persist()
         parsed_hops.append(parsed)
         caches.append(parsed)

@@ -54,6 +54,7 @@ class CatalogCheckpointer:
         self.identifier = identifier
         self.root = f"catalog:{identifier}"  # for error messages
         self._manifest_tbl = self._tbl("_manifests")
+        self._expiry_tbl = self._tbl("_expiry")
         self._manifest_cache: dict[int, dict] | None = None
 
     def _tbl(self, name: str) -> str:
@@ -94,8 +95,13 @@ class CatalogCheckpointer:
         return self._manifests()[round_no]
 
     # -- commit protocol ------------------------------------------------------
-    def _append(self, tbl: str, df: DataFrame) -> None:
-        """V2 append (Iceberg) with V1 saveAsTable fallback."""
+    def _write_round(self, tbl: str, df: DataFrame) -> None:
+        """Write one round partition IDEMPOTENTLY: a killed commit leaves
+        orphan rows in the round's partition, and a plain append on the
+        re-run would duplicate them once the manifest lands — so the write
+        REPLACES the partition. V2 ``overwritePartitions`` (Iceberg) first;
+        V1 fallback is dynamic-partition-overwrite ``insertInto`` (same
+        replace semantics for managed parquet tables)."""
         if not self._table_exists(tbl):
             try:
                 df.writeTo(tbl).partitionedBy(F.col("__round")).create()
@@ -104,9 +110,15 @@ class CatalogCheckpointer:
                 df.write.partitionBy("__round").mode("errorifexists").saveAsTable(tbl)
                 return
         try:
-            df.writeTo(tbl).append()
+            df.writeTo(tbl).overwritePartitions()
         except Exception:
-            df.write.mode("append").partitionBy("__round").saveAsTable(tbl)
+            conf = "spark.sql.sources.partitionOverwriteMode"
+            prev = self.spark.conf.get(conf, "static")
+            try:
+                self.spark.conf.set(conf, "dynamic")
+                df.write.mode("overwrite").insertInto(tbl)
+            finally:
+                self.spark.conf.set(conf, prev)
 
     def commit_round(
         self,
@@ -126,7 +138,7 @@ class CatalogCheckpointer:
         aggregate — all O(round batch) except the frontier count, which
         Iceberg serves from snapshot metadata in production)."""
         for name, df in tables.items():
-            self._append(
+            self._write_round(
                 self._tbl(name), df.withColumn("__round", F.lit(round_no))
             )
         # standard crawl metrics from the written partitions (same keys as
@@ -197,7 +209,13 @@ class CatalogCheckpointer:
 
     def has_table(self, round_no: int, name: str) -> bool:
         m = self._manifests().get(round_no)
-        return m is not None and name in m.get("tables", ())
+        if m is None or name not in m.get("tables", ()):
+            return False
+        if name in ("frontier", "frontier_add", "frontier_del"):
+            h = self.frontier_horizon()
+            if h is not None and round_no < h:
+                return False  # expired history (manifests stay immutable)
+        return True
 
     def load_all_deltas(
         self,
@@ -254,22 +272,44 @@ class CatalogCheckpointer:
                 return  # V1 catalog: orphans stay invisible; nothing to do
 
     def wipe(self) -> None:
-        """Fresh start: drop every crawl table (manifests included)."""
+        """Fresh start: drop every crawl table (manifests + expiry too)."""
         for name in _KNOWN_TABLES:
             self.spark.sql(f"DROP TABLE IF EXISTS {self._tbl(name)}")
         self.spark.sql(f"DROP TABLE IF EXISTS {self._manifest_tbl}")
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._expiry_tbl}")
         self._manifest_cache = None
+        self._horizon_cache = None
 
     def expire_frontier(self, keep_intervals: int = 2) -> int | None:
         """Expire delta-frontier history behind the newest ``keep_intervals``
-        snapshots (see Checkpointer.expire_frontier). Requires row-level
-        DELETE; on catalogs without it the call is a no-op (history stays)."""
+        snapshots (see Checkpointer.expire_frontier).
+
+        Crash-safe ordering: the horizon row is APPENDED to the tiny
+        ``_expiry`` table FIRST (the atomic point — ``has_table`` treats
+        frontier tables behind the horizon as gone from then on; manifests
+        are never rewritten), and only then are the expired rows deleted.
+        A kill between the two leaves unreferenced rows — wasted space, a
+        later expiry's DELETE reclaims them — never a reader that loads
+        half-expired state. Row-level DELETE is best-effort: on catalogs
+        without it (V1 parquet) the rows stay but are equally invisible."""
         snaps = [
             r for r in self.committed_rounds() if self.has_table(r, "frontier")
         ]
         if len(snaps) <= max(1, keep_intervals):
             return None
         horizon = snaps[-keep_intervals]
+        hrow = self.spark.createDataFrame([(int(horizon),)], "horizon int")
+        if not self._table_exists(self._expiry_tbl):
+            try:
+                hrow.writeTo(self._expiry_tbl).create()
+            except Exception:
+                hrow.write.mode("errorifexists").saveAsTable(self._expiry_tbl)
+        else:
+            try:
+                hrow.writeTo(self._expiry_tbl).append()
+            except Exception:
+                hrow.write.mode("append").saveAsTable(self._expiry_tbl)
+        self._horizon_cache = horizon
         try:
             for name in ("frontier", "frontier_add", "frontier_del"):
                 tbl = self._tbl(name)
@@ -278,28 +318,18 @@ class CatalogCheckpointer:
                         f"DELETE FROM {tbl} WHERE __round < {int(horizon)}"
                     )
         except Exception:
-            return None
-        # reflect the expiry in the manifests the readers consult
-        mans = self._manifests()
-        changed = []
-        for r, m in mans.items():
-            if r < horizon:
-                kept = [
-                    t
-                    for t in m.get("tables", ())
-                    if t not in ("frontier", "frontier_add", "frontier_del")
-                ]
-                if kept != m.get("tables"):
-                    m["tables"] = kept
-                    changed.append(r)
-        if changed:
-            rows = [(r, json.dumps(mans[r], default=str)) for r in sorted(mans)]
-            self.spark.createDataFrame(
-                rows, "round int, manifest string"
-            ).write.mode("overwrite").saveAsTable(self._manifest_tbl)
-            self._manifest_cache = None
-        self._horizon = horizon
+            pass  # V1: rows stay, has_table already hides them
         return horizon
 
     def frontier_horizon(self) -> int | None:
-        return getattr(self, "_horizon", None)
+        cached = getattr(self, "_horizon_cache", None)
+        if cached is not None:
+            return cached
+        if not self._table_exists(self._expiry_tbl):
+            return None
+        row = self.spark.table(self._expiry_tbl).agg(
+            F.max("horizon")
+        ).first()
+        h = row[0] if row is not None else None
+        self._horizon_cache = int(h) if h is not None else None
+        return self._horizon_cache

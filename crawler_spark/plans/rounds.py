@@ -41,7 +41,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field as dc_field
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crawler_spark import schemas
@@ -318,8 +318,26 @@ class CrawlEngine:
         except Exception:
             return None
 
+    @staticmethod
+    def _robots_is_final(col):
+        # a probe is FINAL (cacheable) for 200 and 4xx; 5xx/network rows
+        # are transient disallow-alls that the next wave re-probes
+        return (col >= 200) & (col < 500)
+
     def _refresh_effective_politeness(self) -> None:
         rob = self._load_robots_table()
+        if rob is not None:
+            # a host re-probed after a transient failure has 2+ rows:
+            # prefer the final probe, then the most permissive/latest
+            w = Window.partitionBy("host").orderBy(
+                self._robots_is_final(F.col("probe_status")).desc(),
+                F.col("probe_status").asc(),
+            )
+            rob = (
+                rob.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn", "probe_status")
+            )
         if rob is None:
             self.politeness = self._user_politeness
         elif self._user_politeness is None:
@@ -352,9 +370,15 @@ class CrawlEngine:
             .groupBy("host")
             .agg(F.min("url").alias("url"))
         )
+        rob = self._load_robots_table()
+        if rob is not None:
+            # transient (5xx/network) probes do NOT count as known: their
+            # disallow-all row blocks fetches meanwhile, and the next wave
+            # re-probes the host (RFC 9309 §2.3.1.4)
+            rob = rob.where(self._robots_is_final(F.col("probe_status")))
         known = [
             t.select("host")
-            for t in (self._user_politeness, self._load_robots_table())
+            for t in (self._user_politeness, rob)
             if t is not None
         ]
         if known:
@@ -471,7 +495,15 @@ class CrawlEngine:
                     for _q in self.ckpt.committed_rounds():
                         if snap < _q <= latest:
                             _a = self.ckpt.round_metric(_q, "frontier_adds")
-                            fr += int(_a) if _a is not None else 0
+                            if _a is None:
+                                # old manifest without the adds bound: an
+                                # unknown term makes the whole bound
+                                # unknown — never silently under-count
+                                # (the bound gates broadcasts and the
+                                # auto delta-engagement check)
+                                fr = None
+                                break
+                            fr += int(_a)
             round_no = latest + 1
             frontier_rows = int(fr) if fr is not None else None
         else:
@@ -761,6 +793,7 @@ class CrawlEngine:
                 fetched = live_fetch(
                     batch_in,
                     timeout_s=cfg.fetch_timeout_s,
+                    user_agent=cfg.user_agent,
                     connectors=self.connectors,
                 ).persist()
             else:
@@ -1007,6 +1040,11 @@ class CrawlEngine:
                     fetch_mode=cfg.fetch_mode,
                     timeout_s=cfg.fetch_timeout_s,
                     politeness=self.politeness,
+                    user_agent=cfg.user_agent,
+                    # each hop's wave is one URL per chained record at most
+                    # (seed_wave / next_url are per-record scalars), so the
+                    # round's detail count bounds every hop's semi-filter
+                    batch_bound=n_details_round,
                 )
             dmeta = details.select(
                 "url",
@@ -1322,6 +1360,13 @@ class CrawlEngine:
                 tables["frontier_del"] = shrink(popped.select("url_hash"))
             if snapshot_round or "frontier_add" in tables:
                 pending_add_rows = None  # persisted (or covered by snapshot)
+            # live robots: probe hosts first discovered this round (adds
+            # are round-batch-bounded) BEFORE the commit — a kill between
+            # commit and probe would otherwise persist frontier hosts that
+            # resume never probes; killed-before-commit just re-probes an
+            # idempotent cache. Popped-from-NEXT-round ordering means the
+            # rules are in force before any fetch of these hosts.
+            self._robots_refresh(round_adds.select("url"))
             self.ckpt.commit_round(
                 round_no,
                 tables,
@@ -1408,10 +1453,6 @@ class CrawlEngine:
                     )
             round_log["bloom_wall_s"] = round(_time.time() - bloom_t0, 2)
             last_committed = round_no
-            # live robots: probe hosts first discovered this round (adds
-            # are round-batch-bounded) — they can only be popped from the
-            # NEXT round on, so their rules are in force before any fetch
-            self._robots_refresh(round_adds.select("url"))
             ce = cfg.compact_every or cfg.bloom_rebuild_every
             if round_no > 0 and round_no % ce == 0:
                 self.ckpt.compact(spark, "seen_delta", upto=round_no)

@@ -590,6 +590,77 @@ def test_live_robots_acquired_and_enforced(spark, tmp_path):
         srv.shutdown()
 
 
+def test_robots_unreachable_is_transient_disallow(spark, tmp_path):
+    """RFC 9309 §2.3.1.4: an UNREACHABLE robots.txt (5xx/network) means
+    complete disallow — but the probe must stay TRANSIENT: the engine
+    blocks the host (crawl run ends with nothing fetched), and the next
+    run re-probes instead of trusting the failed probe forever. Once the
+    server recovers, the real rules apply (4xx stays cacheable allow-all)."""
+    robots_calls = [0]
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/robots.txt":
+                robots_calls[0] += 1
+                if robots_calls[0] == 1:
+                    self.send_response(503)  # transient outage
+                    self.end_headers()
+                    return
+                self.send_response(200)
+                self.end_headers()
+                self.wfile.write(b"User-agent: *\nDisallow: /record/3\n")
+                return
+            body = by_path.get(self.path)
+            if body is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    site = generate_site(
+        SiteSpec(n_hosts=1, details_per_host=6, limit=3, related_per_host=0)
+    )
+    by_path = {
+        r.url.split("example.test", 1)[1]: bytes(r.html)
+        for r in site["pages"].itertuples()
+    }
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        local = _localized(site, base)
+        sdfs = site_to_spark(spark, local)
+        cfg = EngineConfig(
+            ckpt_dir=str(tmp_path / "ck"), default_budget=8,
+            fetch_mode="live", fetch_timeout_s=10,
+        )
+
+        def run():
+            return CrawlEngine(
+                spark, None, sdfs["seeds"], politeness=None, cfg=cfg,
+                connectors=site["connectors"],
+            ).run()
+
+        first = run()
+        # outage round: complete disallow — nothing fetched, run ends
+        assert first.records.count() == 0
+        assert first.fetch_log.count() == 0
+
+        second = run()  # server recovered: re-probe, real rules enforced
+        assert robots_calls[0] >= 2, "transient probe was never retried"
+        got = {r["url"] for r in second.records.select("url").collect()}
+        assert got == {
+            f"{base}/record/{i}" for i in range(1, 7) if i != 3
+        }
+    finally:
+        srv.shutdown()
+
+
 def test_live_fetch_enforces_crawl_delay(spark):
     """The in-worker crawl-delay really spaces a host's requests: with
     crawl_delay_ms=400 the server must observe >=400ms between arrivals.
