@@ -741,6 +741,89 @@ def _f12_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _frontier_shaped(df, key, connector, page_no, round_added):
+    """Frontier-schema rows from a TPC-H key column (url_hash = the key
+    itself so the DuckDB oracle needs no xxhash64 twin)."""
+    return df.select(
+        F.concat(F.lit("http://h/x/"), key.cast("string")).alias("url"),
+        key.cast("long").alias("url_hash"),
+        F.lit("h").alias("host"),
+        F.lit(0).alias("depth"),
+        F.lit(0.0).alias("score"),
+        F.lit(0).alias("seed_idx"),
+        page_no.cast("int").alias("page_no"),
+        F.lit(0).alias("in_page_idx"),
+        F.lit(0).alias("dfs_rank"),
+        F.lit(round_added).alias("round_added"),
+        F.lit(0).alias("attempts"),
+        F.lit(0).alias("not_before"),
+        F.lit("record").alias("kind"),
+        connector.alias("connector_id"),
+    )
+
+
+def _j4_candidate_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: in-round candidate dedup through the ENGINE's add_candidates
+    (operators/frontier.py — the contested-keys window + untouched
+    anti-join shape; joconde.js:41,184-187 memo cache): a URL discovered
+    by two connectors/pages keeps exactly the lowest-ordered occurrence,
+    so crawl-order parity survives duplicate discovery."""
+    from crawler_spark.operators.frontier import add_candidates
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+    frontier = _frontier_shaped(
+        orders.where(F.col("o_orderkey") % 3 == 0),
+        F.col("o_orderkey"),
+        F.concat(F.lit("c"), (F.col("o_orderkey") % 2).cast("string")),
+        F.col("o_orderkey") % 7,
+        0,
+    )
+    cands = _frontier_shaped(
+        orders.where(F.col("o_orderkey") % 2 == 0),
+        F.col("o_orderkey"),
+        F.concat(F.lit("c"), (F.col("o_orderkey") % 3).cast("string")),
+        F.col("o_orderkey") % 5,
+        1,
+    )
+    return add_candidates(frontier, cands).select(
+        "url_hash", "connector_id", "page_no", "round_added"
+    )
+
+
+def _a2_offset_accum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: offset accumulation (currentOffset += page size per fetched
+    page, base.js:59-65) — the batch analog is a per-seed running total
+    over the page order: each event's offset is the sum of everything the
+    'seed' (user) consumed before and including it."""
+    events = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.sum("event_id").over(w).cast("long").alias("offset_after"),
+    )
+
+
+def _p3_typed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: type-based projection with null-on-missing (vam.js:72-133 typed
+    JSON record fields; P5 null-entity handling): JSON props project to a
+    typed column, absent keys to NULL, plus a category flag."""
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("missing_str"),
+        F.when(F.col("event_type") == "click", F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_click"),
+    )
+
+
 def _p4_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4 nested-object flatten (utils.js:71-94): dotted keys from nested
     structs via crawler_spark.functions.flatten.flatten_structs."""
@@ -1299,6 +1382,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p6_u4_fold_dedup": _p6_u4_fold_dedup,
         "a5_image_index": _a5_image_index,
         "f12_array_ops": _f12_array_ops,
+        "j4_candidate_dedup": _j4_candidate_dedup,
+        "a2_offset_accum": _a2_offset_accum,
+        "p3_typed_projection": _p3_typed_projection,
         "p4_flatten": _p4_flatten,
         "f3_text_cleanup": _f3_text_cleanup,
         "s13_image_magic": _s13_image_magic,
@@ -1562,6 +1648,50 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(list_aggregate(list_transform(long_toks, x -> upper(x)),
                             'string_agg', ','), '') AS upper_tokens
             FROM f
+        """,
+        "j4_candidate_dedup": """
+            WITH f AS (
+              SELECT o_orderkey AS url_hash,
+                     'c' || CAST(o_orderkey % 2 AS VARCHAR) AS connector_id,
+                     CAST(o_orderkey % 7 AS INT) AS page_no,
+                     0 AS round_added, 0 AS seed_idx, 0 AS in_page_idx,
+                     0 AS dfs_rank
+              FROM orders WHERE o_orderkey % 3 = 0
+            ),
+            c AS (
+              SELECT o_orderkey AS url_hash,
+                     'c' || CAST(o_orderkey % 3 AS VARCHAR) AS connector_id,
+                     CAST(o_orderkey % 5 AS INT) AS page_no,
+                     1 AS round_added, 0 AS seed_idx, 0 AS in_page_idx,
+                     0 AS dfs_rank
+              FROM orders WHERE o_orderkey % 2 = 0
+            ),
+            pool AS (SELECT * FROM f UNION ALL SELECT * FROM c)
+            SELECT url_hash, connector_id, page_no,
+                   CAST(round_added AS INT) AS round_added
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY url_hash
+                ORDER BY connector_id ASC, seed_idx ASC, page_no ASC,
+                         in_page_idx ASC, dfs_rank ASC, round_added ASC
+              ) AS rn FROM pool
+            ) WHERE rn = 1
+        """,
+        "a2_offset_accum": """
+            SELECT user_id, event_id,
+                   CAST(sum(event_id) OVER (
+                     PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS offset_after
+            FROM events
+        """,
+        "p3_typed_projection": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+                   json_extract_string(props, '$.missing') AS missing_str,
+                   CAST(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                        AS INT) AS is_click
+            FROM events
         """,
         "p4_flatten": """
             SELECT event_id,
