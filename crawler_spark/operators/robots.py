@@ -146,6 +146,7 @@ def robots_wave(
     user_agent: str = "crawler-spark/0.1",
     default_delay_ms: int = 0,
     default_budget: int = 1000,
+    probed_round: int = 0,
 ) -> DataFrame:
     """Live robots.txt acquisition: one GET per host, distributed.
 
@@ -166,8 +167,9 @@ def robots_wave(
       the next wave instead of being blocked (or worse, allowed) forever
       on one flaky response.
 
-    The extra ``probe_status`` column is engine bookkeeping — drop it
-    before joining with user-supplied politeness rows.
+    The extra ``probe_status`` / ``probed_round`` columns are engine
+    bookkeeping (transient-retry + TTL re-probe) — drop them before
+    joining with user-supplied politeness rows.
     """
     from crawler_spark.operators.fetch import live_fetch
 
@@ -209,5 +211,6 @@ def robots_wave(
     return (
         fetched.select("host", "body", "status")
         .mapInPandas(_parse, ROBOTS_POLITENESS_SCHEMA + ", probe_status int")
+        .withColumn("probed_round", F.lit(int(probed_round)))
         .dropDuplicates(["host"])
     )

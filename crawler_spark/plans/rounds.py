@@ -179,6 +179,10 @@ class EngineConfig:
     # (RFC 9309 §2.3.1), which also records the probe.
     live_robots: bool = True
     robots_timeout_s: float = 20.0
+    # re-probe cadence: a cached robots row older than this many rounds no
+    # longer counts as known, so the host is re-probed on its next wave
+    # (rules changing mid-crawl are picked up). None = cache for the crawl.
+    robots_ttl_rounds: int | None = None
     # AQE self-tuning: AQE's value (runtime coalescing, skew-join splits)
     # begins when round batches carry real data; below this popped-URL
     # count the engine turns spark.sql.adaptive.enabled off for the round
@@ -331,12 +335,13 @@ class CrawlEngine:
             # prefer the final probe, then the most permissive/latest
             w = Window.partitionBy("host").orderBy(
                 self._robots_is_final(F.col("probe_status")).desc(),
+                F.col("probed_round").desc(),
                 F.col("probe_status").asc(),
             )
             rob = (
                 rob.withColumn("__rn", F.row_number().over(w))
                 .where(F.col("__rn") == 1)
-                .drop("__rn", "probe_status")
+                .drop("__rn", "probe_status", "probed_round")
             )
         if rob is None:
             self.politeness = self._user_politeness
@@ -348,7 +353,9 @@ class CrawlEngine:
             )
             self.politeness = self._user_politeness.unionByName(extra)
 
-    def _robots_refresh(self, urls_df: DataFrame | None) -> None:
+    def _robots_refresh(
+        self, urls_df: DataFrame | None, round_no: int = 0
+    ) -> None:
         """Probe /robots.txt for every host in ``urls_df`` not yet covered
         (user politeness row or previous probe), append the parsed rows to
         the persistent robots table, and swap the effective politeness.
@@ -374,8 +381,15 @@ class CrawlEngine:
         if rob is not None:
             # transient (5xx/network) probes do NOT count as known: their
             # disallow-all row blocks fetches meanwhile, and the next wave
-            # re-probes the host (RFC 9309 §2.3.1.4)
-            rob = rob.where(self._robots_is_final(F.col("probe_status")))
+            # re-probes the host (RFC 9309 §2.3.1.4). A TTL ages out final
+            # probes too, so long crawls pick up changed rules.
+            known_pred = self._robots_is_final(F.col("probe_status"))
+            if cfg.robots_ttl_rounds is not None:
+                known_pred = known_pred & (
+                    F.col("probed_round")
+                    > F.lit(int(round_no) - cfg.robots_ttl_rounds)
+                )
+            rob = rob.where(known_pred)
         known = [
             t.select("host")
             for t in (self._user_politeness, rob)
@@ -391,6 +405,7 @@ class CrawlEngine:
             timeout_s=cfg.robots_timeout_s,
             user_agent=cfg.user_agent,
             default_budget=cfg.default_budget,
+            probed_round=round_no,
         ).persist()
         try:
             if wave.count():
@@ -558,7 +573,7 @@ class CrawlEngine:
             src = self.seeds.select("url")
             if recrawl is not None:
                 src = src.union(recrawl.select("url"))
-            self._robots_refresh(src)
+            self._robots_refresh(src, round_no)
 
         start_latest = latest if latest is not None else -1
         # the round whose commit the bloom table must cover to be trusted
@@ -1366,7 +1381,7 @@ class CrawlEngine:
             # resume never probes; killed-before-commit just re-probes an
             # idempotent cache. Popped-from-NEXT-round ordering means the
             # rules are in force before any fetch of these hosts.
-            self._robots_refresh(round_adds.select("url"))
+            self._robots_refresh(round_adds.select("url"), round_no)
             self.ckpt.commit_round(
                 round_no,
                 tables,

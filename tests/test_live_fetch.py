@@ -661,6 +661,65 @@ def test_robots_unreachable_is_transient_disallow(spark, tmp_path):
         srv.shutdown()
 
 
+def test_robots_ttl_reprobe_picks_up_changed_rules(spark, tmp_path):
+    """robots_ttl_rounds: cached robots rows age out, so a rule change
+    mid-crawl is picked up — the run starts under allow-all, the server
+    flips to 'Disallow: /record/5' after the first probe, and the record
+    (discovered on a later page) is never fetched."""
+    robots_calls = [0]
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/robots.txt":
+                robots_calls[0] += 1
+                self.send_response(200)
+                self.end_headers()
+                if robots_calls[0] == 1:
+                    self.wfile.write(b"User-agent: *\nDisallow:\n")
+                else:
+                    self.wfile.write(b"User-agent: *\nDisallow: /record/5\n")
+                return
+            body = by_path.get(self.path)
+            if body is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    site = generate_site(
+        SiteSpec(n_hosts=1, details_per_host=6, limit=3, related_per_host=0)
+    )
+    by_path = {
+        r.url.split("example.test", 1)[1]: bytes(r.html)
+        for r in site["pages"].itertuples()
+    }
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        local = _localized(site, base)
+        sdfs = site_to_spark(spark, local)
+        cfg = EngineConfig(
+            ckpt_dir=str(tmp_path / "ck"), default_budget=8,
+            fetch_mode="live", fetch_timeout_s=10, robots_ttl_rounds=1,
+        )
+        res = CrawlEngine(
+            spark, None, sdfs["seeds"], politeness=None, cfg=cfg,
+            connectors=site["connectors"],
+        ).run()
+        assert robots_calls[0] >= 2, "TTL never re-probed"
+        got = {r["url"] for r in res.records.select("url").collect()}
+        # /record/5 sits on page 2, fetched only after the rule flip
+        assert got == {f"{base}/record/{i}" for i in range(1, 7) if i != 5}
+    finally:
+        srv.shutdown()
+
+
 def test_live_fetch_enforces_crawl_delay(spark):
     """The in-worker crawl-delay really spaces a host's requests: with
     crawl_delay_ms=400 the server must observe >=400ms between arrivals.
