@@ -132,6 +132,12 @@ def test_checkpoint_interface_contract(kind, spark, tmp_path):
     assert ck.latest_round() == 2
     assert ck.load_all_deltas(spark, "seen_delta").count() == 9
 
+    # re-committing the killed round must REPLACE its orphan rows, not
+    # append next to them (idempotent partition overwrite)
+    _commit(ck, spark, 3, snapshot=False, n=2)
+    assert ck.load(spark, 3, "seen_delta").count() == 2
+    assert ck.load_all_deltas(spark, "seen_delta").count() == 11
+
     # fresh-start wipe drops everything
     ck.wipe()
     assert ck.latest_round() is None
