@@ -318,9 +318,16 @@ class CrawlEngine:
         if not _os.path.isdir(self._robots_dir):
             return None
         try:
-            return self.spark.read.parquet(self._robots_dir)
+            rob = self.spark.read.parquet(self._robots_dir)
         except Exception:
             return None
+        # backfill bookkeeping columns absent from tables written by older
+        # builds (a resume must not crash on its own cache)
+        if "probe_status" not in rob.columns:
+            rob = rob.withColumn("probe_status", F.lit(200))
+        if "probed_round" not in rob.columns:
+            rob = rob.withColumn("probed_round", F.lit(0))
+        return rob
 
     @staticmethod
     def _robots_is_final(col):
@@ -328,14 +335,26 @@ class CrawlEngine:
         # are transient disallow-alls that the next wave re-probes
         return (col >= 200) & (col < 500)
 
-    def _refresh_effective_politeness(self) -> None:
+    def _refresh_effective_politeness(self, round_no: int = 0) -> None:
         rob = self._load_robots_table()
         if rob is not None:
-            # a host re-probed after a transient failure has 2+ rows:
-            # prefer the final probe, then the most permissive/latest
+            # a host can hold several probe rows (transient retries, TTL
+            # re-probes). Winner: freshest UNEXPIRED final probe; if every
+            # final probe aged out, freshness wins outright — so a fresher
+            # transient disallow-all beats an expired allow row (the host
+            # stays blocked until a re-probe succeeds, RFC 9309 §2.3.1.4),
+            # while a lone expired final row still beats nothing.
+            final = self._robots_is_final(F.col("probe_status"))
+            unexpired = final
+            if self.cfg.robots_ttl_rounds is not None:
+                unexpired = final & (
+                    F.col("probed_round")
+                    > F.lit(int(round_no) - self.cfg.robots_ttl_rounds)
+                )
             w = Window.partitionBy("host").orderBy(
-                self._robots_is_final(F.col("probe_status")).desc(),
+                unexpired.desc(),
                 F.col("probed_round").desc(),
+                final.desc(),
                 F.col("probe_status").asc(),
             )
             rob = (
@@ -354,7 +373,7 @@ class CrawlEngine:
             self.politeness = self._user_politeness.unionByName(extra)
 
     def _robots_refresh(
-        self, urls_df: DataFrame | None, round_no: int = 0
+        self, urls_df: DataFrame | None, serves_round: int = 0
     ) -> None:
         """Probe /robots.txt for every host in ``urls_df`` not yet covered
         (user politeness row or previous probe), append the parsed rows to
@@ -365,7 +384,10 @@ class CrawlEngine:
         round_adds), anti-joined against the known-host table — every
         probed host (success or not) gets a row, so no host is probed
         twice. All work is distributed; the only driver value is the wave
-        row count that gates the append."""
+        row count that gates the append. ``serves_round``: the round the
+        probed rules are first enforced in (commit-time waves pass
+        round_no+1) — rows are stamped with it and TTL age is measured
+        from it, so a ttl of K really covers K fetching rounds."""
         cfg = self.cfg
         if cfg.fetch_mode != "live" or not cfg.live_robots or urls_df is None:
             return
@@ -387,7 +409,7 @@ class CrawlEngine:
             if cfg.robots_ttl_rounds is not None:
                 known_pred = known_pred & (
                     F.col("probed_round")
-                    > F.lit(int(round_no) - cfg.robots_ttl_rounds)
+                    > F.lit(int(serves_round) - cfg.robots_ttl_rounds)
                 )
             rob = rob.where(known_pred)
         known = [
@@ -405,14 +427,51 @@ class CrawlEngine:
             timeout_s=cfg.robots_timeout_s,
             user_agent=cfg.user_agent,
             default_budget=cfg.default_budget,
-            probed_round=round_no,
+            probed_round=serves_round,
         ).persist()
         try:
             if wave.count():
                 wave.write.mode("append").parquet(self._robots_dir)
-                self._refresh_effective_politeness()
+                self._compact_robots_table()
+                self._refresh_effective_politeness(serves_round)
         finally:
             wave.unpersist()
+
+    def _compact_robots_table(self, max_files: int = 64) -> None:
+        """TTL re-probes append one row per host per wave; over a long
+        crawl the cache dir accretes files that every refresh re-reads.
+        Past ``max_files``, rewrite it keeping each host's LAST row per
+        probe round (the politeness window re-ranks anyway). The dir is a
+        CACHE — a kill mid-rewrite at worst loses probes, and the next
+        wave simply re-fetches them."""
+        import os as _os
+        import shutil as _sh
+
+        try:
+            files = [
+                f for f in _os.listdir(self._robots_dir)
+                if not f.startswith("_") and not f.startswith(".")
+            ]
+        except OSError:
+            return
+        if len(files) <= max_files:
+            return
+        rob = self._load_robots_table()
+        if rob is None:
+            return
+        w = Window.partitionBy("host").orderBy(
+            F.col("probed_round").desc(),
+            self._robots_is_final(F.col("probe_status")).desc(),
+        )
+        winners = (
+            rob.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        tmp = self._robots_dir + ".compact"
+        winners.coalesce(1).write.mode("overwrite").parquet(tmp)
+        _sh.rmtree(self._robots_dir, ignore_errors=True)
+        _os.replace(tmp, self._robots_dir)
 
     def _candidate_schema_cols(self):
         return [f.name for f in schemas.FRONTIER.fields]
@@ -567,8 +626,9 @@ class CrawlEngine:
         # live robots acquisition: effective politeness from any prior
         # probes, then a run-start wave over seed (+ recrawl) hosts so the
         # FIRST pop already honors their rules; the per-round wave below
-        # covers hosts newly discovered by link extraction
-        self._refresh_effective_politeness()
+        # covers hosts newly discovered by link extraction and (under a
+        # TTL) hosts still being fetched
+        self._refresh_effective_politeness(round_no)
         if cfg.fetch_mode == "live" and cfg.live_robots:
             src = self.seeds.select("url")
             if recrawl is not None:
@@ -1379,9 +1439,14 @@ class CrawlEngine:
             # are round-batch-bounded) BEFORE the commit — a kill between
             # commit and probe would otherwise persist frontier hosts that
             # resume never probes; killed-before-commit just re-probes an
-            # idempotent cache. Popped-from-NEXT-round ordering means the
-            # rules are in force before any fetch of these hosts.
-            self._robots_refresh(round_adds.select("url"), round_no)
+            # idempotent cache. The popped batch's hosts ride along so a
+            # TTL re-probes hosts whose backlog is still being fetched
+            # (they may never reappear in adds). These rules serve round
+            # round_no+1 onward — the stamp and TTL age reflect that.
+            self._robots_refresh(
+                round_adds.select("url").union(popped.select("url")),
+                round_no + 1,
+            )
             self.ckpt.commit_round(
                 round_no,
                 tables,

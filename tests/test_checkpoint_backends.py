@@ -133,7 +133,24 @@ def test_checkpoint_interface_contract(kind, spark, tmp_path):
     assert ck.load_all_deltas(spark, "seen_delta").count() == 9
 
     # re-committing the killed round must REPLACE its orphan rows, not
-    # append next to them (idempotent partition overwrite)
+    # append next to them (idempotent partition overwrite). Re-plant the
+    # orphans AFTER cleanup: the parquet backend's cleanup_partial rmtree'd
+    # the manifest-less dir, which would otherwise make this vacuous there
+    # (and on the V1 catalog, where DELETE is unsupported, the original
+    # orphans survived cleanup anyway — both paths now recommit over live
+    # orphan rows)
+    if kind == "parquet":
+        import os
+
+        _seen(spark, [98, 99]).write.mode("overwrite").parquet(
+            os.path.join(ck.round_dir(3), "seen_delta")
+        )
+    else:
+        _seen(spark, [98]).withColumn(
+            "__round", F.lit(3)
+        ).write.mode("append").partitionBy("__round").saveAsTable(
+            ck._tbl("seen_delta")
+        )
     _commit(ck, spark, 3, snapshot=False, n=2)
     assert ck.load(spark, 3, "seen_delta").count() == 2
     assert ck.load_all_deltas(spark, "seen_delta").count() == 11

@@ -80,3 +80,35 @@ def test_politeness_from_robots_and_engine_enforcement(spark, tmp_path):
     assert not [u for u in urls if "h0.example.test/record/1" in u]
     assert any("h0.example.test/record/2" in u for u in urls)
     assert any("h1.example.test/record/1" in u for u in urls)  # unaffected
+
+
+def test_robots_table_backfills_old_schema(spark, tmp_path):
+    """A robots_politeness cache written by an older build (no
+    probe_status/probed_round columns) must not crash a resume: the loader
+    backfills the bookkeeping columns and the effective-politeness window
+    still picks one row per host."""
+    from crawler_spark.plans.rounds import CrawlEngine, EngineConfig
+
+    ck = str(tmp_path / "ck")
+    old = spark.createDataFrame(
+        [("h0", 100, 5, ["/private"])],
+        "host string, crawl_delay_ms long, budget_per_round int,"
+        " disallow array<string>",
+    )
+    import os
+
+    old.write.parquet(os.path.join(ck, "robots_politeness"))
+    seeds = spark.createDataFrame(
+        [("c0", 0, "http://h0/search?page=1", "page", 5, 1, None, "none")],
+        "connector_id string, seed_idx int, url string, paging_style string,"
+        " limit int, start_page int, max_offset int, related_policy string",
+    )
+    eng = CrawlEngine(
+        spark, None, seeds, politeness=None,
+        cfg=EngineConfig(ckpt_dir=ck, fetch_mode="live",
+                         robots_ttl_rounds=2),
+    )
+    eng._refresh_effective_politeness(round_no=5)
+    rows = {r["host"]: r for r in eng.politeness.collect()}
+    assert rows["h0"]["disallow"] == ["/private"]
+    assert rows["h0"]["crawl_delay_ms"] == 100
