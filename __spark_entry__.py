@@ -824,6 +824,35 @@ def _p3_typed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _u2_record_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: per-record distinct collection (record.js:47-50 image-URL dedup
+    within one record): each 'record' (order) collects its line items'
+    supplier keys exactly once, in deterministic (sorted) order."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("supp_keys"))
+        .select(
+            "l_orderkey",
+            "supp_keys",
+            F.size("supp_keys").cast("long").alias("n_distinct"),
+        )
+    )
+
+
+def _p5_null_entity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: null-entity filter (paris-musees.js:204-210 entities arrive as
+    null slots in the GraphQL page — dropped before extraction): events
+    whose JSON payload lacks the entity key are filtered out, survivors
+    keep the typed value."""
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return (
+        events.where(k.isNotNull() & (F.col("event_type") != "error"))
+        .select("event_id", k.cast("long").alias("k_val"), "event_type")
+    )
+
+
 def _p4_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4 nested-object flatten (utils.js:71-94): dotted keys from nested
     structs via crawler_spark.functions.flatten.flatten_structs."""
@@ -1385,6 +1414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_candidate_dedup": _j4_candidate_dedup,
         "a2_offset_accum": _a2_offset_accum,
         "p3_typed_projection": _p3_typed_projection,
+        "u2_record_distinct": _u2_record_distinct,
+        "p5_null_entity_filter": _p5_null_entity_filter,
         "p4_flatten": _p4_flatten,
         "f3_text_cleanup": _f3_text_cleanup,
         "s13_image_magic": _s13_image_magic,
@@ -1692,6 +1723,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
                         AS INT) AS is_click
             FROM events
+        """,
+        "u2_record_distinct": """
+            SELECT l_orderkey,
+                   list_sort(list(DISTINCT l_suppkey)) AS supp_keys,
+                   CAST(len(list(DISTINCT l_suppkey)) AS BIGINT) AS n_distinct
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "p5_null_entity_filter": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+                   event_type
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+              AND event_type <> 'error'
         """,
         "p4_flatten": """
             SELECT event_id,
