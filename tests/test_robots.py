@@ -112,3 +112,47 @@ def test_robots_table_backfills_old_schema(spark, tmp_path):
     rows = {r["host"]: r for r in eng.politeness.collect()}
     assert rows["h0"]["disallow"] == ["/private"]
     assert rows["h0"]["crawl_delay_ms"] == 100
+
+
+def test_robots_cache_compaction_keeps_latest_row(spark, tmp_path):
+    """_compact_robots_table rewrites the probe cache keeping each host's
+    newest row — TTL re-probes otherwise accrete one file per wave that
+    every refresh re-reads."""
+    import os
+
+    from crawler_spark.plans.rounds import CrawlEngine, EngineConfig
+
+    ck = str(tmp_path / "ck")
+    rdir = os.path.join(ck, "robots_politeness")
+    schema = (
+        "host string, crawl_delay_ms long, budget_per_round int,"
+        " disallow array<string>, probe_status int, probed_round int"
+    )
+    spark.createDataFrame(
+        [("h0", 100, 5, [], 200, 0)], schema
+    ).write.mode("append").parquet(rdir)
+    spark.createDataFrame(
+        [("h0", 700, 5, ["/x"], 200, 3), ("h1", 0, 5, [], 503, 3)], schema
+    ).write.mode("append").parquet(rdir)
+
+    seeds = spark.createDataFrame(
+        [("c0", 0, "http://h0/search?page=1", "page", 5, 1, None, "none")],
+        "connector_id string, seed_idx int, url string, paging_style string,"
+        " limit int, start_page int, max_offset int, related_policy string",
+    )
+    eng = CrawlEngine(
+        spark, None, seeds, politeness=None,
+        cfg=EngineConfig(ckpt_dir=ck, fetch_mode="live"),
+    )
+    eng._compact_robots_table(max_files=1)
+    rows = {
+        r["host"]: r for r in eng._load_robots_table().collect()
+    }
+    assert len(rows) == 2  # one winning row per host survives
+    assert rows["h0"]["probed_round"] == 3  # newest probe wins
+    assert rows["h0"]["disallow"] == ["/x"]
+    assert rows["h1"]["probe_status"] == 503  # transient row retained
+    # and the effective politeness still resolves after compaction
+    eng._refresh_effective_politeness(round_no=3)
+    pol = {r["host"]: r for r in eng.politeness.collect()}
+    assert pol["h0"]["crawl_delay_ms"] == 700
