@@ -960,6 +960,37 @@ def _dedup_ngram_jaccard_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_cluster_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER formation over the blocked-Jaccard pair set:
+    distributed connected components (alternating large-star/small-star,
+    Kiveris et al. SoCC'14) assign every document the smallest doc_id of
+    its near-dup component; `keep` marks the one representative per
+    cluster — `where(keep)` is the dedup. The DuckDB oracle replays the
+    same pairs and closes them transitively with a recursive CTE.
+
+    Verification-cost control: deterministic SIZE-ADAPTIVE sample (same
+    count rule in the oracle SQL) — 1-in-4 at ≥2000 docs keeps the oracle's
+    quadratic in-block gram join under the driver budget (measured 138 s
+    unsampled at sf0.1); full table below (sf0.01). The engine operator
+    itself (`connected_components`) always runs the full pair graph in
+    tests."""
+    from crawler_spark.functions.dedup import (
+        near_dup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    mod = 4 if docs.count() >= 2000 else 1
+    docs = docs.where(F.col("doc_id") % mod == 0)
+    pairs = ngram_jaccard_pairs(
+        docs, block_cols=["source"], threshold=0.62, n=3,
+        id_col="doc_id", text_col="text",
+    )
+    return near_dup_clusters(docs, pairs, id_col="doc_id").select(
+        "doc_id", "cluster_id", "keep"
+    )
+
+
 def _dedup_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (rolling k-gram window minima, Schleimer et
     al. 2003) — (doc_id, fp) rows, selection replayed exactly by DuckDB."""
@@ -1439,6 +1470,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _events_sessions,
         "events_tumbling": _events_tumbling,
         "fields_lister_report": _fields_lister_report,
+        # new-in-round-4 and the three verification-variant queries stay
+        # LAST: if the driver's total budget truncates the artifact, it
+        # sheds these before any long-established row
+        "dedup_cluster_keep_one": _dedup_cluster_keep_one,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
     }
@@ -2165,4 +2200,46 @@ def oracle_sql() -> dict[str, str]:
     }
     # identical semantics, different physical plan (hot-block sharding)
     out["dedup_ngram_jaccard_sharded"] = out["dedup_ngram_jaccard"]
+    # transitive closure of the SAME pair set: a recursive CTE propagates
+    # every smaller reachable label along edges (the component min m can
+    # reach each member through intermediates that are all > m, so the
+    # `lbl < v` guard never blocks it), MIN per node is the component id
+    # pairs MATERIALIZED: `edges` references it twice and DuckDB inlines
+    # plain CTEs — without it the expensive gram join runs twice
+    out["dedup_cluster_keep_one"] = f"""
+        WITH RECURSIVE d0 AS MATERIALIZED (
+          -- size-adaptive sample, MATERIALIZED so the scalar-subquery
+          -- modulus cannot defeat pushdown below the gram transform
+          SELECT doc_id, source, text FROM documents
+          WHERE doc_id % (CASE WHEN (SELECT count(*) FROM documents)
+                                    >= 2000 THEN 4 ELSE 1 END) = 0
+        ),
+        pairs AS MATERIALIZED (
+          WITH g AS (
+            SELECT source, doc_id AS id,
+                   {grams.format(t=norm_t)} AS grams
+            FROM d0 t
+          )
+          SELECT a.id AS id_a, b.id AS id_b
+          FROM g a JOIN g b ON a.source = b.source AND a.id < b.id
+          WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.62
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs
+        ),
+        walk(id, lbl) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.id
+          WHERE w.lbl < e.v
+        ),
+        comp AS (SELECT id, MIN(lbl) AS component FROM walk GROUP BY id)
+        SELECT d.doc_id,
+               COALESCE(c.component, d.doc_id) AS cluster_id,
+               (COALESCE(c.component, d.doc_id) = d.doc_id) AS keep
+        FROM d0 d LEFT JOIN comp c ON c.id = d.doc_id
+    """
     return out

@@ -718,3 +718,134 @@ def simhash_near_pairs(
     return cand.select(
         "id_a", "id_b", hamming.alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# near-dup CLUSTER formation: pairs → connected components → keep-one
+#
+# LSH/Jaccard stages emit PAIRS; a dedup pipeline needs CLUSTERS (drop all
+# but one representative per component). Pair-chasing transitivity on the
+# driver is the classic scale trap — at 10^10 docs the pair set alone can
+# be TBs — so components are computed distributed.
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, component) for every node in ``edges``; ``component`` is the
+    smallest reachable node id.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): O(log² n) rounds
+    worst-case, each round two key-hash aggregations over (node, node)
+    pairs. No adjacency list is ever collected to one task, so a viral
+    near-dup cluster (hub node) widens a groupBy instead of OOMing an
+    executor — unlike label propagation, which needs O(graph diameter)
+    rounds and dies on chain-shaped clusters.
+
+    Each iteration's edge set is ``localCheckpoint``-ed to truncate the
+    otherwise exponentially deepening lineage (iterative plans are where
+    Catalyst's re-analysis cost explodes), and convergence is an exact
+    set-equality check (both sides are distinct, so equal counts plus an
+    empty exceptAll means equal sets).
+    """
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        nbrs = e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        # every strictly-larger neighbor re-attaches to the neighborhood min
+        return (
+            nbrs.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        o = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = o.groupBy("u").agg(F.min("v").alias("m"))
+        # all smaller neighbors AND the center re-attach to the min
+        return (
+            o.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _sig(e: DataFrame) -> tuple[int, int]:
+        # one action per iteration: (count, order-insensitive checksum).
+        # A stable signature is confirmed exactly (exceptAll) ONCE below —
+        # the probabilistic check only decides when to pay for the exact one
+        # bit_xor: order-insensitive and overflow-free (a SUM of hashes
+        # trips ANSI long-overflow); sets are distinct, so no XOR self-cancel
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).first()
+        return int(row["n"]), int(row["h"])
+
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sig_prev = _sig(e)
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        sig = _sig(e2)
+        if sig == sig_prev and e2.exceptAll(e).isEmpty():
+            e = e2
+            break
+        e, sig_prev = e2, sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # converged stars: every edge is (member, root) with member > root
+    members = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = (
+        e.select(F.col("v").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    return members.union(roots).distinct()
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Assign every row of ``df`` a ``cluster_id`` (smallest doc id in its
+    near-dup component; itself when unpaired) and a ``keep`` flag (true for
+    the one representative per cluster). ``where(keep)`` IS the dedup.
+
+    The component map is only as large as the paired-doc set — the left
+    join back to the corpus streams the (usually dominant) unpaired rows
+    straight through."""
+    comp = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
+    comp = comp.select(
+        F.col("id").alias(id_col), F.col("component").alias("cluster_id")
+    )
+    out = df.join(comp, id_col, "left")
+    cluster = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    return out.withColumn("cluster_id", cluster).withColumn(
+        "keep", F.col("cluster_id") == F.col(id_col)
+    )

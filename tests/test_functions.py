@@ -435,3 +435,90 @@ def test_c4_line_rules(spark):
         'He said the magic words loudly: "open sesame!"',
     ]
     assert row["f"] == pytest.approx(2 / 7)
+
+
+# ---------------------------------------------------------------------------
+# connected components / cluster keep-one
+
+
+def _uf_components(n_nodes, edges):
+    """Reference union-find: node -> min node id of its component."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # path-compress fully, then label by component min (root IS the min
+    # because unions always hang the larger root under the smaller)
+    return {x: find(x) for x in range(n_nodes)}
+
+
+def test_connected_components_random_graphs(spark):
+    """Property: large-star/small-star components == union-find on random
+    graphs (chains, cliques, stars, isolated pairs all arise at n=60)."""
+    import random
+
+    from crawler_spark.functions.dedup import connected_components
+
+    rng = random.Random(42)
+    for trial in range(4):
+        n = 60
+        m = rng.randrange(10, 80)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edges = [(u, v) for u, v in edges if u != v]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            (r["id"], r["component"])
+            for r in connected_components(df).collect()
+        }
+        ref = _uf_components(n, edges)
+        touched = {u for e in edges for u in e}
+        want = {(x, ref[x]) for x in touched}
+        assert got == want, f"trial {trial}: {got ^ want}"
+
+
+def test_connected_components_chain(spark):
+    """A chain is label propagation's worst case (O(n) rounds); the
+    alternating algorithm must close it in O(log^2 n)."""
+    from crawler_spark.functions.dedup import connected_components
+
+    n = 64
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = connected_components(df, max_iter=20).collect()
+    assert {(r["id"], r["component"]) for r in out} == {
+        (i, 0) for i in range(n)
+    }
+
+
+def test_near_dup_clusters_keep_one(spark):
+    from crawler_spark.functions.dedup import near_dup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+    )
+    # components: {0,1,2}, {5,6}; 3,4,7 unpaired
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in near_dup_clusters(docs, pairs).collect()
+    }
+    assert rows == {
+        0: (0, True), 1: (0, False), 2: (0, False),
+        3: (3, True), 4: (4, True),
+        5: (5, True), 6: (5, False), 7: (7, True),
+    }
