@@ -29,18 +29,28 @@ def pop_order() -> list:
     ]
 
 
-def apply_robots(frontier: DataFrame, politeness: DataFrame) -> DataFrame:
+def apply_robots(
+    frontier: DataFrame,
+    politeness: DataFrame,
+    politeness_bytes: int | None = None,
+) -> DataFrame:
     """Drop frontier rows whose path matches a disallow prefix.
 
-    ``politeness`` is per-host config (a few thousand rows at most) →
-    broadcast; the check is a JVM ``exists(startswith)`` over the prefix
-    array — no Python.
+    The check is a JVM ``exists(startswith)`` over the prefix array — no
+    Python. ``politeness`` is broadcast when it is user config (a few
+    thousand rows; ``politeness_bytes=None``) or when the caller's
+    driver-known size bound fits BROADCAST_MAX_BYTES — with live robots
+    acquisition the table grows to one row per PROBED HOST (millions at
+    10^10-frontier scale), so past the bound the join degrades to a plain
+    shuffle-hash join instead of blowing the driver.
     """
     rules = politeness.select(
         F.col("host").alias("__p_host"), F.col("disallow").alias("__disallow")
     )
+    if politeness_bytes is None or politeness_bytes <= BROADCAST_MAX_BYTES:
+        rules = F.broadcast(rules)
     joined = frontier.join(
-        F.broadcast(rules), frontier["host"] == F.col("__p_host"), "left"
+        rules, frontier["host"] == F.col("__p_host"), "left"
     )
     path = F.regexp_replace(F.col("url"), r"^[a-z]+://[^/]+", "")
     blocked = F.exists(
@@ -66,6 +76,7 @@ def pop_batch(
     global_batch: int | None = None,
     prune_shuffle: bool = True,
     popped_bound: int | None = None,
+    politeness_bytes: int | None = None,
 ) -> DataFrame:
     """W1: per-host top-k by priority, then optional global cap.
 
@@ -103,8 +114,12 @@ def pop_batch(
             F.col("host").alias("__p_host"),
             F.col("budget_per_round").alias("__budget"),
         )
+        # same gate as apply_robots: user-config politeness broadcasts,
+        # a live-robots table past the driver-known byte bound does not
+        if politeness_bytes is None or politeness_bytes <= BROADCAST_MAX_BYTES:
+            budgets = F.broadcast(budgets)
         ranked = ranked.join(
-            F.broadcast(budgets), ranked["host"] == F.col("__p_host"), "left"
+            budgets, ranked["host"] == F.col("__p_host"), "left"
         ).drop("__p_host")
         ranked = ranked.where(
             F.col("__rn") <= F.coalesce(F.col("__budget"), F.lit(default_budget))
@@ -139,6 +154,7 @@ def salted_host_repartition(
     target_per_task: int = 200,
     num_partitions: int | None = None,
     salt: bool = True,
+    batch_bound: int | None = None,
 ) -> DataFrame:
     """§4.3.1 salted repartition-by-host.
 
@@ -174,7 +190,16 @@ def salted_host_repartition(
             num_partitions = max(1, int(row[0] or 1))
         else:
             num_partitions = max(1, counts.count())
-    salted = batch.join(F.broadcast(counts), "host", "left")
+    # the counts frame is one row per DISTINCT HOST in the batch —
+    # broadcast-sized for typical rounds, but a batch spanning millions of
+    # hosts (1 URL/host at 10^10-frontier scale) would blow the driver.
+    # When the caller's driver-known row bound (n_popped) exceeds the
+    # broadcast budget, pay ONE exact host count (over the caller's cached
+    # batch) to decide; fall back to a shuffle-hash join past the bound.
+    bcast = True
+    if batch_bound is not None and batch_bound * KEY_BYTES > BROADCAST_MAX_BYTES:
+        bcast = counts.count() * KEY_BYTES <= BROADCAST_MAX_BYTES
+    salted = batch.join(F.broadcast(counts) if bcast else counts, "host", "left")
     salt_buckets = (
         F.greatest(F.lit(1), F.ceil(F.col("count") / F.lit(target_per_task)))
         if salt

@@ -238,7 +238,9 @@ def merge_into_records(rec_rows_cid: DataFrame, sec_all: DataFrame) -> DataFrame
 
 
 def live_secondary_batch(
-    wave: DataFrame, politeness: DataFrame | None
+    wave: DataFrame,
+    politeness: DataFrame | None,
+    politeness_bytes: int | None = None,
 ) -> DataFrame:
     """Prepare a secondary-hop wave for LIVE fetching: per-host delay join
     + hash-repartition by host so exactly ONE worker owns each host's
@@ -256,9 +258,16 @@ def live_secondary_batch(
         delays = politeness.select(
             F.col("host").alias("__d_host"), F.col("crawl_delay_ms")
         )
+        # same gate as the main stage (apply_robots/pop_batch): user
+        # politeness broadcasts, a live-robots table past the caller's
+        # driver-known byte bound does not
+        from crawler_spark.operators.politeness import BROADCAST_MAX_BYTES
+
+        if politeness_bytes is None or politeness_bytes <= BROADCAST_MAX_BYTES:
+            delays = F.broadcast(delays)
         batch = (
             batch.join(
-                F.broadcast(delays),
+                delays,
                 batch["host"] == F.col("__d_host"),
                 "left",
             )
@@ -286,6 +295,7 @@ def enrich_secondaries(
     politeness: DataFrame | None = None,
     user_agent: str = "crawler-spark/0.1",
     batch_bound: int | None = None,
+    politeness_bytes: int | None = None,
 ) -> DataFrame:
     """Full per-round enrichment: seed hop-0 from parent fields, fetch-join
     + parse each hop, merge chains back into the records. Returns
@@ -320,7 +330,9 @@ def enrich_secondaries(
     for hop in range(hops):
         if fetch_mode == "live":
             fetched = live_fetch(
-                live_secondary_batch(wave, politeness),
+                live_secondary_batch(
+                    wave, politeness, politeness_bytes=politeness_bytes
+                ),
                 timeout_s=timeout_s,
                 user_agent=user_agent,
                 connectors=connectors,

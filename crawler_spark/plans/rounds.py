@@ -65,6 +65,7 @@ from crawler_spark.operators.frontier import (
     remove_popped,
     seeds_to_frontier,
 )
+from crawler_spark.operators import politeness as politeness_mod
 from crawler_spark.operators.politeness import (
     apply_robots,
     pop_batch,
@@ -312,6 +313,22 @@ class CrawlEngine:
         return self.spark.createDataFrame([], schema)
 
     # ---- live robots.txt acquisition -------------------------------------
+    def _politeness_bytes(self) -> int | None:
+        """Driver-known upper bound on the effective politeness table's
+        size: the robots probe cache's on-disk bytes (user rows are config
+        scale). None when no probe cache exists — user-only politeness is
+        bounded by construction and keeps its broadcast."""
+        import os as _os
+
+        try:
+            return sum(
+                e.stat().st_size
+                for e in _os.scandir(self._robots_dir)
+                if e.is_file() and not e.name.startswith(("_", "."))
+            )
+        except OSError:
+            return None
+
     def _load_robots_table(self) -> DataFrame | None:
         import os as _os
 
@@ -440,10 +457,16 @@ class CrawlEngine:
     def _compact_robots_table(self, max_files: int = 64) -> None:
         """TTL re-probes append one row per host per wave; over a long
         crawl the cache dir accretes files that every refresh re-reads.
-        Past ``max_files``, rewrite it keeping each host's LAST row per
-        probe round (the politeness window re-ranks anyway). The dir is a
-        CACHE — a kill mid-rewrite at worst loses probes, and the next
-        wave simply re-fetches them."""
+        Past ``max_files``, rewrite it keeping, per host, the freshest row
+        overall AND the freshest FINAL row (≤2 rows) — exactly the rows the
+        effective-politeness winner window can ever select at ANY round
+        (the freshest unexpired final is always the freshest final, and the
+        freshness-wins fallback is the freshest overall). Keeping only the
+        single freshest row would let a fresh transient (5xx disallow-all)
+        probe DELETE a still-unexpired final row and wrongly block the
+        host until the next re-probe. The dir is a CACHE — a kill
+        mid-rewrite at worst loses probes, and the next wave simply
+        re-fetches them."""
         import os as _os
         import shutil as _sh
 
@@ -459,17 +482,35 @@ class CrawlEngine:
         rob = self._load_robots_table()
         if rob is None:
             return
-        w = Window.partitionBy("host").orderBy(
+        final = self._robots_is_final(F.col("probe_status"))
+        w_all = Window.partitionBy("host").orderBy(
             F.col("probed_round").desc(),
-            self._robots_is_final(F.col("probe_status")).desc(),
+            final.desc(),
+            F.col("probe_status").asc(),
+        )
+        w_final = Window.partitionBy("host", final).orderBy(
+            F.col("probed_round").desc(), F.col("probe_status").asc()
         )
         winners = (
-            rob.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .drop("__rn")
+            rob.withColumn("__rn", F.row_number().over(w_all))
+            .withColumn("__rf", F.row_number().over(w_final))
+            .where((F.col("__rn") == 1) | (final & (F.col("__rf") == 1)))
+            .drop("__rn", "__rf")
         )
         tmp = self._robots_dir + ".compact"
-        winners.coalesce(1).write.mode("overwrite").parquet(tmp)
+        # output width from the dir's driver-known byte size (the winners
+        # are a subset of the input): at millions of probed hosts the
+        # rewrite must not funnel the whole table through one task
+        try:
+            n_bytes = sum(
+                e.stat().st_size
+                for e in _os.scandir(self._robots_dir)
+                if e.is_file() and not e.name.startswith(("_", "."))
+            )
+        except OSError:
+            n_bytes = 0
+        n_out = max(1, n_bytes // (64 << 20))
+        winners.coalesce(int(n_out)).write.mode("overwrite").parquet(tmp)
         _sh.rmtree(self._robots_dir, ignore_errors=True)
         _os.replace(tmp, self._robots_dir)
 
@@ -756,8 +797,13 @@ class CrawlEngine:
                     _sect_t[0] = now
 
             seen = seen_df()
+            # driver-known politeness size bound (robots probe cache bytes):
+            # gates every per-host broadcast this round — a probed table
+            # spanning millions of hosts degrades to shuffle joins instead
+            # of blowing the driver
+            pol_bytes = self._politeness_bytes()
             allowed = (
-                apply_robots(frontier, self.politeness)
+                apply_robots(frontier, self.politeness, politeness_bytes=pol_bytes)
                 if self.politeness is not None
                 else frontier
             )
@@ -780,6 +826,7 @@ class CrawlEngine:
                 # driver-known bound gating the join-back broadcast: pops
                 # can never exceed the manifest-carried frontier row bound
                 popped_bound=frontier_rows,
+                politeness_bytes=pol_bytes,
             ).persist()
             # ONE action sizes everything downstream: n_popped doubles as
             # the round-batch count (repartition preserves it), the salt
@@ -843,6 +890,8 @@ class CrawlEngine:
                     if salt
                     else None
                 ),
+                # gates the host-counts broadcast (counts rows ≤ n_popped)
+                batch_bound=n_popped,
             ).persist()
 
             remaining = remove_popped(frontier, popped)
@@ -853,9 +902,15 @@ class CrawlEngine:
                         F.col("host").alias("__d_host"),
                         F.col("crawl_delay_ms"),
                     )
+                    # pol_bytes gate, same as apply_robots/pop_batch
+                    if (
+                        pol_bytes is None
+                        or pol_bytes <= politeness_mod.BROADCAST_MAX_BYTES
+                    ):
+                        delays = F.broadcast(delays)
                     batch_in = (
                         popped.join(
-                            F.broadcast(delays),
+                            delays,
                             popped["host"] == F.col("__d_host"),
                             "left",
                         )
@@ -1115,6 +1170,7 @@ class CrawlEngine:
                     fetch_mode=cfg.fetch_mode,
                     timeout_s=cfg.fetch_timeout_s,
                     politeness=self.politeness,
+                    politeness_bytes=pol_bytes,
                     user_agent=cfg.user_agent,
                     # each hop's wave is one URL per chained record at most
                     # (seed_wave / next_url are per-record scalars), so the

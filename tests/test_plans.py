@@ -231,3 +231,84 @@ def test_bloom_table_filter_strategies(spark, tmp_path):
     plan2 = _executed_plan(out2)
     assert "FlatMapCoGroupsInPandas" in plan2
     assert {r["url_hash"] for r in out2.collect()} == want
+
+
+def test_politeness_broadcast_gate_both_sides(spark):
+    """apply_robots / pop_batch broadcast the politeness table only when
+    the caller's driver-known byte bound fits BROADCAST_MAX_BYTES — with
+    live robots acquisition the table is one row per PROBED HOST
+    (millions at 10^10-frontier scale), so past the bound the joins must
+    degrade to shuffle joins instead of blowing the driver."""
+    from crawler_spark.operators import politeness as pol_mod
+
+    frontier = spark.range(200).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 5).cast("string"),
+                 F.lit("/p/"), F.col("id").cast("string")).alias("url"),
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+        F.concat(F.lit("h"), (F.col("id") % 5).cast("string")).alias("host"),
+        (F.col("id") % 3).cast("int").alias("depth"),
+        F.lit(0.0).alias("score"),
+        F.lit(0).alias("seed_idx"),
+        F.lit(0).alias("page_no"),
+        F.col("id").cast("int").alias("in_page_idx"),
+        F.lit(0).alias("dfs_rank"),
+        F.lit(0).alias("round_added"),
+        F.lit(0).alias("attempts"),
+        F.lit(0).alias("not_before"),
+        F.lit("record").alias("kind"),
+        F.lit("c0").alias("connector_id"),
+    )
+    politeness = spark.createDataFrame(
+        [("h0", 0, 3, ["/x"]), ("h1", 0, 2, [])],
+        "host string, crawl_delay_ms long, budget_per_round int,"
+        " disallow array<string>",
+    )
+    over = pol_mod.BROADCAST_MAX_BYTES + 1
+    for fn in (
+        lambda pb: pol_mod.apply_robots(frontier, politeness, politeness_bytes=pb),
+        lambda pb: pol_mod.pop_batch(
+            frontier, politeness, default_budget=2,
+            prune_shuffle=False, politeness_bytes=pb,
+        ),
+    ):
+        small = fn(1024)
+        big = fn(over)
+        small_opt = small._jdf.queryExecution().optimizedPlan().toString()
+        big_opt = big._jdf.queryExecution().optimizedPlan().toString()
+        assert "broadcast" in small_opt.lower()
+        assert "broadcast" not in big_opt.lower()
+        # parity across the gate
+        assert sorted(r["url"] for r in small.collect()) == sorted(
+            r["url"] for r in big.collect()
+        )
+
+
+def test_salted_repartition_counts_gate(spark):
+    """salted_host_repartition broadcasts the per-host counts frame only
+    when the batch row bound (or a paid exact host count) fits the
+    broadcast budget."""
+    from crawler_spark.operators import politeness as pol_mod
+
+    batch = spark.range(100).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 4).cast("string"),
+                 F.lit("/"), F.col("id").cast("string")).alias("url"),
+        F.concat(F.lit("h"), (F.col("id") % 4).cast("string")).alias("host"),
+        (F.col("id") % 3).cast("int").alias("depth"),
+        F.lit(0).alias("seed_idx"),
+        F.lit(0).alias("page_no"),
+        F.col("id").cast("int").alias("in_page_idx"),
+        F.lit(0).alias("dfs_rank"),
+    )
+    small = pol_mod.salted_host_repartition(batch, 10, batch_bound=100)
+    # bound over budget BUT the exact host count (4) decides → broadcast
+    over_rows = pol_mod.BROADCAST_MAX_BYTES // pol_mod.KEY_BYTES + 1
+    decided = pol_mod.salted_host_repartition(batch, 10, batch_bound=over_rows)
+    assert "broadcast" in (
+        small._jdf.queryExecution().optimizedPlan().toString().lower()
+    )
+    assert "broadcast" in (
+        decided._jdf.queryExecution().optimizedPlan().toString().lower()
+    )
+    assert sorted(r["url"] for r in small.collect()) == sorted(
+        r["url"] for r in decided.collect()
+    )

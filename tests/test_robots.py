@@ -129,10 +129,17 @@ def test_robots_cache_compaction_keeps_latest_row(spark, tmp_path):
         " disallow array<string>, probe_status int, probed_round int"
     )
     spark.createDataFrame(
-        [("h0", 100, 5, [], 200, 0)], schema
+        [("h0", 100, 5, [], 200, 0), ("h2", 250, 5, ["/y"], 200, 2)], schema
     ).write.mode("append").parquet(rdir)
     spark.createDataFrame(
-        [("h0", 700, 5, ["/x"], 200, 3), ("h1", 0, 5, [], 503, 3)], schema
+        [
+            ("h0", 700, 5, ["/x"], 200, 3),
+            ("h1", 0, 5, [], 503, 3),
+            # h2: fresh TRANSIENT must not delete the older final row —
+            # the winner window still prefers the unexpired final probe
+            ("h2", 0, 5, ["/"], 503, 3),
+        ],
+        schema,
     ).write.mode("append").parquet(rdir)
 
     seeds = spark.createDataFrame(
@@ -145,14 +152,18 @@ def test_robots_cache_compaction_keeps_latest_row(spark, tmp_path):
         cfg=EngineConfig(ckpt_dir=ck, fetch_mode="live"),
     )
     eng._compact_robots_table(max_files=1)
-    rows = {
-        r["host"]: r for r in eng._load_robots_table().collect()
-    }
-    assert len(rows) == 2  # one winning row per host survives
-    assert rows["h0"]["probed_round"] == 3  # newest probe wins
-    assert rows["h0"]["disallow"] == ["/x"]
-    assert rows["h1"]["probe_status"] == 503  # transient row retained
+    rows = {}
+    for r in eng._load_robots_table().collect():
+        rows.setdefault(r["host"], []).append(r)
+    assert len(rows["h0"]) == 1  # two finals → freshest survives
+    assert rows["h0"][0]["probed_round"] == 3
+    assert rows["h0"][0]["disallow"] == ["/x"]
+    assert rows["h1"][0]["probe_status"] == 503  # transient row retained
+    # h2 keeps BOTH the fresh transient and the final row it must not shadow
+    assert sorted(r["probe_status"] for r in rows["h2"]) == [200, 503]
     # and the effective politeness still resolves after compaction
     eng._refresh_effective_politeness(round_no=3)
     pol = {r["host"]: r for r in eng.politeness.collect()}
     assert pol["h0"]["crawl_delay_ms"] == 700
+    # the unexpired final row wins for h2 despite the fresher transient
+    assert pol["h2"]["disallow"] == ["/y"]
