@@ -960,6 +960,28 @@ def _dedup_ngram_jaccard_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline PageRank (operators/opic.py:pagerank) — the batch complement
+    to OPIC cash for frontier prioritization — over a deterministic
+    order→part link graph derived from lineitem. 3 power iterations with
+    uniform dangling-mass redistribution; the DuckDB oracle unrolls the
+    identical iterations as chained CTEs. Ranks rounded to 6 dp (absorbs
+    float-sum ordering, ~1e-15)."""
+    from crawler_spark.operators.opic import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            (F.col("l_orderkey") % 1000).alias("src"),
+            (F.col("l_partkey") % 1000).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    pr = pagerank(edges, n_iter=3)
+    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
 def _dedup_cluster_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER formation over the blocked-Jaccard pair set:
     distributed connected components (alternating large-star/small-star,
@@ -1473,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new-in-round-4 and the three verification-variant queries stay
         # LAST: if the driver's total budget truncates the artifact, it
         # sheds these before any long-established row
+        "graph_pagerank": _graph_pagerank,
         "dedup_cluster_keep_one": _dedup_cluster_keep_one,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
@@ -2200,6 +2223,45 @@ def oracle_sql() -> dict[str, str]:
     }
     # identical semantics, different physical plan (hot-block sharding)
     out["dedup_ngram_jaccard_sharded"] = out["dedup_ngram_jaccard"]
+    # PageRank: the engine's 3 power iterations unrolled as chained CTEs
+    # (same model: uniform dangling redistribution, d=0.85)
+    pr_iters = ""
+    prev = "r0"
+    for i in (1, 2, 3):
+        pr_iters += f""",
+        c{i} AS (
+          SELECT e.dst AS id, SUM(r.rank / deg.d) AS c
+          FROM e JOIN {prev} r ON r.id = e.src JOIN deg ON deg.src = e.src
+          GROUP BY e.dst
+        ),
+        d{i} AS (
+          SELECT COALESCE(SUM(rank), 0) AS dm FROM {prev} r
+          WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = r.id)
+        ),
+        r{i} AS (
+          SELECT n.id,
+                 0.15 / (SELECT n FROM nn)
+                 + 0.85 * (COALESCE(c{i}.c, 0)
+                           + (SELECT dm FROM d{i}) / (SELECT n FROM nn))
+                   AS rank
+          FROM nodes n LEFT JOIN c{i} ON c{i}.id = n.id
+        )"""
+        prev = f"r{i}"
+    out["graph_pagerank"] = f"""
+        WITH e AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey % 1000 AS src, l_partkey % 1000 AS dst
+          FROM lineitem WHERE l_orderkey % 1000 <> l_partkey % 1000
+        ),
+        nodes AS MATERIALIZED (
+          SELECT src AS id FROM e UNION SELECT dst FROM e
+        ),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+        r0 AS (
+          SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+        ){pr_iters}
+        SELECT id, round(rank, 6) AS rank FROM {prev}
+    """
     # transitive closure of the SAME pair set: a recursive CTE propagates
     # every smaller reachable label along edges (the component min m can
     # reach each member through intermediates that are all > m, so the

@@ -762,13 +762,15 @@ def connected_components(
             .agg(F.min("v").alias("mn"))
             .select("u", F.least("mn", "u").alias("m"))
         )
-        # every strictly-larger neighbor re-attaches to the neighborhood min
+        # every strictly-larger neighbor re-attaches to the neighborhood
+        # min. NO distinct here: duplicate edges don't change small-star's
+        # groupBy/min and its distinct canonicalizes the iteration output —
+        # one less shuffle per round
         return (
             nbrs.join(m, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def _small_star(e: DataFrame) -> DataFrame:

@@ -522,3 +522,44 @@ def test_near_dup_clusters_keep_one(spark):
         3: (3, True), 4: (4, True),
         5: (5, True), 6: (5, False), 7: (7, True),
     }
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """pagerank == dense numpy power iteration of the same model (uniform
+    dangling redistribution, d=0.85) on a random graph with dangling nodes
+    and a hub."""
+    import random
+
+    import numpy as np
+
+    from crawler_spark.operators.opic import pagerank
+
+    rng = random.Random(7)
+    n = 30
+    edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(70)}
+    edges |= {(i, 0) for i in range(5, 15)}  # hub
+    edges = [(u, v) for u, v in edges if u != v]
+    nodes = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    m = len(nodes)
+    deg = np.zeros(m)
+    for u, _ in edges:
+        deg[idx[u]] += 1
+    r = np.full(m, 1.0 / m)
+    d = 0.85
+    for _ in range(4):
+        contrib = np.zeros(m)
+        for u, v in edges:
+            contrib[idx[v]] += r[idx[u]] / deg[idx[u]]
+        dangling = r[deg == 0].sum()
+        r = (1 - d) / m + d * (contrib + dangling / m)
+    assert abs(r.sum() - 1.0) < 1e-9  # mass conserved
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        row["id"]: row["rank"]
+        for row in pagerank(df, n_iter=4, damping=d).collect()
+    }
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-12, v
