@@ -960,6 +960,21 @@ def _dedup_ngram_jaccard_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_substring_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring repeat detection (Lee et al. 2022): one row per
+    50-char normalized window shared verbatim by >1 document
+    (dedup.substring_repeats — stride-1 window hashing, no pair join, no
+    false negatives for ≥50-char runs). Size-adaptive sample (same count
+    rule as the other verification-heavy dedup queries) keeps the oracle's
+    per-window md5 affordable as sf grows."""
+    from crawler_spark.functions.dedup import substring_repeats
+
+    docs = _t(spark, sf_dir, "documents")
+    mod = 4 if docs.count() >= 2000 else 1
+    docs = docs.where(F.col("doc_id") % mod == 0)
+    return substring_repeats(docs, min_len=50)
+
+
 def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offline PageRank (operators/opic.py:pagerank) — the batch complement
     to OPIC cash for frontier prioritization — over a deterministic
@@ -1497,6 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sheds these before any long-established row
         "graph_pagerank": _graph_pagerank,
         "dedup_cluster_keep_one": _dedup_cluster_keep_one,
+        "dedup_substring_repeats": _dedup_substring_repeats,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
     }
@@ -2223,6 +2239,28 @@ def oracle_sql() -> dict[str, str]:
     }
     # identical semantics, different physical plan (hot-block sharding)
     out["dedup_ngram_jaccard_sharded"] = out["dedup_ngram_jaccard"]
+    # exact-substring repeats: every length-50 normalized window, md5'd,
+    # per-doc distinct, grouped cross-doc — the same stride-1 detection the
+    # engine runs (size-adaptive sample shared with the engine side)
+    out["dedup_substring_repeats"] = f"""
+        WITH d0 AS MATERIALIZED (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id % (CASE WHEN (SELECT count(*) FROM documents)
+                                    >= 2000 THEN 4 ELSE 1 END) = 0
+        ),
+        t AS (SELECT doc_id, {_NORM} AS nt FROM d0),
+        wr AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(nt) >= 50
+                   THEN list_transform(generate_series(1, len(nt) - 49),
+                                       i -> md5(substr(nt, i, 50)))
+                   ELSE [] END) AS fp
+          FROM t
+        ),
+        w AS (SELECT DISTINCT doc_id, fp FROM wr)
+        SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_id
+        FROM w GROUP BY fp HAVING count(*) > 1
+    """
     # PageRank: the engine's 3 power iterations unrolled as chained CTEs
     # (same model: uniform dangling redistribution, d=0.85)
     pr_iters = ""

@@ -851,3 +851,44 @@ def near_dup_clusters(
     return out.withColumn("cluster_id", cluster).withColumn(
         "keep", F.col("cluster_id") == F.col(id_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring repeat detection (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better"): cross-document repeats of
+# length >= L verbatim. A distributed suffix array is overkill for the
+# detection half of the method — every length-L repeat contains at least
+# one aligned length-L window shared verbatim, so hashing EVERY length-L
+# window (stride 1) and grouping finds exactly the documents that share a
+# >= L-char run, with no false negatives and no candidate pairs at all.
+
+
+def substring_repeats(
+    df: DataFrame,
+    min_len: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(fp, n_docs, keep_id) — one row per length-``min_len`` normalized
+    window that occurs in MORE THAN ONE document; ``keep_id`` is the
+    smallest holder (the doc a cut pass would keep the run in).
+
+    Scale shape: the window generator is whole-stage codegen
+    (``char_gram_rows``: one normalize, explode + substr), the per-doc
+    window dedup rides the first aggregation's map side (collect_set is
+    unnecessary — grouping by (gram, id) first), and the cross-doc group
+    is a hash aggregation keyed by the 16-byte fingerprint — shuffle rows
+    carry (fp, id) only, never window text. No pair join exists: a
+    window shared by k docs costs k shuffle rows, not k² candidates."""
+    wins = char_gram_rows(df, min_len, id_col, text_col)
+    per_doc = wins.select(
+        F.md5("gram").alias("fp"), "id"
+    ).dropDuplicates(["fp", "id"])
+    return (
+        per_doc.groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("id").alias("keep_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )

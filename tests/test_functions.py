@@ -563,3 +563,38 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert set(got) == set(nodes)
     for v in nodes:
         assert abs(got[v] - r[idx[v]]) < 1e-12, v
+
+
+def test_substring_repeats(spark):
+    """Docs sharing a >=50-char normalized run are detected (every aligned
+    window of the run reports the pair); unrelated docs are not."""
+    from crawler_spark.functions.dedup import substring_repeats
+
+    run = "the quick brown fox jumps over the lazy dog again and again ok"
+    docs = spark.createDataFrame(
+        [
+            (1, "PREFIX one " + run + " SUFFIX alpha"),
+            (2, "totally different start " + run.upper() + " other end"),
+            (3, "no shared material here at all, just filler text that is"
+                " long enough to produce windows of its own in quantity"),
+        ],
+        "doc_id long, text string",
+    )
+    out = substring_repeats(docs, min_len=50).collect()
+    assert out, "shared 50-char run must be detected"
+    # normalization lowercases, so doc 2's upper-case copy still matches
+    assert all(r["n_docs"] == 2 and r["keep_id"] == 1 for r in out)
+    # pure-Python reference: distinct 50-char windows per normalized doc,
+    # count cross-doc repeats (boundary spaces shared across docs count too)
+    import re
+
+    def norm(s):
+        return re.sub(r"\s+", " ", s.lower()).strip()
+
+    texts = {r["doc_id"]: norm(r["text"]) for r in docs.collect()}
+    wins = {
+        i: {t[j:j + 50] for j in range(len(t) - 49)}
+        for i, t in texts.items()
+    }
+    shared = (wins[1] & wins[2]) | (wins[1] & wins[3]) | (wins[2] & wins[3])
+    assert len(out) == len(shared)
