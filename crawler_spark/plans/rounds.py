@@ -381,13 +381,25 @@ class CrawlEngine:
             )
         if rob is None:
             self.politeness = self._user_politeness
-        elif self._user_politeness is None:
-            self.politeness = rob
+            return
+        if self._user_politeness is None:
+            eff = rob
         else:
             extra = rob.join(
                 self._user_politeness.select("host"), "host", "left_anti"
             )
-            self.politeness = self._user_politeness.unionByName(extra)
+            eff = self._user_politeness.unionByName(extra)
+        # PERSIST the effective table: a round consumes self.politeness in
+        # up to four joins (robots rules, pop budgets, live + secondary
+        # delays) — left lazy, each of them would re-run the probe-cache
+        # scan AND the winner window's shuffle. One cache per refresh; the
+        # previous refresh's cache is released (async — consumers of the
+        # old plan have already materialized by the next refresh point).
+        prev = getattr(self, "_eff_pol_cache", None)
+        if prev is not None:
+            prev.unpersist(blocking=False)
+        self._eff_pol_cache = eff.persist()
+        self.politeness = self._eff_pol_cache
 
     def _robots_refresh(
         self, urls_df: DataFrame | None, serves_round: int = 0
