@@ -41,6 +41,7 @@ _KNOWN_TABLES = (
     "records_delta",
     "webtext_delta",
     "fetch_log_delta",
+    "link_graph_delta",
 )
 
 

@@ -39,6 +39,8 @@ _TABLE_SCHEMAS = {
     "records_delta": _schemas.RECORDS,
     "webtext_delta": _schemas.WEBTEXT,
     "fetch_log_delta": _schemas.FETCH_LOG,
+    # opt-in (EngineConfig.persist_link_graph): page→link edges per round
+    "link_graph_delta": _schemas.LINK_GRAPH,
 }
 
 

@@ -222,6 +222,10 @@ class EngineConfig:
     # sets e.g. 2, trading resume depth for bounded storage — the horizon
     # is recorded in frontier_expiry.json.
     frontier_expire_intervals: int | None = None
+    # opt-in per-round link-graph edge log (src_hash, dst_hash) — the input
+    # for offline frontier re-scoring (operators/opic.py:pagerank) between
+    # crawls. Off by default: it adds O(round links) commit volume.
+    persist_link_graph: bool = False
     extra: dict = dc_field(default_factory=dict)
 
 
@@ -1474,6 +1478,30 @@ class CrawlEngine:
                 "webtext_delta": shrink(webtext_out),
                 "fetch_log_delta": shrink(fetch_log),
             }
+            if cfg.persist_link_graph:
+                # opt-in page→link edge log (hashes only, O(round links)):
+                # the input an OFFLINE scorer (opic.pagerank) needs to
+                # rescore the frontier between crawls — OPIC's online cash
+                # covers in-crawl priority, this covers batch re-ranking.
+                # Both sources ride already-materialized caches (links,
+                # recs), so the extra write stays on the parallel commit.
+                search_edges = links.where(
+                    F.col("out_url").isNotNull()
+                ).select(
+                    url_hash(F.col("parent_url")).alias("src_hash"),
+                    url_hash(F.col("out_url")).alias("dst_hash"),
+                )
+                rel_edges = (
+                    recs.where(expandable & (F.size("related_urls") > 0))
+                    .select("url", F.explode("related_urls").alias("__rel"))
+                    .select(
+                        url_hash(F.col("url")).alias("src_hash"),
+                        url_hash(F.col("__rel")).alias("dst_hash"),
+                    )
+                )
+                tables["link_graph_delta"] = shrink(
+                    search_edges.union(rel_edges)
+                )
             delta_on = cfg.frontier_storage == "delta" or (
                 cfg.frontier_storage == "auto"
                 and frontier_rows is not None

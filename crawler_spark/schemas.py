@@ -52,6 +52,16 @@ FRONTIER = T.StructType(
 
 URL_SEEN = T.StructType([T.StructField("url_hash", T.LongType(), False)])
 
+# opt-in per-round link-graph edges (EngineConfig.persist_link_graph):
+# hashes only — the frontier/records tables hold the url strings, and an
+# offline scorer (operators/opic.py:pagerank) needs only identity
+LINK_GRAPH = T.StructType(
+    [
+        T.StructField("src_hash", T.LongType(), False),
+        T.StructField("dst_hash", T.LongType(), False),
+    ]
+)
+
 # Bloom sidecar: one row per hash-bucket partition (SURVEY.md §4.3.2).
 SEEN_BLOOM = T.StructType(
     [

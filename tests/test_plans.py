@@ -312,3 +312,44 @@ def test_salted_repartition_counts_gate(spark):
     assert sorted(r["url"] for r in small.collect()) == sorted(
         r["url"] for r in decided.collect()
     )
+
+
+def test_link_graph_persistence_and_offline_pagerank(spark, tmp_path):
+    """EngineConfig(persist_link_graph=True) commits (src_hash, dst_hash)
+    edges per round; the accumulated log feeds offline PageRank (the batch
+    re-scorer) and covers exactly the crawl's parent→child link events."""
+    from crawler_spark.operators.opic import pagerank
+    from crawler_spark.plans.checkpoint import Checkpointer
+    from crawler_spark.plans.rounds import CrawlEngine, EngineConfig
+    from crawler_spark.sources.sitegen import (
+        SiteSpec, generate_site, site_to_spark,
+    )
+
+    site = generate_site(
+        SiteSpec(n_hosts=2, details_per_host=8, limit=4, related_per_host=2)
+    )
+    sdfs = site_to_spark(spark, site)
+    ck = str(tmp_path / "ck")
+    res = CrawlEngine(
+        spark, sdfs["pages"], sdfs["seeds"], sdfs["politeness"],
+        EngineConfig(ckpt_dir=ck, use_bloom=True, bloom_partitions=2,
+                     persist_link_graph=True),
+        connectors=site["connectors"],
+    ).run()
+    n_records = res.records.count()
+    edges = Checkpointer(ck).load_all_deltas(spark, "link_graph_delta")
+    assert edges is not None
+    n_edges = edges.count()
+    # every record detail page was announced by a search-page link
+    assert n_edges >= n_records > 0
+    # edges are hash-keyed and non-degenerate
+    assert edges.where(F.col("src_hash") == F.col("dst_hash")).count() == 0
+    # offline re-scoring runs over the log: ranks form a distribution
+    pr = pagerank(edges, n_iter=3, src="src_hash", dst="dst_hash")
+    total = pr.agg(F.sum("rank")).first()[0]
+    assert abs(total - 1.0) < 1e-6
+    # detail pages (pointed to by searches) outrank anything unlinked:
+    # top-ranked node must be a link target
+    top = pr.orderBy(F.desc("rank")).first()
+    dsts = {r["dst_hash"] for r in edges.select("dst_hash").collect()}
+    assert top["id"] in dsts
