@@ -868,6 +868,7 @@ def substring_repeats(
     min_len: int = 50,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fingerprint: str = "md5",
 ) -> DataFrame:
     """(fp, n_docs, keep_id) — one row per length-``min_len`` normalized
     window that occurs in MORE THAN ONE document; ``keep_id`` is the
