@@ -66,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="live mode: skip the automatic robots.txt fetch "
                         "waves (politeness then comes only from --politeness)")
     p.add_argument("--user-agent", default="crawler-spark/0.1")
+    p.add_argument("--link-graph", action="store_true",
+                   help="commit a per-round (src_hash, dst_hash) edge log"
+                        " for offline re-scoring (opic.pagerank)")
     p.add_argument("--force", action="store_true",
                    help="ignore the URL-seen set and re-crawl everything "
                         "(base.js:165)")
@@ -226,6 +229,7 @@ def main(argv: list[str] | None = None) -> int:
         catalog_checkpoint=args.catalog_checkpoint,
         live_robots=args.live_robots,
         user_agent=args.user_agent,
+        persist_link_graph=args.link_graph,
     )
     eng = CrawlEngine(
         spark, pages, seeds, politeness, cfg,
