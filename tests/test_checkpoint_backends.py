@@ -208,3 +208,60 @@ def test_engine_runs_on_catalog_checkpoint(spark, tmp_path):
     again = run(True, "cat")
     assert again.records.count() == res.records.count()
     spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_engine_catalog_delta_frontier_kill_resume(spark, tmp_path):
+    """The catalog backend × delta-frontier combination (the configuration
+    a real Iceberg deployment at 10^10 rows runs): delta rounds commit
+    frontier_add/del catalog partitions instead of snapshots, a mid-
+    interval kill resumes through _load_frontier_state over catalog
+    tables, and outputs match the parquet-full-snapshot crawl."""
+    from crawler_spark.plans.rounds import CrawlEngine, EngineConfig
+    from crawler_spark.sources.sitegen import (
+        SiteSpec,
+        generate_site,
+        site_to_spark,
+    )
+
+    site = generate_site(SiteSpec(n_hosts=2, details_per_host=10, limit=4))
+    sdfs = site_to_spark(spark, site)
+    db = "cktest_delta"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{tmp_path / 'wh'}'")
+
+    def run(catalog, tag, **kw):
+        cfg = EngineConfig(
+            ckpt_dir=str(tmp_path / tag),
+            default_budget=6,
+            catalog_checkpoint=(
+                f"spark_catalog.{db}.crawl" if catalog else None
+            ),
+            **kw,
+        )
+        return CrawlEngine(
+            spark, sdfs["pages"], sdfs["seeds"], sdfs["politeness"], cfg,
+            connectors=site["connectors"],
+        ).run()
+
+    delta_kw = dict(frontier_storage="delta", frontier_snapshot_every=3)
+    # kill mid-interval (round 2 of a 3-round snapshot cadence is a
+    # delta-only commit), then resume on the catalog tables
+    run(True, "catd", max_rounds=2, **delta_kw)
+    mtbl = f"spark_catalog.{db}.crawl__manifests"
+    assert spark.table(mtbl).count() == 2
+    # the killed run's last commit wrote add/del deltas, not a snapshot
+    front = spark.table(f"spark_catalog.{db}.crawl_frontier")
+    assert front.where(F.col("__round") == 1).count() == 0
+    adds = spark.table(f"spark_catalog.{db}.crawl_frontier_add")
+    assert adds.where(F.col("__round") == 1).count() > 0
+    res = run(True, "catd", **delta_kw)
+    ref = run(False, "parq_full")
+
+    def key(r):
+        recs = sorted((x["url"], x["id"]) for x in r.records.collect())
+        web = sorted((x["url"], x["text"]) for x in r.webtext.collect())
+        seen = sorted(x["url_hash"] for x in r.url_seen.collect())
+        return recs, web, seen
+
+    assert key(res) == key(ref)
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
