@@ -563,11 +563,27 @@ class CrawlEngine:
                 " this checkpoint is corrupt or from an incompatible engine"
             )
         df = self.ckpt.load(self.spark, snap, "frontier")
+
+        # broadcast each replayed round's del/add keys only under the
+        # manifest-carried row counts (driver-known, no extra action):
+        # a 10M-pop delta round's key set must not land on the driver —
+        # past the bound the anti-join/window fall back to shuffles
+        def _fits(bound) -> bool:
+            return (
+                bound is not None
+                and int(bound) * politeness_mod.KEY_BYTES
+                <= politeness_mod.BROADCAST_MAX_BYTES
+            )
+
         for q in [r for r in committed if snap < r <= upto]:
-            dels = F.broadcast(self.ckpt.load(self.spark, q, "frontier_del"))
+            dels = self.ckpt.load(self.spark, q, "frontier_del")
+            if _fits(self.ckpt.round_metric(q, "popped")):
+                dels = F.broadcast(dels)
             adds = self.ckpt.load(self.spark, q, "frontier_add")
             df = add_candidates(
-                remove_popped(df, dels), adds, broadcast_keys=True
+                remove_popped(df, dels),
+                adds,
+                broadcast_keys=_fits(self.ckpt.round_metric(q, "frontier_adds")),
             )
         return df, snap
 
