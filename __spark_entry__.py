@@ -1219,6 +1219,30 @@ def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality rollup (RefinedWeb-style source filtering):
+    per-source mean quality score, doc count, token sum, and the keep/drop
+    decision a source-level filter would apply. One map-side-combined hash
+    aggregation — the 100 TB shape for per-domain curation decisions."""
+    from crawler_spark.functions.textstats import quality_score, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        quality_score(F.col("text")).alias("q"),
+        token_count(F.col("text")).cast("long").alias("nt"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+            F.count("*").alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+        )
+        .withColumn("keep", F.col("avg_quality") >= 0.75)
+    )
+
+
 def _text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition signals (Rae et al. 2021 §A1.1): duplicate word
     bi-/tri-gram fractions per document — in-row JVM expressions
@@ -1511,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LAST: if the driver's total budget truncates the artifact, it
         # sheds these before any long-established row
         "graph_pagerank": _graph_pagerank,
+        "text_source_quality": _text_source_quality,
         "dedup_cluster_keep_one": _dedup_cluster_keep_one,
         "dedup_substring_repeats": _dedup_substring_repeats,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
@@ -2239,6 +2264,41 @@ def oracle_sql() -> dict[str, str]:
     }
     # identical semantics, different physical plan (hot-block sharding)
     out["dedup_ngram_jaccard_sharded"] = out["dedup_ngram_jaccard"]
+    # domain rollup over the SAME per-doc quality expression as
+    # text_quality (unrounded inside the avg, rounded once at the end —
+    # matching the engine's round-then-compare keep decision)
+    out["text_source_quality"] = f"""
+        WITH q AS (
+          SELECT source,
+                 (len_ok + tok_ok + sw_ok + punct_ok) / 4.0 AS quality,
+                 n
+          FROM (
+            SELECT source,
+              CASE WHEN n >= 10 THEN 1.0 ELSE CAST(n AS DOUBLE) / 10.0 END AS len_ok,
+              CASE WHEN atl >= 3.0 AND atl <= 12.0 THEN 1.0 ELSE 0.5 END AS tok_ok,
+              CASE WHEN sw > 0.0 AND sw < 0.6 THEN 1.0 ELSE 0.5 END AS sw_ok,
+              CASE WHEN pr < 0.2 THEN 1.0 ELSE 0.3 END AS punct_ok,
+              n
+            FROM (
+              SELECT source,
+                len({_TOKS}) AS n,
+                CASE WHEN len({_TOKS}) > 0
+                  THEN list_sum(list_transform({_TOKS}, t -> CAST(len(t) AS DOUBLE)))
+                       / len({_TOKS}) ELSE 0.0 END AS atl,
+                CASE WHEN len({_TOKS}) > 0
+                  THEN CAST(len(list_filter({_TOKS}, t -> lower(t) IN
+                    ('the','and','of','to','a','le','la','et','de','un','el','los','y'))) AS DOUBLE)
+                       / len({_TOKS}) ELSE 0.0 END AS sw,
+                CASE WHEN len(text) > 0
+                  THEN CAST(len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                       / len(text) ELSE 0.0 END AS pr
+              FROM documents))
+        )
+        SELECT source, round(avg(quality), 4) AS avg_quality,
+               count(*) AS n_docs, sum(n) AS n_tokens,
+               (round(avg(quality), 4) >= 0.75) AS keep
+        FROM q GROUP BY source
+    """
     # exact-substring repeats: every length-50 normalized window, md5'd,
     # per-doc distinct, grouped cross-doc — the same stride-1 detection the
     # engine runs (size-adaptive sample shared with the engine side)
