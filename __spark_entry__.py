@@ -4,7 +4,7 @@ Every entry in ``queries()`` exercises one operator family from
 ``SURVEY.md §2`` (the ✦-marked inventory) through the *engine's own
 modules* (``crawler_spark.*``), over the driver-generated synthetic
 tables at ``sf_dir``. ``oracle_sql()`` holds the DuckDB-equivalent ANSI
-SQL for EVERY key (52/52): hash-dependent pipelines run md5 variants both
+SQL for EVERY key (64/64): hash-dependent pipelines run md5 variants both
 engines compute identically (MinHash/SimHash), approximate searches run
 at deterministic or provably-exact anchors (coordinate-sign LSH; IVF at
 nprobe == n_cells), and the iterative crawl loop is checked against a
@@ -1232,10 +1232,17 @@ def _text_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score(F.col("text")).alias("q"),
         token_count(F.col("text")).cast("long").alias("nt"),
     )
+    # float-parity policy (module docstring): the multi-row AVG goes
+    # through DECIMAL — per-row doubles are bit-identical across engines,
+    # so truncating each to DECIMAL(20,10) makes the aggregate exact and
+    # summation-order-independent
+    avg_q = F.round(
+        F.avg(F.col("q").cast("decimal(20,10)")), 4
+    ).cast("double")
     return (
         per.groupBy("source")
         .agg(
-            F.round(F.avg("q"), 4).alias("avg_quality"),
+            avg_q.alias("avg_quality"),
             F.count("*").alias("n_docs"),
             F.sum("nt").alias("n_tokens"),
         )
@@ -2294,9 +2301,12 @@ def oracle_sql() -> dict[str, str]:
                        / len(text) ELSE 0.0 END AS pr
               FROM documents))
         )
-        SELECT source, round(avg(quality), 4) AS avg_quality,
+        SELECT source,
+               CAST(round(avg(CAST(quality AS DECIMAL(20,10))), 4) AS DOUBLE)
+                 AS avg_quality,
                count(*) AS n_docs, sum(n) AS n_tokens,
-               (round(avg(quality), 4) >= 0.75) AS keep
+               (CAST(round(avg(CAST(quality AS DECIMAL(20,10))), 4) AS DOUBLE)
+                >= 0.75) AS keep
         FROM q GROUP BY source
     """
     # exact-substring repeats: every length-50 normalized window, md5'd,
