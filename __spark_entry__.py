@@ -4,7 +4,7 @@ Every entry in ``queries()`` exercises one operator family from
 ``SURVEY.md §2`` (the ✦-marked inventory) through the *engine's own
 modules* (``crawler_spark.*``), over the driver-generated synthetic
 tables at ``sf_dir``. ``oracle_sql()`` holds the DuckDB-equivalent ANSI
-SQL for EVERY key (64/64): hash-dependent pipelines run md5 variants both
+SQL for EVERY key (66/66): hash-dependent pipelines run md5 variants both
 engines compute identically (MinHash/SimHash), approximate searches run
 at deterministic or provably-exact anchors (coordinate-sign LSH; IVF at
 nprobe == n_cells), and the iterative crawl loop is checked against a
@@ -1219,6 +1219,58 @@ def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _s8_ndjson_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 local NDJSON scan (synth fixture parity: unimarc.js-style local
+    dumps): materialize a deterministic NDJSON file from the region table
+    (nested object per line), scan it with the NATIVE json reader under an
+    explicit schema (no inference job — the at-scale contract), flatten
+    the nested struct. DuckDB replays the same file with read_json."""
+    import json as _json
+
+    rows = sorted(
+        (int(r["r_regionkey"]), r["r_name"])
+        for r in _t(spark, sf_dir, "region").collect()
+    )
+    path = "/tmp/crawler_spark_s8.ndjson"
+    with open(path, "w") as fh:
+        for k, name in rows:
+            fh.write(
+                _json.dumps(
+                    {"r_regionkey": k,
+                     "meta": {"name": name, "name_len": len(name)}}
+                ) + "\n"
+            )
+    df = spark.read.schema(
+        "r_regionkey long, meta struct<name:string,name_len:long>"
+    ).json(path)
+    return df.select(
+        "r_regionkey",
+        F.col("meta.name").alias("r_name"),
+        F.col("meta.name_len").alias("name_len"),
+    )
+
+
+def _s9_tsv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 local TSV scan: deterministic TSV from the nation table, scanned
+    with the native csv reader (tab sep, header, explicit schema); DuckDB
+    replays with read_csv."""
+    rows = sorted(
+        (int(r["n_nationkey"]), r["n_name"], int(r["n_regionkey"]))
+        for r in _t(spark, sf_dir, "nation").collect()
+    )
+    path = "/tmp/crawler_spark_s9.tsv"
+    with open(path, "w") as fh:
+        fh.write("n_nationkey\tn_name\tn_regionkey\n")
+        for k, name, rk in rows:
+            fh.write(f"{k}\t{name}\t{rk}\n")
+    return (
+        spark.read.option("sep", "\t")
+        .option("header", "true")
+        .schema("n_nationkey long, n_name string, n_regionkey long")
+        .csv(path)
+    )
+
+
 def _text_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-level quality rollup (RefinedWeb-style source filtering):
     per-source mean quality score, doc count, token sum, and the keep/drop
@@ -1543,6 +1595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sheds these before any long-established row
         "graph_pagerank": _graph_pagerank,
         "text_source_quality": _text_source_quality,
+        "s8_ndjson_scan": _s8_ndjson_scan,
+        "s9_tsv_scan": _s9_tsv_scan,
         "dedup_cluster_keep_one": _dedup_cluster_keep_one,
         "dedup_substring_repeats": _dedup_substring_repeats,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
@@ -2271,6 +2325,17 @@ def oracle_sql() -> dict[str, str]:
     }
     # identical semantics, different physical plan (hot-block sharding)
     out["dedup_ngram_jaccard_sharded"] = out["dedup_ngram_jaccard"]
+    # S8/S9: the spark query materializes the deterministic file right
+    # before the oracle runs, so both engines scan the same bytes
+    out["s8_ndjson_scan"] = """
+        SELECT r_regionkey, meta.name AS r_name, meta.name_len AS name_len
+        FROM read_json('/tmp/crawler_spark_s8.ndjson',
+                       format='newline_delimited')
+    """
+    out["s9_tsv_scan"] = """
+        SELECT n_nationkey, n_name, n_regionkey
+        FROM read_csv('/tmp/crawler_spark_s9.tsv', delim='\t', header=true)
+    """
     # domain rollup over the SAME per-doc quality expression as
     # text_quality (unrounded inside the avg, rounded once at the end —
     # matching the engine's round-then-compare keep decision)
