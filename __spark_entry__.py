@@ -4,7 +4,7 @@ Every entry in ``queries()`` exercises one operator family from
 ``SURVEY.md §2`` (the ✦-marked inventory) through the *engine's own
 modules* (``crawler_spark.*``), over the driver-generated synthetic
 tables at ``sf_dir``. ``oracle_sql()`` holds the DuckDB-equivalent ANSI
-SQL for EVERY key (66/66): hash-dependent pipelines run md5 variants both
+SQL for EVERY key (67/67): hash-dependent pipelines run md5 variants both
 engines compute identically (MinHash/SimHash), approximate searches run
 at deterministic or provably-exact anchors (coordinate-sign LSH; IVF at
 nprobe == n_cells), and the iterative crawl loop is checked against a
@@ -1219,6 +1219,81 @@ def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _s3_json_api_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 JSON API scan (vam.js:25-76) through the engine's extractors:
+    search {"total","records":[{"url"}]} traversal with relative-URL
+    canonicalization; detail walk with P1 empty/null filter, P3 type
+    projection (booleans dropped, numbers serialized JS-String-verbatim:
+    2.0 → '2'), scalar→array promotion on repeated labels, U2 image-URL
+    dedup, related links, and the title+label\\tvalue text composition."""
+    from crawler_spark.operators.extract import (
+        LINKS_OUT_SCHEMA,
+        RECORD_OUT_SCHEMA,
+        ConnectorConfig,
+        extract_links_batch_for,
+        extract_records_batch_for,
+    )
+
+    cfg = {"vj": ConnectorConfig(connector_id="vj", body_format="json")}
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+
+    search_body = F.concat(
+        F.lit('{"total":'), F.col("n_chars").cast("string"),
+        F.lit(',"records":[{"url":"/obj/a'), did,
+        F.lit('"},{"url":"http://vj.test/obj/b'), did, F.lit('"}]}'),
+    )
+    searches = docs.select(
+        F.concat(F.lit("http://vj.test/s/"), did).alias("url"),
+        search_body.alias("body"),
+        F.lit("vj").alias("connector_id"),
+    )
+    links = searches.mapInPandas(extract_links_batch_for(cfg), LINKS_OUT_SCHEMA)
+    s = links.groupBy("url").agg(
+        F.first("total_count").alias("total"),
+        F.count("out_url").alias("n_urls"),
+        F.min("out_url").alias("first_url"),
+    ).select(
+        F.regexp_extract("url", r"/s/(\d+)", 1).cast("long").alias("doc_id"),
+        "total", "n_urls", "first_url",
+    )
+
+    detail_body = F.concat(
+        F.lit('{"title":"Doc '), did,
+        F.lit('","fields":[{"label":"size","value":'),
+        F.col("n_chars").cast("string"),
+        F.lit('},{"label":"ratio","value":2.0}'),
+        F.lit(',{"label":"empty","value":""}'),
+        F.lit(',{"label":"flag","value":true}'),
+        F.lit(',{"label":"lang","value":"'), F.col("lang"), F.lit('"}'),
+        F.lit(',{"label":"lang","value":"xx"}'),
+        F.lit('],"images":["/im/'), did, F.lit('.jpg","/im/'), did,
+        F.lit('.jpg"],"related":["/obj/b'), did, F.lit('"]}'),
+    )
+    details = docs.select(
+        F.concat(F.lit("http://vj.test/obj/a"), did).alias("url"),
+        detail_body.alias("body"),
+        F.lit("vj").alias("connector_id"),
+    )
+    recs = details.mapInPandas(extract_records_batch_for(cfg), RECORD_OUT_SCHEMA)
+    field_vals = lambda lbl: F.try_element_at(
+        F.filter(F.col("fields"), lambda f: f.getField("label") == lbl),
+        F.lit(1),
+    ).getField("values")
+    r = recs.select(
+        F.regexp_extract("url", r"/obj/a(\d+)", 1).cast("long").alias("doc_id"),
+        F.size("fields").alias("n_fields"),
+        F.try_element_at(field_vals("size"), F.lit(1)).alias("size_val"),
+        F.try_element_at(field_vals("ratio"), F.lit(1)).alias("ratio_val"),
+        F.concat_ws("|", field_vals("lang")).alias("lang_vals"),
+        F.size("images").alias("n_images"),
+        F.try_element_at(F.col("images"), F.lit(1)).getField("url").alias("img0"),
+        F.try_element_at(F.col("related_urls"), F.lit(1)).alias("rel0"),
+        F.col("text"),
+    )
+    return s.join(r, "doc_id")
+
+
 def _s8_ndjson_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 local NDJSON scan (synth fixture parity: unimarc.js-style local
     dumps): materialize a deterministic NDJSON file from the region table
@@ -1595,6 +1670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sheds these before any long-established row
         "graph_pagerank": _graph_pagerank,
         "text_source_quality": _text_source_quality,
+        "s3_json_api_scan": _s3_json_api_scan,
         "s8_ndjson_scan": _s8_ndjson_scan,
         "s9_tsv_scan": _s9_tsv_scan,
         "dedup_cluster_keep_one": _dedup_cluster_keep_one,
@@ -2325,6 +2401,27 @@ def oracle_sql() -> dict[str, str]:
     }
     # identical semantics, different physical plan (hot-block sharding)
     out["dedup_ngram_jaccard_sharded"] = out["dedup_ngram_jaccard"]
+    # S3: independent SQL derivation of the same JSON-fixture semantics
+    # (P1 drops empty/flag, P3 serializes 2.0 verbatim as '2', repeated
+    # labels promote into one field, U2 dedups the doubled image)
+    out["s3_json_api_scan"] = """
+        SELECT doc_id, CAST(n_chars AS INTEGER) AS total,
+               CAST(2 AS BIGINT) AS n_urls,
+               'http://vj.test/obj/a' || CAST(doc_id AS VARCHAR) AS first_url,
+               CAST(3 AS INTEGER) AS n_fields,
+               CAST(n_chars AS VARCHAR) AS size_val,
+               '2' AS ratio_val,
+               lang || '|xx' AS lang_vals,
+               CAST(1 AS INTEGER) AS n_images,
+               'http://vj.test/im/' || CAST(doc_id AS VARCHAR) || '.jpg' AS img0,
+               'http://vj.test/obj/b' || CAST(doc_id AS VARCHAR) AS rel0,
+               'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+               'size' || chr(9) || CAST(n_chars AS VARCHAR) || chr(10) ||
+               'ratio' || chr(9) || '2' || chr(10) ||
+               'lang' || chr(9) || lang || chr(10) ||
+               'lang' || chr(9) || 'xx' AS text
+        FROM documents
+    """
     # S8/S9: the spark query materializes the deterministic file right
     # before the oracle runs, so both engines scan the same bytes
     out["s8_ndjson_scan"] = """
