@@ -1435,6 +1435,52 @@ def _text_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_planted_text() -> F.Column:
+    """The synthetic corpus is PII-free, so the PII query plants
+    deterministic emails / IPv4s / phones derived from doc_id — both
+    engines build the IDENTICAL string (see the oracle twin)."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        d.cast("string"),
+        F.lit("@mail"),
+        (d % 5).cast("string"),
+        F.lit(".example.com from 10."),
+        (d % 256).cast("string"),
+        F.lit(".0."),
+        ((d * 7) % 256).cast("string"),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((d % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad(((d * 3) % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+def _text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (crawler_spark.functions.pii): per-class counts with the
+    email → IPv4 → phone cascade (each class counted on text with earlier
+    classes already masked) plus the fully redacted text. Pure JVM
+    regexp expressions; the DuckDB oracle evaluates the identical RE2-safe
+    patterns."""
+    from crawler_spark.functions import pii
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = _pii_planted_text()
+    return docs.select(
+        "doc_id",
+        pii.count_emails(planted).alias("n_emails"),
+        pii.count_ipv4(planted).alias("n_ipv4"),
+        pii.count_phones(planted).alias("n_phones"),
+        pii.redact_pii(planted).alias("redacted"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Reporting jobs (A4 fields-lister, U3/S14 missing-images audit) through the
 # engine modules, over records synthesized deterministically from documents
@@ -1675,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s9_tsv_scan": _s9_tsv_scan,
         "dedup_cluster_keep_one": _dedup_cluster_keep_one,
         "dedup_substring_repeats": _dedup_substring_repeats,
+        "text_pii_redact": _text_pii_redact,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
     }
@@ -2340,6 +2387,38 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 0.0 END, 6) AS kept_frac,
                    coalesce(array_to_string(kept, chr(10)), '') AS clean_text
             FROM k
+        """,
+        "text_pii_redact": r"""
+            WITH p AS (SELECT doc_id,
+                text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                '@mail' || CAST(doc_id % 5 AS VARCHAR) ||
+                '.example.com from 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+                '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) ||
+                CASE WHEN doc_id % 2 = 0 THEN ' call 555-' ||
+                    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+                    lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END AS t
+              FROM documents),
+            e AS (SELECT doc_id, t, regexp_replace(t,
+                '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g') AS t_e FROM p),
+            i AS (SELECT doc_id, t, t_e, regexp_replace(t_e,
+                '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b',
+                '<IP>', 'g') AS t_ei FROM e)
+            SELECT doc_id,
+                CAST(len(regexp_extract_all(t,
+                    '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))
+                    AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(t_e,
+                    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))
+                    AS BIGINT) AS n_ipv4,
+                CAST(len(regexp_extract_all(t_ei,
+                    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b'))
+                    AS BIGINT) AS n_phones,
+                regexp_replace(t_ei,
+                    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b',
+                    '<PHONE>', 'g') AS redacted
+            FROM i
         """,
         "fields_lister_report": f"""
             WITH toks AS (SELECT doc_id, lang, source, {_TOKS} AS t FROM documents)

@@ -598,3 +598,59 @@ def test_substring_repeats(spark):
     }
     shared = (wins[1] & wins[2]) | (wins[1] & wins[3]) | (wins[2] & wins[3])
     assert len(out) == len(shared)
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction (functions/pii.py)
+
+
+def test_pii_counts_and_redaction(spark):
+    from crawler_spark.functions import pii
+
+    rows = [
+        (1, "write to alice.b+spam@sub.example.co.uk or bob@x.io today"),
+        (2, "server at 10.0.255.3 and 192.168.1.1; version 1.2.3.4000 is not an ip"),
+        (3, "call 555-123-4567 or 800.555.0199 but not 55-123-4567"),
+        (4, "no pii here, just text with numbers 12345 and dots..."),
+        (5, "mixed: c@d.org from 8.8.8.8 dial 555-000-1111"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = F.col("text")
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            pii.count_emails(t).alias("e"),
+            pii.count_ipv4(t).alias("i"),
+            pii.count_phones(t).alias("p"),
+            pii.redact_pii(t).alias("red"),
+            pii.pii_hit(t).alias("hit"),
+        ).collect()
+    }
+    assert (got[1]["e"], got[1]["i"], got[1]["p"]) == (2, 0, 0)
+    # 1.2.3.4000 must NOT match (word boundary kills the 4-digit quad)
+    assert (got[2]["e"], got[2]["i"], got[2]["p"]) == (0, 2, 0)
+    # 55-123-4567 must NOT match (needs exactly 3-3-4)
+    assert (got[3]["e"], got[3]["i"], got[3]["p"]) == (0, 0, 2)
+    assert (got[4]["e"], got[4]["i"], got[4]["p"]) == (0, 0, 0)
+    assert not got[4]["hit"] and got[5]["hit"]
+    assert got[5]["red"] == "mixed: <EMAIL> from <IP> dial <PHONE>"
+    assert got[6]["red"] == ""
+
+
+def test_pii_cascade_no_double_count(spark):
+    from crawler_spark.functions import pii
+
+    # the dotted quad inside the email's host part belongs to the email:
+    # count_ipv4 masks emails first, so it sees only the free-standing quad
+    df = spark.createDataFrame([(1, "root@10.1.2.3.example.com plus 4.4.4.4")],
+                               "doc_id long, text string")
+    t = F.col("text")
+    r = df.select(
+        pii.count_emails(t).alias("e"),
+        pii.count_ipv4(t).alias("i"),
+        pii.redact_pii(t).alias("red"),
+    ).collect()[0]
+    assert (r["e"], r["i"]) == (1, 1)
+    assert r["red"] == "<EMAIL> plus <IP>"
