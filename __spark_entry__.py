@@ -1435,6 +1435,28 @@ def _text_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document paragraph dedup at exact grain
+    (crawler_spark.functions.dedup.paragraph_dedup): a paragraph survives
+    only at its globally first (doc_id, pos) occurrence. The single-line
+    synthetic corpus is first rewrapped into 3-word lines with a regex both
+    engines evaluate identically (the c4 trick at a grain coarse enough to
+    actually collide across documents)."""
+    from crawler_spark.functions.dedup import paragraph_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"((?:\S+ ){2}\S+) ", "$1\n").alias(
+            "text"
+        ),
+    )
+    out = paragraph_dedup(wrapped, id_col="doc_id", sep_pattern=r"\n")
+    return out.select(
+        F.col("id").alias("doc_id"), "n_paras", "n_kept", "dedup_text"
+    )
+
+
 def _pii_planted_text() -> F.Column:
     """The synthetic corpus is PII-free, so the PII query plants
     deterministic emails / IPv4s / phones derived from doc_id — both
@@ -1722,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_keep_one": _dedup_cluster_keep_one,
         "dedup_substring_repeats": _dedup_substring_repeats,
         "text_pii_redact": _text_pii_redact,
+        "dedup_paragraphs": _dedup_paragraphs,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
     }
@@ -2419,6 +2442,32 @@ def oracle_sql() -> dict[str, str]:
                     '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b',
                     '<PHONE>', 'g') AS redacted
             FROM i
+        """,
+        "dedup_paragraphs": r"""
+            WITH w AS (SELECT doc_id,
+                regexp_replace(text, '((?:\S+ ){2}\S+) ',
+                               '\1' || chr(10), 'g') AS wrapped
+              FROM documents),
+            l AS (SELECT doc_id,
+                list_filter(list_transform(str_split(wrapped, chr(10)),
+                                           s -> trim(s)),
+                            s -> s <> '') AS paras
+              FROM w),
+            p AS (SELECT doc_id, unnest(paras) AS para,
+                         generate_subscripts(paras, 1) AS pos
+              FROM l),
+            k AS (SELECT doc_id, para, pos,
+                         row_number() OVER (PARTITION BY para
+                                            ORDER BY doc_id, pos) AS rn
+              FROM p)
+            SELECT l.doc_id,
+                   CAST(len(l.paras) AS BIGINT) AS n_paras,
+                   CAST(coalesce(s.n_kept, 0) AS BIGINT) AS n_kept,
+                   coalesce(s.dedup_text, '') AS dedup_text
+            FROM l LEFT JOIN (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(para, chr(10) ORDER BY pos) AS dedup_text
+              FROM k WHERE rn = 1 GROUP BY doc_id) s USING (doc_id)
         """,
         "fields_lister_report": f"""
             WITH toks AS (SELECT doc_id, lang, source, {_TOKS} AS t FROM documents)

@@ -893,3 +893,69 @@ def substring_repeats(
         )
         .where(F.col("n_docs") > 1)
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep_pattern: str = r"\n{2,}",
+) -> DataFrame:
+    """Cross-document paragraph-level exact dedup: a paragraph survives
+    ONLY at its globally first occurrence — lowest ``(id, pos)`` — and every
+    later copy (later docs, and repeats further down the same doc) is cut.
+    Returns ``(id, n_paras, n_kept, dedup_text)`` with the survivors
+    rejoined in document order; a document whose every paragraph lost gets
+    ``n_kept = 0`` and an empty ``dedup_text``.
+
+    Paragraph grain is ``sep_pattern`` (blank-line runs by default; pass
+    ``r"\\n"`` for line grain). Scale shape: paragraphs explode once
+    (posexplode over a codegen split+trim+filter), the global winner per
+    paragraph is ONE hash aggregation keyed by ``xxhash64(paragraph)`` —
+    shuffle rows carry ``(hash, id, pos)``, the text crosses the wire only
+    inside the explode output it already lives in — and survivors come back
+    via an equi-join on the 8-byte hash. No pair join, no window over the
+    corpus: a paragraph shared by k docs costs k shuffle rows. (xxhash64
+    collisions would merge two distinct paragraphs; at 2^64 that is the
+    same accepted risk as the engine's fingerprint paths.)
+    """
+    paras_arr = F.filter(
+        F.transform(F.split(F.col(text_col), sep_pattern), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(paras_arr).cast("long").alias("n_paras"),
+        paras_arr.alias("_paras"),
+    )
+    paras = base.select(
+        "id", F.posexplode("_paras").alias("pos", "para")
+    ).withColumn("h", F.xxhash64("para"))
+    winners = paras.groupBy("h").agg(
+        F.min(F.struct("id", "pos")).alias("w")
+    )
+    kept = (
+        paras.join(winners, "h")
+        .where((F.col("id") == F.col("w.id")) & (F.col("pos") == F.col("w.pos")))
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda x: x["para"],
+                ),
+                "\n",
+            ).alias("dedup_text"),
+        )
+    )
+    return (
+        base.drop("_paras")
+        .join(kept, "id", "left")
+        .select(
+            "id",
+            "n_paras",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+        )
+    )

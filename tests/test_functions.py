@@ -654,3 +654,43 @@ def test_pii_cascade_no_double_count(spark):
     ).collect()[0]
     assert (r["e"], r["i"]) == (1, 1)
     assert r["red"] == "<EMAIL> plus <IP>"
+
+
+# ---------------------------------------------------------------------------
+# Cross-document paragraph dedup (functions/dedup.py:paragraph_dedup)
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    from crawler_spark.functions.dedup import paragraph_dedup
+
+    rows = [
+        (1, "alpha beta\n\ngamma delta\n\nalpha beta"),   # self-repeat
+        (2, "gamma delta\n\nepsilon zeta"),               # first para lost to doc 1
+        (3, "alpha beta"),                                # whole doc lost
+        (4, ""),                                          # empty doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in paragraph_dedup(df).collect()}
+    # doc 1 keeps both distinct paras once (the pos-2 self-repeat is cut)
+    assert (got[1]["n_paras"], got[1]["n_kept"]) == (3, 2)
+    assert got[1]["dedup_text"] == "alpha beta\ngamma delta"
+    # doc 2 loses 'gamma delta' to doc 1, keeps its own tail
+    assert (got[2]["n_paras"], got[2]["n_kept"]) == (2, 1)
+    assert got[2]["dedup_text"] == "epsilon zeta"
+    # doc 3's only para lives in doc 1 -> empty survivor set, row still emitted
+    assert (got[3]["n_paras"], got[3]["n_kept"], got[3]["dedup_text"]) == (1, 0, "")
+    assert (got[4]["n_paras"], got[4]["n_kept"], got[4]["dedup_text"]) == (0, 0, "")
+
+
+def test_paragraph_dedup_line_grain_and_order(spark):
+    from crawler_spark.functions.dedup import paragraph_dedup
+
+    rows = [
+        (10, "z z\nm m\na a"),
+        (11, "a a\nq q\nm m"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in paragraph_dedup(df, sep_pattern=r"\n").collect()}
+    # survivors keep DOCUMENT order, not sorted order
+    assert got[10]["dedup_text"] == "z z\nm m\na a"
+    assert got[11]["dedup_text"] == "q q"
