@@ -180,6 +180,14 @@ class EngineConfig:
     # (RFC 9309 §2.3.1), which also records the probe.
     live_robots: bool = True
     robots_timeout_s: float = 20.0
+    # opt-in live sitemap discovery: one bounded fetch wave of
+    # <scheme://netloc>/sitemap.xml over the seed hosts at FRESH run start
+    # (plus one capped child wave for sitemapindex files). Discovered URLs
+    # enter the frontier as depth-1 records scored by sitemap <priority>,
+    # through the same add_candidates dedup as extracted links; on resume
+    # the wave is skipped — round 0's commit already holds its rows.
+    live_sitemaps: bool = False
+    sitemap_max_children: int = 8
     # re-probe cadence: a cached robots row older than this many rounds no
     # longer counts as known, so the host is re-probed on its next wave
     # (rules changing mid-crawl are picked up). None = cache for the crawl.
@@ -707,6 +715,49 @@ class CrawlEngine:
             if recrawl is not None:
                 src = src.union(recrawl.select("url"))
             self._robots_refresh(src, round_no)
+
+        # opt-in live sitemap discovery (fresh starts only: a resume's
+        # round-0 commit already persisted whatever the wave found, and the
+        # seen-set/add_candidates dedup makes re-adding pointless work)
+        if cfg.fetch_mode == "live" and cfg.live_sitemaps and latest is None:
+            from crawler_spark.operators.sitemaps import (
+                sitemap_frontier_rows,
+                sitemap_wave,
+            )
+
+            hosts = (
+                self.seeds.select(
+                    "url", url_host(F.col("url")).alias("host")
+                )
+                .where(F.col("host").isNotNull())
+                .groupBy("host")
+                .agg(F.min("url").alias("url"))
+            )
+            sm_rows = sitemap_frontier_rows(
+                sitemap_wave(
+                    hosts,
+                    timeout_s=cfg.robots_timeout_s,
+                    user_agent=cfg.user_agent,
+                    max_children_per_host=cfg.sitemap_max_children,
+                ),
+                round_added=round_no,
+            ).persist()
+            n_sm = sm_rows.count()  # bounded: hosts × sitemap entries
+            if n_sm:
+                frontier = add_candidates(frontier, sm_rows)
+                if frontier_rows is not None:
+                    frontier_rows += n_sm
+                if cfg.frontier_storage in ("delta", "auto"):
+                    fr_cols = [f.name for f in schemas.FRONTIER.fields]
+                    pending_add_rows = (
+                        sm_rows.select(*fr_cols)
+                        if pending_add_rows is None
+                        else pending_add_rows.select(*fr_cols).union(
+                            sm_rows.select(*fr_cols)
+                        )
+                    )
+            else:
+                sm_rows.unpersist()
 
         start_latest = latest if latest is not None else -1
         # the round whose commit the bloom table must cover to be trusted
