@@ -1435,6 +1435,67 @@ def _text_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _s15_sitemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-XML scan (crawler_spark.operators.sitemaps.
+    parse_sitemap_entries): both engines synthesize one urlset XML document
+    per site from orders rows — with entity-escaped query strings, partial
+    lastmod/priority coverage, and a malformed priority that must fall back
+    to the protocol default — then parse them back to entry rows."""
+    from crawler_spark.operators.sitemaps import parse_sitemap_entries
+
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    entry = F.concat(
+        F.lit("<url><loc>http://s"),
+        (k % 10).cast("string"),
+        F.lit(".example.com/item?id="),
+        k.cast("string"),
+        F.lit("&amp;ref=sm</loc>"),
+        F.when(
+            k % 2 == 0,
+            F.concat(
+                F.lit("<lastmod>2024-01-"),
+                F.lpad((1 + k % 28).cast("string"), 2, "0"),
+                F.lit("</lastmod>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 3 == 0,
+            F.concat(
+                F.lit("<priority>0."),
+                (1 + k % 9).cast("string"),
+                F.lit("</priority>"),
+            ),
+        )
+        .when(k % 3 == 1, F.lit("<priority>bogus</priority>"))
+        .otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    xml = (
+        orders.select((k % 10).alias("site"), k.alias("k"), entry.alias("e"))
+        .groupBy("site")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("k", "e"))),
+                        lambda x: x["e"],
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("body")
+        )
+    )
+    out = parse_sitemap_entries(
+        xml.select(F.col("site").cast("string").alias("url"), "body")
+    )
+    return out.select(
+        F.col("src").alias("site"), "kind", "loc", "lastmod", "priority"
+    )
+
+
 def _dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document paragraph dedup at exact grain
     (crawler_spark.functions.dedup.paragraph_dedup): a paragraph survives
@@ -1745,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_repeats": _dedup_substring_repeats,
         "text_pii_redact": _text_pii_redact,
         "dedup_paragraphs": _dedup_paragraphs,
+        "s15_sitemap_scan": _s15_sitemap_scan,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
     }
@@ -2442,6 +2504,42 @@ def oracle_sql() -> dict[str, str]:
                     '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b',
                     '<PHONE>', 'g') AS redacted
             FROM i
+        """,
+        "s15_sitemap_scan": r"""
+            WITH ent AS (SELECT o_orderkey AS k, o_orderkey % 10 AS site,
+                '<url><loc>http://s' || CAST(o_orderkey % 10 AS VARCHAR) ||
+                '.example.com/item?id=' || CAST(o_orderkey AS VARCHAR) ||
+                '&amp;ref=sm</loc>' ||
+                CASE WHEN o_orderkey % 2 = 0 THEN '<lastmod>2024-01-' ||
+                    lpad(CAST(1 + o_orderkey % 28 AS VARCHAR), 2, '0') ||
+                    '</lastmod>'
+                ELSE '' END ||
+                CASE WHEN o_orderkey % 3 = 0 THEN '<priority>0.' ||
+                    CAST(1 + o_orderkey % 9 AS VARCHAR) || '</priority>'
+                WHEN o_orderkey % 3 = 1 THEN '<priority>bogus</priority>'
+                ELSE '' END || '</url>' AS e
+              FROM orders),
+            x AS (SELECT site,
+                '<urlset>' || string_agg(e, '' ORDER BY k) || '</urlset>'
+                    AS body
+              FROM ent GROUP BY site),
+            b AS (SELECT site,
+                unnest(regexp_extract_all(body,
+                    '(?s)<url[\s>](.*?)</url>', 1)) AS blk
+              FROM x)
+            SELECT CAST(site AS VARCHAR) AS site,
+                'url' AS kind,
+                replace(replace(replace(replace(replace(
+                    regexp_extract(blk, '(?s)<loc[^>]*>\s*(.*?)\s*</loc>', 1),
+                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                    '&apos;', ''''), '&amp;', '&') AS loc,
+                nullif(regexp_extract(blk,
+                    '(?s)<lastmod[^>]*>\s*(.*?)\s*</lastmod>', 1), '')
+                    AS lastmod,
+                coalesce(try_cast(nullif(regexp_extract(blk,
+                    '(?s)<priority[^>]*>\s*(.*?)\s*</priority>', 1), '')
+                    AS DOUBLE), 0.5) AS priority
+            FROM b
         """,
         "dedup_paragraphs": r"""
             WITH w AS (SELECT doc_id,
