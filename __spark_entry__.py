@@ -1435,6 +1435,46 @@ def _text_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _url_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL curation gate (crawler_spark.functions.urlfilter): structural
+    junk heuristics (param explosion, path depth, digit soup, session
+    tokens) + registrable-domain blocklist decision over URLs synthesized
+    from lineitem rows so every heuristic fires on a deterministic
+    subset."""
+    from crawler_spark.functions import urlfilter as uf
+
+    li = _t(spark, sf_dir, "lineitem")
+    k = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long")
+    url = F.concat(
+        F.lit("http://www.s"),
+        (k % 7).cast("string"),
+        F.when(k % 13 == 0, ".badsite.com").otherwise(".example.org"),
+        F.repeat(F.lit("/item"), (k % 15).cast("int")),
+        F.when(k % 19 == 0, "/123456789012").otherwise(""),
+        F.when(k % 11 == 0, "?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9")
+        .when(k % 17 == 0, "?PHPSESSID=deadbeef")
+        .otherwise(F.concat(F.lit("?id="), k.cast("string"))),
+    )
+    # deterministic subsample: keeps the compare inside the driver budget
+    # at sf0.1 while every heuristic still fires (same predicate as oracle)
+    base = li.select(k.alias("key"), url.alias("url")).where(
+        F.col("key") % 5 == 0
+    )
+    u = F.col("url")
+    junk = uf.url_junk(u)
+    blocked = uf.registrable_domain(u) == "badsite.com"
+    return base.select(
+        "key",
+        "url",
+        uf.registrable_domain(u).alias("reg_domain"),
+        uf.path_depth(u).alias("depth"),
+        uf.query_param_count(u).alias("n_params"),
+        F.round(uf.path_digit_ratio(u), 6).alias("digit_ratio"),
+        junk.alias("junk"),
+        (~junk & ~blocked).alias("keep"),
+    )
+
+
 def _s15_sitemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap-XML scan (crawler_spark.operators.sitemaps.
     parse_sitemap_entries): both engines synthesize one urlset XML document
@@ -1807,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redact": _text_pii_redact,
         "dedup_paragraphs": _dedup_paragraphs,
         "s15_sitemap_scan": _s15_sitemap_scan,
+        "url_filter_gate": _url_filter_gate,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
     }
@@ -2504,6 +2545,56 @@ def oracle_sql() -> dict[str, str]:
                     '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b',
                     '<PHONE>', 'g') AS redacted
             FROM i
+        """,
+        "url_filter_gate": r"""
+            WITH b AS (SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT)
+                              AS key FROM lineitem
+                       WHERE (l_orderkey * 10 + l_linenumber) % 5 = 0),
+            u AS (SELECT key, 'http://www.s' || CAST(key % 7 AS VARCHAR) ||
+                CASE WHEN key % 13 = 0 THEN '.badsite.com'
+                     ELSE '.example.org' END ||
+                repeat('/item', CAST(key % 15 AS INTEGER)) ||
+                CASE WHEN key % 19 = 0 THEN '/123456789012' ELSE '' END ||
+                CASE WHEN key % 11 = 0
+                     THEN '?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9'
+                     WHEN key % 17 = 0 THEN '?PHPSESSID=deadbeef'
+                     ELSE '?id=' || CAST(key AS VARCHAR) END AS url
+              FROM b),
+            f AS (SELECT key, url,
+                lower(regexp_extract(url,
+                    '^[a-z][a-z0-9+.\-]*://([^/:?#]+)', 1)) AS host,
+                regexp_extract(url,
+                    '^[a-z][a-z0-9+.\-]*://[^/?#]+([^?#]*)', 1) AS path,
+                regexp_extract(url, '\?([^#]*)', 1) AS q
+              FROM u),
+            g AS (SELECT key, url,
+                regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS reg_domain,
+                CAST(len(path) - len(replace(path, '/', '')) AS BIGINT)
+                    AS depth,
+                CAST(CASE WHEN q = '' THEN 0
+                     ELSE len(q) - len(replace(q, '&', '')) + 1 END
+                     AS BIGINT) AS n_params,
+                round(CASE WHEN len(path) > 0
+                    THEN CAST(len(path) -
+                         len(regexp_replace(path, '[0-9]', '', 'g'))
+                         AS DOUBLE) / len(path)
+                    ELSE 0.0 END, 6) AS digit_ratio,
+                (len(url) > 2048
+                 OR CASE WHEN q = '' THEN 0
+                    ELSE len(q) - len(replace(q, '&', '')) + 1 END > 8
+                 OR len(path) - len(replace(path, '/', '')) > 12
+                 OR CASE WHEN len(path) > 0
+                    THEN CAST(len(path) -
+                         len(regexp_replace(path, '[0-9]', '', 'g'))
+                         AS DOUBLE) / len(path)
+                    ELSE 0.0 END > 0.5
+                 OR regexp_matches(url,
+                    '(?i)(phpsessid|jsessionid|sessionid|sid)=[a-z0-9]'))
+                    AS junk
+              FROM f)
+            SELECT key, url, reg_domain, depth, n_params, digit_ratio, junk,
+                   (NOT junk AND reg_domain <> 'badsite.com') AS keep
+            FROM g
         """,
         "s15_sitemap_scan": r"""
             WITH ent AS (SELECT o_orderkey AS k, o_orderkey % 10 AS site,

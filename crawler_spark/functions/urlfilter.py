@@ -1,0 +1,124 @@
+"""URL curation filters for web-corpus pipelines.
+
+The pre-fetch / pre-ingest URL gate a Common-Crawl-style pipeline runs on
+its frontier and on harvested link sets: registrable-domain blocklists
+(the UT1/adult-list pattern) plus the structural junk heuristics
+(calendar/session/faceted-search URL shapes) that C4/CCNet-era pipelines
+apply before spending a fetch. All pure JVM column expressions — the gate
+rides the frontier scan, no Python in the path.
+
+The reference crawler has no URL gate (its ~30 connectors enumerate known
+museum search pages, base.js seed configs); this belongs to the
+generalized-frontier family the brief adds. Blocklist matching is a
+broadcast-friendly JOIN on the registrable domain, not a regex scan per
+blocked entry — a 5M-row blocklist is a broadcast hash join or a
+shuffle semi-join, never 5M LIKE predicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# structural-junk defaults: conservative versions of the CCNet/C4-era URL
+# heuristics (long faceted-search URLs, parameter explosions, calendar
+# crawler traps, session tokens)
+MAX_URL_LEN = 2048
+MAX_QUERY_PARAMS = 8
+MAX_PATH_DEPTH = 12
+MAX_PATH_DIGIT_RATIO = 0.5
+
+_SESSION_TOKEN = r"(?i)(phpsessid|jsessionid|sessionid|sid)=[a-z0-9]"
+
+
+def url_host(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, r"^[a-z][a-z0-9+.\-]*://([^/:?#]+)", 1))
+
+
+def url_path(url: Column) -> Column:
+    return F.regexp_extract(url, r"^[a-z][a-z0-9+.\-]*://[^/?#]+([^?#]*)", 1)
+
+
+def url_query(url: Column) -> Column:
+    return F.regexp_extract(url, r"\?([^#]*)", 1)
+
+
+def registrable_domain(url: Column) -> Column:
+    """Last two host labels — the blocklist join key. (A public-suffix-list
+    lookup would be a broadcast map join on the same key; two labels is the
+    deterministic sandbox stand-in.)"""
+    return F.regexp_extract(url_host(url), r"([^.]+\.[^.]+)$", 1)
+
+
+def path_depth(url: Column) -> Column:
+    p = url_path(url)
+    return (
+        F.length(p) - F.length(F.regexp_replace(p, r"/", ""))
+    ).cast("long")
+
+
+def query_param_count(url: Column) -> Column:
+    q = url_query(url)
+    return F.when(
+        q == "", F.lit(0).cast("long")
+    ).otherwise(
+        (F.length(q) - F.length(F.regexp_replace(q, r"&", "")) + 1).cast(
+            "long"
+        )
+    )
+
+
+def path_digit_ratio(url: Column) -> Column:
+    p = url_path(url)
+    n = F.length(p)
+    digits = n - F.length(F.regexp_replace(p, r"[0-9]", ""))
+    return F.when(n > 0, digits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def has_session_token(url: Column) -> Column:
+    return url.rlike(_SESSION_TOKEN)
+
+
+def url_junk(
+    url: Column,
+    max_len: int = MAX_URL_LEN,
+    max_params: int = MAX_QUERY_PARAMS,
+    max_depth: int = MAX_PATH_DEPTH,
+    max_digit_ratio: float = MAX_PATH_DIGIT_RATIO,
+) -> Column:
+    """True when the URL's SHAPE marks it a crawler trap / junk candidate —
+    independent of any blocklist."""
+    return (
+        (F.length(url) > max_len)
+        | (query_param_count(url) > max_params)
+        | (path_depth(url) > max_depth)
+        | (path_digit_ratio(url) > max_digit_ratio)
+        | has_session_token(url)
+    )
+
+
+def filter_urls(
+    df: DataFrame,
+    url_col: str = "url",
+    blocklist: DataFrame | None = None,
+    max_len: int = MAX_URL_LEN,
+    max_params: int = MAX_QUERY_PARAMS,
+    max_depth: int = MAX_PATH_DEPTH,
+    max_digit_ratio: float = MAX_PATH_DIGIT_RATIO,
+) -> DataFrame:
+    """Rows that survive the junk heuristics AND (when given) the domain
+    blocklist. ``blocklist``: one ``domain`` column of registrable domains;
+    matching is an anti-join on ``registrable_domain(url)`` — Catalyst
+    broadcasts a small list and falls back to a shuffle semi-join for a
+    huge one, exactly the behavior a per-entry LIKE scan can't give."""
+    u = F.col(url_col)
+    out = df.where(
+        ~url_junk(u, max_len, max_params, max_depth, max_digit_ratio)
+    )
+    if blocklist is not None:
+        out = out.join(
+            blocklist.select(F.lower("domain").alias("__blk")),
+            registrable_domain(u) == F.col("__blk"),
+            "left_anti",
+        )
+    return out

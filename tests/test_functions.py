@@ -694,3 +694,44 @@ def test_paragraph_dedup_line_grain_and_order(spark):
     # survivors keep DOCUMENT order, not sorted order
     assert got[10]["dedup_text"] == "z z\nm m\na a"
     assert got[11]["dedup_text"] == "q q"
+
+
+# ---------------------------------------------------------------------------
+# URL curation filters (functions/urlfilter.py)
+
+
+def test_url_junk_heuristics(spark):
+    from crawler_spark.functions import urlfilter as uf
+
+    rows = [
+        (1, "http://a.example.org/ok/page?id=5"),
+        (2, "http://a.example.org/p?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9"),
+        (3, "http://a.example.org" + "/d" * 13),
+        (4, "http://a.example.org/1234567890/9876543210"),
+        (5, "http://a.example.org/p?PHPSESSID=deadbeef"),
+        (6, "http://a.example.org/x" + "y" * 2100),
+    ]
+    df = spark.createDataFrame(rows, "k long, url string")
+    got = {
+        r["k"]: r["j"]
+        for r in df.select("k", uf.url_junk(F.col("url")).alias("j")).collect()
+    }
+    assert got == {1: False, 2: True, 3: True, 4: True, 5: True, 6: True}
+
+
+def test_filter_urls_blocklist_antijoin(spark):
+    from crawler_spark.functions import urlfilter as uf
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://www.good.example.org/a?id=1"),
+            (2, "http://sub.BadSite.com/a?id=2"),     # blocked (case-folded)
+            (3, "http://badsite.com.evil.net/a?id=3"),  # NOT blocked: reg domain evil.net
+        ],
+        "k long, url string",
+    )
+    blk = spark.createDataFrame([("badsite.com",)], ["domain"])
+    kept = {r["k"] for r in uf.filter_urls(df, blocklist=blk).collect()}
+    assert kept == {1, 3}
+    # no blocklist -> only the junk gate applies
+    assert {r["k"] for r in uf.filter_urls(df).collect()} == {1, 2, 3}
