@@ -188,6 +188,13 @@ class EngineConfig:
     # the wave is skipped — round 0's commit already holds its rows.
     live_sitemaps: bool = False
     sitemap_max_children: int = 8
+    # opt-in URL curation gate (functions/urlfilter.url_junk) on extracted
+    # link candidates: crawler-trap shapes (param explosions, digit-soup
+    # paths, session tokens, oversize URLs) are dropped BEFORE the seen
+    # anti-join, so they never cost Bloom/frontier work. A blocklist
+    # DataFrame is passed to CrawlEngine(url_blocklist=...) and applies
+    # even when the heuristics stay off.
+    url_junk_filter: bool = False
     # re-probe cadence: a cached robots row older than this many rounds no
     # longer counts as known, so the host is re-probed on its next wave
     # (rules changing mid-crawl are picked up). None = cache for the crawl.
@@ -275,6 +282,7 @@ class CrawlEngine:
         politeness: DataFrame | None = None,
         cfg: EngineConfig | None = None,
         connectors: dict[str, ConnectorConfig] | None = None,
+        url_blocklist: DataFrame | None = None,
     ):
         self.spark = spark
         self.pages = pages
@@ -288,6 +296,11 @@ class CrawlEngine:
         # per-connector extraction programs (body format, selectors,
         # encoding); shipped inside the extractor task closures
         self.connectors = connectors
+        # opt-in URL curation gate on link candidates (functions/urlfilter):
+        # cfg.url_junk_filter enables the structural-junk heuristics, and a
+        # blocklist DataFrame (one `domain` column of registrable domains)
+        # anti-joins candidates before they ever reach the seen filter
+        self.url_blocklist = url_blocklist
         if self.cfg.catalog_checkpoint:
             from crawler_spark.plans.catalog import CatalogCheckpointer
 
@@ -1400,6 +1413,24 @@ class CrawlEngine:
                 .union(next_pages.select(*fr_cols))
                 .union(related_cands.select(*fr_cols))
             )
+            # opt-in URL curation gate: junk shapes and blocklisted
+            # registrable domains drop here, before any seen/frontier work
+            # (the gate is pure codegen + at most one anti-join; Catalyst
+            # broadcasts a small blocklist on its own size estimate)
+            if cfg.url_junk_filter or self.url_blocklist is not None:
+                from crawler_spark.functions import urlfilter as _uf
+
+                if cfg.url_junk_filter:
+                    cands = cands.where(~_uf.url_junk(F.col("url")))
+                if self.url_blocklist is not None:
+                    cands = cands.join(
+                        self.url_blocklist.select(
+                            F.lower("domain").alias("__blk")
+                        ),
+                        _uf.registrable_domain(F.col("url"))
+                        == F.col("__blk"),
+                        "left_anti",
+                    )
             seen_plus = seen.select("url_hash").union(
                 ok.select("url_hash")
             )
