@@ -212,3 +212,45 @@ def salted_host_repartition(
     return out.sortWithinPartitions(
         "host", "depth", "seed_idx", "page_no", "in_page_idx", "dfs_rank"
     ).drop("__salt")
+
+
+# ---------------------------------------------------------------------------
+# Adaptive per-host backoff: servers that answer a round's fetches with
+# throttle signals (HTTP 429 Too Many Requests / 503 Service Unavailable)
+# get their crawl-delay multiplied for the NEXT rounds; hosts that come
+# back clean decay toward their configured delay. The reference never
+# needs this (one request in flight, ever — base.js:100-112); a
+# 1000-executor crawl does. AIMD-shaped: multiplicative increase on
+# congestion signal, multiplicative decrease on silence.
+
+THROTTLE_STATUSES = (429, 503)
+
+
+def throttle_stats(
+    fetched: DataFrame,
+    min_requests: int = 4,
+    ratio: float = 0.5,
+    statuses: tuple = THROTTLE_STATUSES,
+) -> DataFrame:
+    """Per-host verdict over ONE round's fetch results:
+    ``(host, n, bad, backoff, clean)``. ``backoff`` — the host sent a
+    throttle status for ≥ ``ratio`` of ≥ ``min_requests`` requests;
+    ``clean`` — zero throttle signals (any sample size; decay is safe).
+    One map-side-combined aggregation over the already-materialized round
+    batch; shuffle rows carry (host, n, bad) only."""
+    per = fetched.groupBy("host").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("status").isin(*statuses), 1).otherwise(0)
+        ).alias("bad"),
+    )
+    return per.select(
+        "host",
+        "n",
+        "bad",
+        (
+            (F.col("n") >= min_requests)
+            & (F.col("bad").cast("double") / F.col("n") >= ratio)
+        ).alias("backoff"),
+        (F.col("bad") == 0).alias("clean"),
+    )

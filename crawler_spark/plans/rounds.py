@@ -195,6 +195,19 @@ class EngineConfig:
     # DataFrame is passed to CrawlEngine(url_blocklist=...) and applies
     # even when the heuristics stay off.
     url_junk_filter: bool = False
+    # opt-in adaptive per-host backoff (live mode): hosts answering a
+    # round's fetches with 429/503 for ≥ adaptive_ratio of ≥
+    # adaptive_min_requests requests get their crawl-delay multiplied ×2
+    # for following rounds (up to adaptive_max_factor); a clean round
+    # halves the factor back toward 1. A host with no configured delay
+    # backs off from adaptive_base_delay_ms. AIMD-shaped, persisted next
+    # to the checkpoint like the robots probe cache, so resume keeps the
+    # learned factors.
+    adaptive_politeness: bool = False
+    adaptive_ratio: float = 0.5
+    adaptive_min_requests: int = 4
+    adaptive_max_factor: float = 64.0
+    adaptive_base_delay_ms: int = 1000
     # re-probe cadence: a cached robots row older than this many rounds no
     # longer counts as known, so the host is re-probed on its next wave
     # (rules changing mid-crawl are picked up). None = cache for the crawl.
@@ -313,6 +326,12 @@ class CrawlEngine:
         # cache keyed by host, not by round — resume reuses it; re-probing
         # on every resume would hammer every known host)
         self._robots_dir = _os.path.join(self.cfg.ckpt_dir, "robots_politeness")
+        # adaptive-backoff factors: same sidecar-cache pattern (appended
+        # per round, freshest row per host wins, compacted past a file
+        # bound); a kill mid-write at worst loses one round's adjustment
+        self._adaptive_dir = _os.path.join(
+            self.cfg.ckpt_dir, "adaptive_politeness"
+        )
         bloom_root = _os.path.join(self.cfg.ckpt_dir, "blooms")
         if self.cfg.bloom_partitions is None:
             # auto: adopt the persisted partition count (resume keeps a
@@ -353,6 +372,106 @@ class CrawlEngine:
             )
         except OSError:
             return None
+
+    # ---- adaptive per-host backoff (AIMD on 429/503) ---------------------
+
+    def _load_adaptive_factors(self) -> DataFrame | None:
+        """Freshest ``(host, factor)`` per host from the sidecar, or None.
+        Rows at factor 1.0 are equivalent to absent (kept until compaction
+        folds them away)."""
+        import os as _os
+
+        if not _os.path.isdir(self._adaptive_dir):
+            return None
+        try:
+            t = self.spark.read.parquet(self._adaptive_dir)
+        except Exception:
+            return None
+        w = Window.partitionBy("host").orderBy(F.col("updated_round").desc())
+        return (
+            t.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("host", "factor")
+        )
+
+    def _adaptive_bytes(self) -> int | None:
+        import os as _os
+
+        try:
+            return sum(
+                e.stat().st_size
+                for e in _os.scandir(self._adaptive_dir)
+                if e.is_file()
+            )
+        except OSError:
+            return None
+
+    def _adaptive_update(self, fetched: DataFrame, round_no: int) -> None:
+        """One bounded append per live round: hosts whose throttle-signal
+        ratio crossed the config threshold double their factor (capped);
+        hosts that answered clean halve back toward 1. Work is one
+        aggregation over the already-materialized round batch plus a join
+        against the (compacted) factor table."""
+        cfg = self.cfg
+        stats = politeness_mod.throttle_stats(
+            fetched,
+            min_requests=cfg.adaptive_min_requests,
+            ratio=cfg.adaptive_ratio,
+        )
+        old = self._load_adaptive_factors()
+        if old is not None:
+            stats = stats.join(
+                old.select("host", F.col("factor").alias("__old")),
+                "host",
+                "left",
+            )
+        else:
+            stats = stats.withColumn("__old", F.lit(None).cast("double"))
+        oldf = F.coalesce(F.col("__old"), F.lit(1.0))
+        newf = (
+            F.when(
+                F.col("backoff"),
+                F.least(oldf * 2, F.lit(float(cfg.adaptive_max_factor))),
+            )
+            .when(F.col("clean"), F.greatest(oldf / 2, F.lit(1.0)))
+            .otherwise(oldf)
+        )
+        rows = stats.select(
+            "host",
+            newf.alias("factor"),
+            F.lit(int(round_no)).alias("updated_round"),
+        ).where(newf != oldf)
+        if rows.count():
+            rows.write.mode("append").parquet(self._adaptive_dir)
+            self._compact_adaptive_table()
+
+    def _compact_adaptive_table(self, max_files: int = 64) -> None:
+        """Freshest row per host; factor-1.0 rows (== absent) fold away.
+        Cache semantics like the robots dir: a kill mid-rewrite at worst
+        loses learned factors, never correctness."""
+        import os as _os
+        import shutil as _sh
+
+        try:
+            files = [
+                f
+                for f in _os.listdir(self._adaptive_dir)
+                if not f.startswith("_") and not f.startswith(".")
+            ]
+        except OSError:
+            return
+        if len(files) <= max_files:
+            return
+        winners = self._load_adaptive_factors()
+        if winners is None:
+            return
+        keep = winners.where(F.col("factor") > 1.0).withColumn(
+            "updated_round", F.lit(0)
+        )
+        tmp = self._adaptive_dir + ".compact"
+        keep.coalesce(1).write.mode("overwrite").parquet(tmp)
+        _sh.rmtree(self._adaptive_dir, ignore_errors=True)
+        _os.replace(tmp, self._adaptive_dir)
 
     def _load_robots_table(self) -> DataFrame | None:
         import os as _os
@@ -1016,6 +1135,48 @@ class CrawlEngine:
                             F.coalesce(F.col("crawl_delay_ms"), F.lit(0)),
                         )
                     )
+                if cfg.adaptive_politeness:
+                    fac = self._load_adaptive_factors()
+                    if fac is not None:
+                        fac = fac.where(F.col("factor") > 1.0).select(
+                            F.col("host").alias("__f_host"), "factor"
+                        )
+                        fb = self._adaptive_bytes()
+                        if (
+                            fb is None
+                            or fb <= politeness_mod.BROADCAST_MAX_BYTES
+                        ):
+                            fac = F.broadcast(fac)
+                        if "crawl_delay_ms" not in batch_in.columns:
+                            batch_in = batch_in.withColumn(
+                                "crawl_delay_ms", F.lit(0)
+                            )
+                        # a throttling host with no configured delay backs
+                        # off from the base; factors multiply the larger
+                        batch_in = (
+                            batch_in.join(
+                                fac,
+                                batch_in["host"] == F.col("__f_host"),
+                                "left",
+                            )
+                            .drop("__f_host")
+                            .withColumn(
+                                "crawl_delay_ms",
+                                F.when(
+                                    F.col("factor").isNotNull(),
+                                    (
+                                        F.greatest(
+                                            F.col("crawl_delay_ms"),
+                                            F.lit(
+                                                cfg.adaptive_base_delay_ms
+                                            ),
+                                        )
+                                        * F.col("factor")
+                                    ).cast("long"),
+                                ).otherwise(F.col("crawl_delay_ms")),
+                            )
+                            .drop("factor")
+                        )
                 fetched = live_fetch(
                     batch_in,
                     timeout_s=cfg.fetch_timeout_s,
@@ -1055,6 +1216,10 @@ class CrawlEngine:
                 ok, retry, dead = split_retries(
                     fetched, cfg.max_attempts, live_retryable()
                 )
+                if cfg.adaptive_politeness:
+                    # learn from this round's throttle signals; factors
+                    # apply from the NEXT round's delay join
+                    self._adaptive_update(fetched, round_no)
             else:
                 ok, retry, dead = split_retries(fetched, cfg.max_attempts)
             _sect("fetch+count")
