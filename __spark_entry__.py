@@ -1219,6 +1219,35 @@ def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_web_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite keep/drop gate (FineWeb/Gopher-rule composition,
+    textstats.web_gate_reasons): several cheap signals vote in ONE JVM
+    projection and the row carries WHY it failed. Thresholds are tuned so
+    the synthetic corpus produces a real mix of verdicts."""
+    from crawler_spark.functions.textstats import (
+        token_count,
+        web_gate_reasons,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    reasons = web_gate_reasons(
+        t,
+        min_tokens=30,
+        max_tokens=70,
+        max_dup_bigram=0.04,
+        min_stopword_ratio=0.05,
+        min_avg_tok=3.5,
+        max_avg_tok=5.5,
+    )
+    return docs.select(
+        "doc_id",
+        token_count(t).cast("long").alias("n_tokens"),
+        reasons.alias("reasons"),
+        (F.size(reasons) == 0).alias("keep"),
+    )
+
+
 def _s3_json_api_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 JSON API scan (vam.js:25-76) through the engine's extractors:
     search {"total","records":[{"url"}]} traversal with relative-URL
@@ -1848,6 +1877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": _dedup_paragraphs,
         "s15_sitemap_scan": _s15_sitemap_scan,
         "url_filter_gate": _url_filter_gate,
+        "text_web_gate": _text_web_gate,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
     }
@@ -2458,6 +2488,39 @@ def oracle_sql() -> dict[str, str]:
                     THEN CAST(len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
                          / len(text) ELSE 0.0 END AS pr
                 FROM documents))
+        """,
+        "text_web_gate": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            g AS (SELECT doc_id, toks,
+                list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1]) AS g2
+              FROM t),
+            m AS (SELECT doc_id, len(toks) AS n,
+                CASE WHEN len(g2) > 0
+                  THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+                  ELSE 0.0 END AS dupb,
+                CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_filter(toks, t -> lower(t) IN
+                    ('the','and','of','to','a','le','la','et','de','un',
+                     'el','los','y'))) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS sw,
+                CASE WHEN len(toks) > 0
+                  THEN list_sum(list_transform(toks,
+                       t -> CAST(len(t) AS DOUBLE))) / len(toks)
+                  ELSE 0.0 END AS atl
+              FROM g),
+            r AS (SELECT doc_id, n,
+                list_filter([
+                  CASE WHEN n < 30 THEN 'too_short' END,
+                  CASE WHEN n > 70 THEN 'too_long' END,
+                  CASE WHEN dupb > 0.04 THEN 'repetitive' END,
+                  CASE WHEN sw < 0.05 THEN 'no_stopwords' END,
+                  CASE WHEN atl < 3.5 OR atl > 5.5 THEN 'weird_tokens' END],
+                  x -> x IS NOT NULL) AS reasons
+              FROM m)
+            SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, reasons,
+                   (len(reasons) = 0) AS keep
+            FROM r
         """,
         "text_gopher_repetition": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

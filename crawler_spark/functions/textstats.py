@@ -234,3 +234,46 @@ def fingerprint_md5(text: Column) -> Column:
 
 def fingerprint_xxh64(text: Column) -> Column:
     return F.xxhash64(normalized(text))
+
+
+# ---------------------------------------------------------------------------
+# Composite keep/drop gate (the FineWeb/Gopher-rule composition pattern:
+# several cheap signals vote, the document carries WHY it was dropped).
+# Everything stays one JVM projection — the reasons array is built from
+# the same expressions the individual metrics already use.
+
+
+def web_gate_reasons(
+    text: Column,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    max_dup_bigram: float = 0.5,
+    min_stopword_ratio: float = 0.01,
+    min_avg_tok: float = 2.0,
+    max_avg_tok: float = 15.0,
+) -> Column:
+    """Array of failed-rule names (empty array = keep). Rule names are
+    stable identifiers — downstream reporting groups by them."""
+    n = token_count(text)
+    atl = avg_token_len(text)
+    return F.array_compact(
+        F.array(
+            F.when(n < min_tokens, F.lit("too_short")),
+            F.when(n > max_tokens, F.lit("too_long")),
+            F.when(
+                dup_ngram_frac(text, 2) > max_dup_bigram, F.lit("repetitive")
+            ),
+            F.when(
+                stopword_ratio(text) < min_stopword_ratio,
+                F.lit("no_stopwords"),
+            ),
+            F.when(
+                (atl < min_avg_tok) | (atl > max_avg_tok),
+                F.lit("weird_tokens"),
+            ),
+        )
+    )
+
+
+def web_gate_keep(text: Column, **thresholds) -> Column:
+    return F.size(web_gate_reasons(text, **thresholds)) == 0
