@@ -91,31 +91,62 @@ def parse_sitemap_entries(
     )
 
 
+# robots.txt `Sitemap:` directive — file-global per the sitemaps protocol
+# (any position, not group-scoped), absolute URL required by the spec
+_ROBOTS_SITEMAP = r"(?im)^[ \t]*sitemap:[ \t]*([^\s]+)"
+
+
 def sitemap_wave(
     host_urls: DataFrame,
     timeout_s: float = 20.0,
     user_agent: str = "crawler-spark/0.1",
     max_children_per_host: int = 8,
 ) -> DataFrame:
-    """Live sitemap discovery: GET ``<scheme>://<netloc>/sitemap.xml`` per
-    host, parse, then ONE bounded child wave for sitemapindex children
-    (``max_children_per_host`` deepest-priority-first per host; deeper
-    nesting is ignored — the protocol allows one index level). Returns
-    ``(host, url, lastmod, priority)``, deduped per (host, url).
+    """Live sitemap discovery. Roots per host come from the host's
+    robots.txt ``Sitemap:`` directives (the protocol's discovery channel,
+    capped at ``max_children_per_host`` per host); hosts that declare none
+    fall back to ``<scheme>://<netloc>/sitemap.xml``. Roots are fetched
+    and parsed, then ONE bounded child wave covers ``<sitemapindex>``
+    children (deeper nesting is ignored — the protocol allows one index
+    level). Returns ``(host, url, lastmod, priority)``, deduped per
+    (host, url).
 
     Unreachable or non-200 hosts simply contribute no rows — unlike
-    robots.txt, a missing sitemap carries no obligation (the crawl just
-    proceeds from its seeds)."""
+    robots.txt's politeness rules, a missing sitemap carries no
+    obligation (the crawl just proceeds from its seeds)."""
     from crawler_spark.operators.fetch import live_fetch
 
-    roots = host_urls.select(
-        F.concat(
-            F.regexp_extract("url", r"^([a-z][a-z0-9+.\-]*://[^/]+)", 1),
-            F.lit("/sitemap.xml"),
-        ).alias("url"),
-        "host",
-        F.lit(0).alias("attempts"),
+    origin = F.regexp_extract("url", r"^([a-z][a-z0-9+.\-]*://[^/]+)", 1)
+    base = host_urls.select(origin.alias("origin"), "host")
+
+    # discovery hop: each host's robots.txt, mined for Sitemap: lines
+    rob = live_fetch(
+        base.select(
+            F.concat("origin", F.lit("/robots.txt")).alias("url"),
+            "host",
+            F.lit(0).alias("attempts"),
+        ),
+        timeout_s=timeout_s,
+        user_agent=user_agent,
     )
+    declared = rob.where(F.col("status") == 200).select(
+        "host",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("body").cast("string"), F.lit(_ROBOTS_SITEMAP), 1
+            )
+        ).alias("url"),
+    )
+    w_decl = Window.partitionBy("host").orderBy(F.col("url").asc())
+    declared = (
+        declared.withColumn("__rn", F.row_number().over(w_decl))
+        .where(F.col("__rn") <= max_children_per_host)
+        .select("url", "host")
+    )
+    fallback = base.join(
+        declared.select("host").distinct(), "host", "left_anti"
+    ).select(F.concat("origin", F.lit("/sitemap.xml")).alias("url"), "host")
+    roots = declared.union(fallback).withColumn("attempts", F.lit(0))
     fetched = live_fetch(roots, timeout_s=timeout_s, user_agent=user_agent)
     entries = parse_sitemap_entries(
         fetched.where(F.col("status") == 200), xml_col="body", src_col="url"

@@ -152,3 +152,54 @@ def test_engine_crawls_sitemap_only_urls(spark, sitemap_server, tmp_path):
     assert rounds[f"{base}/extra/1"] <= rounds[f"{base}/extra/2"]
     # ordinary seed-reachable records still crawled
     assert any("/record/" in u for u in fetched)
+
+
+def test_robots_sitemap_directive_overrides_default(spark):
+    """A robots.txt Sitemap: directive replaces the /sitemap.xml fallback
+    for that host — the decoy default must never be fetched."""
+    state = {"default_hit": False}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/sitemap.xml":
+                state["default_hit"] = True
+            body = pages.get(self.path)
+            if body is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    pages = {
+        "/robots.txt": (
+            "User-agent: *\nDisallow:\n"
+            f"Sitemap: {base}/maps/a.xml\n"
+        ).encode(),
+        "/maps/a.xml": (
+            f"<urlset><url><loc>{base}/declared/1</loc></url></urlset>"
+        ).encode(),
+        "/sitemap.xml": (
+            f"<urlset><url><loc>{base}/decoy/1</loc></url></urlset>"
+        ).encode(),
+    }
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        from crawler_spark.operators.sitemaps import sitemap_wave
+
+        host = base.split("//", 1)[1]
+        hosts = spark.createDataFrame(
+            [(host, f"{base}/search?page=1")], "host string, url string"
+        )
+        got = {r["url"] for r in sitemap_wave(hosts, timeout_s=5).collect()}
+        assert got == {f"{base}/declared/1"}
+        assert not state["default_hit"]
+    finally:
+        srv.shutdown()
