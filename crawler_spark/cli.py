@@ -66,6 +66,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="live mode: skip the automatic robots.txt fetch "
                         "waves (politeness then comes only from --politeness)")
     p.add_argument("--user-agent", default="crawler-spark/0.1")
+    p.add_argument("--live-sitemaps", action="store_true",
+                   help="live mode: discover sitemap URLs for seed hosts at "
+                        "fresh run start (robots Sitemap: directives, "
+                        "/sitemap.xml fallback) and queue them priority-first")
+    p.add_argument("--url-junk-filter", action="store_true",
+                   help="drop trap-shaped link candidates (param explosion, "
+                        "digit-soup paths, session tokens) before the seen filter")
+    p.add_argument("--url-blocklist", default=None,
+                   help="parquet with one `domain` column of registrable "
+                        "domains; matching candidates are dropped pre-seen")
+    p.add_argument("--adaptive-politeness", action="store_true",
+                   help="live mode: AIMD per-host crawl-delay backoff on "
+                        "429/503 throttle signals (factors persist in ckpt)")
     p.add_argument("--link-graph", action="store_true",
                    help="commit a per-round (src_hash, dst_hash) edge log"
                         " for offline re-scoring (opic.pagerank)")
@@ -230,10 +243,18 @@ def main(argv: list[str] | None = None) -> int:
         live_robots=args.live_robots,
         user_agent=args.user_agent,
         persist_link_graph=args.link_graph,
+        live_sitemaps=args.live_sitemaps,
+        url_junk_filter=args.url_junk_filter,
+        adaptive_politeness=args.adaptive_politeness,
     )
     eng = CrawlEngine(
         spark, pages, seeds, politeness, cfg,
         connectors=load_connectors(args.connectors),
+        url_blocklist=(
+            spark.read.parquet(args.url_blocklist)
+            if args.url_blocklist
+            else None
+        ),
     )
     # --force re-crawls from the seeds (the seen set is ignored by the
     # engine; resuming an exhausted frontier would end immediately)

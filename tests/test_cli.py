@@ -174,3 +174,19 @@ def test_load_connectors_types(tmp_path):
     assert all(isinstance(sf, SecondaryFetch) for sf in g.secondary_fetches)
     assert g.secondary_fetches[0].from_field == "Notice"
     assert g.secondary_fetches[1].kind == "book"
+
+
+def test_cli_url_gate_flags(spark, inputs, tmp_path, capsys):
+    """--url-blocklist (parquet) + --url-junk-filter thread through to the
+    engine: a full-domain blocklist leaves only the seed fetches."""
+    blk = str(tmp_path / "blk")
+    spark.createDataFrame([("example.test",)], ["domain"]).write.parquet(blk)
+    out = _run(
+        inputs, tmp_path,
+        ["--url-junk-filter", "--url-blocklist", blk, "--no-files"],
+    )
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["records"] == 0
+    fl = spark.read.parquet(f"{out}/fetch_log")
+    urls = [r["url"] for r in fl.select("url").collect()]
+    assert urls and all("/search" in u for u in urls)
