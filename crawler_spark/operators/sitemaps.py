@@ -222,3 +222,32 @@ def sitemap_frontier_rows(
         F.lit("record").alias("kind"),
         F.lit(connector_id).alias("connector_id"),
     )
+
+
+def sitemap_recrawl_candidates(
+    wave: DataFrame,
+    crawled: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    connector_id: str = "sitemap",
+) -> DataFrame:
+    """Freshness-driven recrawl set: URLs whose sitemap ``<lastmod>`` is
+    NEWER than the stored fetch timestamp — exactly the rows to hand to
+    ``CrawlEngine.run(recrawl=...)`` ((url, connector_id) shape, which
+    revokes their seen status). Entries without a parseable lastmod
+    contribute nothing (no signal ≠ stale). One equi-join on url; both
+    sides carry (url, ts) only."""
+    lm = F.try_to_timestamp(F.col("lastmod"))
+    fresh = (
+        wave.where(F.col("lastmod").isNotNull())
+        .select("url", lm.alias("__lm"))
+        .where(F.col("__lm").isNotNull())
+    )
+    stored = crawled.select(
+        F.col(url_col).alias("url"), F.col(ts_col).alias("__ts")
+    )
+    return (
+        fresh.join(stored, "url")
+        .where(F.col("__lm") > F.col("__ts"))
+        .select("url", F.lit(connector_id).alias("connector_id"))
+    )

@@ -203,3 +203,31 @@ def test_robots_sitemap_directive_overrides_default(spark):
         assert not state["default_hit"]
     finally:
         srv.shutdown()
+
+
+def test_sitemap_recrawl_candidates(spark):
+    """lastmod newer than the stored warc_ts -> recrawl; older, equal,
+    missing, or unparseable lastmod -> not."""
+    from datetime import datetime
+
+    from crawler_spark.operators.sitemaps import sitemap_recrawl_candidates
+
+    wave = spark.createDataFrame(
+        [
+            ("h", "http://h/1", "2024-06-01", 0.5),          # newer -> recrawl
+            ("h", "http://h/2", "2024-01-01", 0.5),          # older
+            ("h", "http://h/3", None, 0.5),                  # no signal
+            ("h", "http://h/4", "not-a-date", 0.5),          # unparseable
+            ("h", "http://h/5", "2024-03-15T12:00:00", 0.5), # equal ts
+            ("h", "http://h/9", "2024-06-01", 0.5),          # never crawled
+        ],
+        "host string, url string, lastmod string, priority double",
+    )
+    ts = datetime(2024, 3, 15, 12, 0, 0)
+    crawled = spark.createDataFrame(
+        [(f"http://h/{i}", ts) for i in (1, 2, 3, 4, 5)],
+        "url string, warc_ts timestamp",
+    )
+    got = {r["url"]: r["connector_id"]
+           for r in sitemap_recrawl_candidates(wave, crawled).collect()}
+    assert got == {"http://h/1": "sitemap"}
