@@ -1795,6 +1795,103 @@ def _crawl_e2e_webtext(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.run().webtext
 
 
+def _s16_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC container scan (crawler_spark.sources.warc.warc_scan): the
+    Common-Crawl envelope for the input table BASELINE.json's input_hint
+    names (the reference lands pages one live fetch at a time,
+    base.js:100-112; at 100 TB the same pages arrive as WARC files). Both
+    engines derive the same deterministic per-doc HTTP exchange from the
+    documents table — 404s every 17th doc, text/plain every 5th,
+    iso-8859-1 charset with a non-ASCII marker every 11th, a
+    Content-Language header on 2 of 3, an interleaved request record
+    every 13th that the scan must envelope-skip, gzip members on even
+    sites — the engine writes real WARC bytes per site and parses them
+    back; the oracle states writer∘parser identity directly over
+    documents."""
+    from crawler_spark.sources.warc import (
+        http_response_payload,
+        warc_scan,
+        write_warc,
+        write_warc_record,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", (F.col("doc_id") % 20).alias("site")
+    )
+
+    def build(key, pdf):
+        import pandas as pd
+        from datetime import datetime, timedelta
+
+        base_dt = datetime(2024, 3, 1)
+        recs = []
+        for r in pdf.sort_values("doc_id").itertuples(index=False):
+            doc_id = int(r.doc_id)
+            url = f"http://w{doc_id % 20}.example.com/doc/{doc_id}"
+            date = (base_dt + timedelta(seconds=doc_id)).strftime(
+                "%Y-%m-%dT%H:%M:%SZ"
+            )
+            is404 = doc_id % 17 == 0
+            latin = (doc_id % 11 == 0) and not is404
+            base = "" if is404 else (("é:" + r.text) if latin else r.text)
+            mime = "text/plain" if doc_id % 5 == 0 else "text/html"
+            if is404:
+                payload_text = ""
+            elif mime == "text/plain":
+                payload_text = base
+            else:
+                payload_text = f"<html><body>{base}</body></html>"
+            body = payload_text.encode("latin-1" if latin else "utf-8")
+            if doc_id % 13 == 0:
+                recs.append(
+                    write_warc_record(
+                        warc_type="request",
+                        url=url,
+                        date=date,
+                        payload=(
+                            f"GET /doc/{doc_id} HTTP/1.1\r\n\r\n".encode()
+                        ),
+                        content_type="application/http; msgtype=request",
+                    )
+                )
+            recs.append(
+                write_warc_record(
+                    warc_type="response",
+                    url=url,
+                    date=date,
+                    payload=http_response_payload(
+                        status=404 if is404 else 200,
+                        reason="Not Found" if is404 else "OK",
+                        body=body,
+                        content_type=(
+                            f"{mime}; charset="
+                            f"{'iso-8859-1' if latin else 'utf-8'}"
+                        ),
+                        content_language=(
+                            r.lang if doc_id % 3 != 0 else None
+                        ),
+                    ),
+                )
+            )
+        site = int(key[0])
+        return pd.DataFrame(
+            [
+                {
+                    "path": f"mem://site{site}.warc"
+                    + (".gz" if site % 2 == 0 else ""),
+                    "content": write_warc(recs, compress=site % 2 == 0),
+                }
+            ]
+        )
+
+    files = docs.groupBy("site").applyInPandas(
+        build, schema="path string, content binary"
+    )
+    return warc_scan(files).select(
+        "url", "warc_ts", "status", "mime", "lang", "text"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1878,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s15_sitemap_scan": _s15_sitemap_scan,
         "url_filter_gate": _url_filter_gate,
         "text_web_gate": _text_web_gate,
+        "s16_warc_scan": _s16_warc_scan,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
     }
@@ -2953,5 +3051,26 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(c.component, d.doc_id) AS cluster_id,
                (COALESCE(c.component, d.doc_id) = d.doc_id) AS keep
         FROM d0 d LEFT JOIN comp c ON c.id = d.doc_id
+    """
+    out["s16_warc_scan"] = """
+        WITH d AS (
+          SELECT doc_id, lang,
+                 CASE WHEN doc_id % 17 = 0 THEN ''
+                      WHEN doc_id % 11 = 0 THEN 'é:' || text
+                      ELSE text END AS base
+          FROM documents)
+        SELECT 'http://w' || CAST(doc_id % 20 AS VARCHAR)
+                 || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+               TIMESTAMP '2024-03-01 00:00:00'
+                 + INTERVAL (doc_id) SECOND AS warc_ts,
+               CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END AS status,
+               CASE WHEN doc_id % 5 = 0 THEN 'text/plain'
+                    ELSE 'text/html' END AS mime,
+               CASE WHEN doc_id % 3 <> 0 THEN lang END AS lang,
+               CASE WHEN doc_id % 17 = 0 THEN ''
+                    WHEN doc_id % 5 = 0 THEN base
+                    ELSE '<html><body>' || base || '</body></html>'
+               END AS text
+        FROM d
     """
     return out

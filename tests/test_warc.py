@@ -1,0 +1,141 @@
+"""WARC container source (crawler_spark.sources.warc): writer∘parser
+round-trip, envelope skipping, charset decode, gzip members, malformed
+input, and the Spark binaryFile scan."""
+
+import gzip
+from datetime import datetime
+
+import pytest
+
+from crawler_spark.sources.warc import (
+    http_response_payload,
+    iter_warc_records,
+    parse_warc_responses,
+    warc_scan,
+    write_warc,
+    write_warc_record,
+)
+
+
+def _resp(url, date, body, *, status=200, reason="OK",
+          content_type="text/html; charset=utf-8", lang=None):
+    return write_warc_record(
+        warc_type="response",
+        url=url,
+        date=date,
+        payload=http_response_payload(
+            status=status, reason=reason, body=body,
+            content_type=content_type, content_language=lang,
+        ),
+    )
+
+
+def _sample_container(compress=False):
+    recs = [
+        write_warc_record(
+            warc_type="warcinfo", url=None, date="2024-03-01T00:00:00Z",
+            payload=b"software: test\r\n",
+            content_type="application/warc-fields",
+        ),
+        _resp("http://a.example.com/1", "2024-03-01T00:00:01Z",
+              b"<html><body>hello</body></html>", lang="en"),
+        write_warc_record(  # request record: must be envelope-skipped
+            warc_type="request", url="http://a.example.com/2",
+            date="2024-03-01T00:00:02Z",
+            payload=b"GET /2 HTTP/1.1\r\nHost: a.example.com\r\n\r\n",
+            content_type="application/http; msgtype=request",
+        ),
+        _resp("http://a.example.com/2", "2024-03-01T00:00:02Z",
+              "café".encode("latin-1"), status=200,
+              content_type="text/plain; charset=iso-8859-1"),
+        _resp("http://a.example.com/3", "2024-03-01T00:00:03Z",
+              b"\x89PNG\r\n\x1a\nxxxx", content_type="image/png"),
+        _resp("http://a.example.com/4", "2024-03-01T00:00:04Z",
+              b"", status=404, reason="Not Found",
+              content_type="text/html; charset=utf-8"),
+    ]
+    return write_warc(recs, compress=compress)
+
+
+def test_roundtrip_fields():
+    rows = list(parse_warc_responses(_sample_container()))
+    assert [r["url"] for r in rows] == [
+        f"http://a.example.com/{i}" for i in (1, 2, 3, 4)
+    ]
+    r1, r2, r3, r4 = rows
+    assert r1["text"] == "<html><body>hello</body></html>"
+    assert r1["lang"] == "en" and r1["status"] == 200
+    assert r1["warc_ts"] == datetime(2024, 3, 1, 0, 0, 1)
+    assert r2["text"] == "café"  # latin-1 decoded per declared charset
+    assert r2["html"] == "café".encode("latin-1")
+    assert r3["text"] is None and r3["mime"] == "image/png"
+    assert r3["html"].startswith(b"\x89PNG")
+    assert r4["status"] == 404 and r4["text"] == ""
+
+
+def test_envelope_skips_non_response():
+    kinds = [h.get("warc-type") for h, _ in
+             iter_warc_records(_sample_container())]
+    assert kinds == ["warcinfo", "response", "request",
+                     "response", "response", "response"]
+    # request/warcinfo records do not become rows
+    assert len(list(parse_warc_responses(_sample_container()))) == 4
+
+
+def test_gzip_members_roundtrip():
+    plain = list(parse_warc_responses(_sample_container()))
+    gz = list(parse_warc_responses(_sample_container(compress=True)))
+    assert gz == plain
+    # per-record members: the stream has >1 gzip magic
+    data = _sample_container(compress=True)
+    assert data.count(b"\x1f\x8b\x08") >= 6
+
+
+def test_malformed_inputs_raise():
+    good = _sample_container()
+    with pytest.raises(ValueError, match="version line"):
+        list(iter_warc_records(b"HTTP/1.1 200 OK\r\n\r\n"))
+    with pytest.raises(ValueError, match="truncated WARC payload"):
+        list(iter_warc_records(good[: len(good) - 40]))
+    no_len = write_warc_record(
+        warc_type="response", url="http://x/", date="2024-03-01T00:00:00Z",
+        payload=b"",
+    ).replace(b"Content-Length: 0\r\n", b"")
+    with pytest.raises(ValueError, match="Content-Length"):
+        list(iter_warc_records(no_len))
+
+
+def test_unknown_charset_falls_back_utf8():
+    rec = _resp("http://a/", "2024-03-01T00:00:00Z", b"abc",
+                content_type="text/plain; charset=x-bogus-enc")
+    (row,) = parse_warc_responses(rec)
+    assert row["text"] == "abc"
+
+
+def test_warc_scan_binaryfile(spark, tmp_path):
+    (tmp_path / "part-0.warc").write_bytes(_sample_container())
+    (tmp_path / "part-1.warc.gz").write_bytes(_sample_container(compress=True))
+    (tmp_path / "ignore.txt").write_bytes(b"not a warc")
+    df = warc_scan(spark, str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 8  # 4 responses per container
+    assert df.columns == [
+        "url", "warc_ts", "html", "text", "lang", "status", "mime",
+        "warc_file",
+    ]
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["warc_file"].rsplit("/", 1)[-1], []).append(r)
+    assert set(by_file) == {"part-0.warc", "part-1.warc.gz"}
+    for rs in by_file.values():
+        texts = {r["url"].rsplit("/", 1)[-1]: r["text"] for r in rs}
+        assert texts == {"1": "<html><body>hello</body></html>",
+                         "2": "café", "3": None, "4": ""}
+
+
+def test_warc_scan_dataframe_input(spark):
+    pdf_rows = [("mem://a.warc", bytearray(_sample_container()))]
+    df = spark.createDataFrame(pdf_rows, "path string, content binary")
+    out = warc_scan(df)
+    assert out.count() == 4
+    assert {r["status"] for r in out.collect()} == {200, 404}
