@@ -1892,6 +1892,48 @@ def _s16_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dust_param_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUST param-irrelevance mining (crawler_spark.functions.dust,
+    Bar-Yossef et al. WWW'07): both engines derive the same synthetic
+    (url, fingerprint) corpus from orders — ``ref`` never changes content
+    (irrelevant), ``utm`` appears on 1-in-7 URLs and never changes content
+    (irrelevant via presence/absence evidence), ``page`` and ``id`` key
+    the fingerprint (relevant) — and mine per-(host, param) rules. The
+    reference hand-avoids aliasing per museum connector; a generalized
+    frontier learns it from fetched fingerprints."""
+    from crawler_spark.functions.dust import dust_param_rules
+
+    k = F.col("o_orderkey")
+    url = F.concat(
+        F.lit("http://d"),
+        (k % 5).cast("string"),
+        F.lit(".example.com/item?id="),
+        (k % 11).cast("string"),
+        F.lit("&page="),
+        (k % 2).cast("string"),
+        F.lit("&ref=r"),
+        (k % 3).cast("string"),
+        F.when(
+            k % 7 == 0,
+            F.concat(F.lit("&utm=x"), ((k % 13) % 3).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    fp = F.concat(
+        F.lit("f"),
+        (k % 5).cast("string"),
+        F.lit("-"),
+        (k % 11).cast("string"),
+        F.lit("-"),
+        (k % 2).cast("string"),
+    )
+    corpus = _t(spark, sf_dir, "orders").select(
+        url.alias("url"), fp.alias("fp")
+    )
+    return dust_param_rules(corpus).select(
+        "host", "param", "support", "violations", "is_irrelevant"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1976,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter_gate": _url_filter_gate,
         "text_web_gate": _text_web_gate,
         "s16_warc_scan": _s16_warc_scan,
+        "dust_param_rules": _dust_param_rules,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
     }
@@ -3072,5 +3115,67 @@ def oracle_sql() -> dict[str, str]:
                     ELSE '<html><body>' || base || '</body></html>'
                END AS text
         FROM d
+    """
+    out["dust_param_rules"] = r"""
+        WITH src AS (
+          SELECT 'http://d' || CAST(o_orderkey % 5 AS VARCHAR)
+                   || '.example.com/item?id='
+                   || CAST(o_orderkey % 11 AS VARCHAR)
+                   || '&page=' || CAST(o_orderkey % 2 AS VARCHAR)
+                   || '&ref=r' || CAST(o_orderkey % 3 AS VARCHAR)
+                   || CASE WHEN o_orderkey % 7 = 0
+                        THEN '&utm=x'
+                          || CAST((o_orderkey % 13) % 3 AS VARCHAR)
+                        ELSE '' END AS url,
+                 'f' || CAST(o_orderkey % 5 AS VARCHAR) || '-'
+                   || CAST(o_orderkey % 11 AS VARCHAR) || '-'
+                   || CAST(o_orderkey % 2 AS VARCHAR) AS fp
+          FROM orders),
+        b AS (
+          SELECT url, fp,
+                 regexp_extract(url,
+                   '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
+                 regexp_extract(url,
+                   '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+                 list_filter(str_split(
+                   regexp_extract(url, '\?([^#]*)', 1), '&'),
+                   x -> x <> '') AS params
+          FROM src),
+        occ AS (
+          SELECT host, regexp_extract(p, '^([^=]*)', 1) AS pname
+          FROM (SELECT host, unnest(params) AS p FROM b)),
+        vocab AS (
+          SELECT host, pname FROM (
+            SELECT host, pname,
+                   row_number() OVER (PARTITION BY host
+                     ORDER BY count(*) DESC, pname) AS rk
+            FROM occ GROUP BY host, pname)
+          WHERE rk <= 16),
+        withr AS (
+          SELECT host, regexp_extract(p, '^([^=]*)', 1) AS pname, fp, url,
+                 path || '?' || array_to_string(list_sort(
+                   list_filter(params, x -> x <> p)), '&') AS rest
+          FROM (SELECT host, path, fp, url, params, unnest(params) AS p
+                FROM b)),
+        absent AS (
+          SELECT b.host, v.pname, b.fp, b.url,
+                 path || '?' || array_to_string(list_sort(params), '&')
+                   AS rest
+          FROM b JOIN vocab v ON v.host = b.host
+          WHERE NOT list_contains(list_transform(b.params,
+                  x -> regexp_extract(x, '^([^=]*)', 1)), v.pname)),
+        g AS (
+          SELECT host, pname, rest,
+                 count(DISTINCT fp) AS nf
+          FROM (SELECT * FROM withr UNION ALL SELECT * FROM absent)
+          GROUP BY host, pname, rest
+          HAVING count(DISTINCT url) >= 2)
+        SELECT host, pname AS param,
+               CAST(count(*) AS BIGINT) AS support,
+               CAST(sum(CASE WHEN nf > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS violations,
+               (sum(CASE WHEN nf > 1 THEN 1 ELSE 0 END)
+                 <= 0.0 * count(*)) AS is_irrelevant
+        FROM g GROUP BY host, pname HAVING count(*) >= 2
     """
     return out
