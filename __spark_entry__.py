@@ -1934,6 +1934,42 @@ def _dust_param_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trap_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evidence-based crawler-trap detection
+    (crawler_spark.functions.urlfilter.host_dup_stats): per-host
+    URL-vs-fingerprint expansion ratio. Both engines synthesize the same
+    corpus from orders — hosts t0/t1 are calendar traps (unique ?d= URL
+    per row, 5 fingerprints), t2..t7 are healthy (URL and fingerprint
+    both keyed mod 97) — and compute the per-host stats + trap flag."""
+    from crawler_spark.functions.urlfilter import host_dup_stats
+
+    k = F.col("o_orderkey")
+    h = (k % 8).cast("string")
+    url = F.when(
+        k % 8 < 2,
+        F.concat(
+            F.lit("http://t"),
+            h,
+            F.lit(".example.com/cal?d="),
+            k.cast("string"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("http://t"),
+            h,
+            F.lit(".example.com/p/a"),
+            (k % 97).cast("string"),
+        )
+    )
+    fp = F.when(
+        k % 8 < 2, F.concat(F.lit("f"), (k % 5).cast("string"))
+    ).otherwise(F.concat(F.lit("g"), (k % 97).cast("string")))
+    corpus = _t(spark, sf_dir, "orders").select(
+        url.alias("url"), fp.alias("fp")
+    )
+    return host_dup_stats(corpus, min_urls=50, dup_ratio_threshold=10.0)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2019,6 +2055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_web_gate": _text_web_gate,
         "s16_warc_scan": _s16_warc_scan,
         "dust_param_rules": _dust_param_rules,
+        "trap_host_stats": _trap_host_stats,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
     }
@@ -3177,5 +3214,42 @@ def oracle_sql() -> dict[str, str]:
                (sum(CASE WHEN nf > 1 THEN 1 ELSE 0 END)
                  <= 0.0 * count(*)) AS is_irrelevant
         FROM g GROUP BY host, pname HAVING count(*) >= 2
+    """
+    out["trap_host_stats"] = r"""
+        WITH src AS (
+          SELECT CASE WHEN o_orderkey % 8 < 2
+                   THEN 'http://t' || CAST(o_orderkey % 8 AS VARCHAR)
+                     || '.example.com/cal?d='
+                     || CAST(o_orderkey AS VARCHAR)
+                   ELSE 'http://t' || CAST(o_orderkey % 8 AS VARCHAR)
+                     || '.example.com/p/a'
+                     || CAST(o_orderkey % 97 AS VARCHAR) END AS url,
+                 CASE WHEN o_orderkey % 8 < 2
+                   THEN 'f' || CAST(o_orderkey % 5 AS VARCHAR)
+                   ELSE 'g' || CAST(o_orderkey % 97 AS VARCHAR) END AS fp
+          FROM orders),
+        b AS (
+          SELECT url, fp,
+                 regexp_extract(url,
+                   '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
+                 regexp_extract(url,
+                   '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+                 regexp_extract(url, '\?([^#]*)', 1) AS q
+          FROM src)
+        SELECT host,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+               CAST(count(DISTINCT fp) AS BIGINT) AS n_fps,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT url) AS DOUBLE) / count(DISTINCT fp)
+                 AS dup_ratio,
+               CAST(sum(len(path) - len(replace(path, '/', '')))
+                    AS DOUBLE) / count(*) AS avg_depth,
+               CAST(max(CASE WHEN q = '' THEN 0
+                        ELSE len(q) - len(replace(q, '&', '')) + 1 END)
+                    AS BIGINT) AS max_params,
+               (count(DISTINCT url) >= 50
+                AND CAST(count(DISTINCT url) AS DOUBLE)
+                      / count(DISTINCT fp) >= 10.0) AS is_trap
+        FROM b GROUP BY host
     """
     return out

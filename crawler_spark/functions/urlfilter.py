@@ -122,3 +122,52 @@ def filter_urls(
             "left_anti",
         )
     return out
+
+
+def host_dup_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    fp_col: str = "fp",
+    *,
+    min_urls: int = 100,
+    dup_ratio_threshold: float = 10.0,
+) -> DataFrame:
+    """Post-fetch trap detection: per-host URL-vs-content expansion.
+
+    The shape gate above (``url_junk``) rejects URLs a trap *typically*
+    emits; this is the complementary evidence-based gate — a calendar
+    trap, session-id loop, or faceted-search explosion mints unbounded
+    distinct URLs over a near-constant set of content fingerprints
+    (IRLbot's spam/branch-cap observation, WWW'09). One map-side-combined
+    groupBy(host); the result is (hosts) grain — tiny — so the flag list
+    broadcasts back into the frontier gate for free.
+
+    Returns ``(host, n_urls, n_fps, n_rows, dup_ratio, avg_depth,
+    max_params, is_trap)``; ``is_trap ⇔ n_urls ≥ min_urls ∧ dup_ratio ≥
+    dup_ratio_threshold``. Both ratios are single IEEE divisions of exact
+    integer aggregates, so engine/oracle parity is bit-for-bit.
+    """
+    u = F.col(url_col)
+    g = df.groupBy(url_host(u).alias("host")).agg(
+        F.countDistinct(url_col).alias("n_urls"),
+        F.countDistinct(fp_col).alias("n_fps"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(path_depth(u)).alias("__depth_sum"),
+        F.max(query_param_count(u)).alias("max_params"),
+    )
+    dup_ratio = F.col("n_urls").cast("double") / F.col("n_fps")
+    return g.select(
+        "host",
+        "n_urls",
+        "n_fps",
+        "n_rows",
+        dup_ratio.alias("dup_ratio"),
+        (F.col("__depth_sum").cast("double") / F.col("n_rows")).alias(
+            "avg_depth"
+        ),
+        "max_params",
+        (
+            (F.col("n_urls") >= min_urls)
+            & (dup_ratio >= dup_ratio_threshold)
+        ).alias("is_trap"),
+    )

@@ -208,6 +208,20 @@ class EngineConfig:
     adaptive_min_requests: int = 4
     adaptive_max_factor: float = 64.0
     adaptive_base_delay_ms: int = 1000
+    # opt-in evidence-based trap suppression (the incremental twin of
+    # functions/urlfilter.host_dup_stats): per-host HLL sketches of
+    # distinct URL hashes vs distinct body fingerprints, merged across
+    # rounds in a host-grain sidecar (Datasketches HLL ≈ KB per host
+    # regardless of URL count, so 10^6 hosts is a ~GB table, never a
+    # 10^10-row set). A host whose estimated URL count exceeds
+    # trap_min_urls with urls/fingerprints ≥ trap_dup_ratio (calendar
+    # traps, session-id loops mint unbounded URLs over near-constant
+    # content) is anti-joined out of link candidates from the NEXT round
+    # on. Shape-based suppression (url_junk_filter) is the prior; this is
+    # the posterior learned from fetched bytes.
+    trap_detection: bool = False
+    trap_min_urls: int = 1000
+    trap_dup_ratio: float = 20.0
     # re-probe cadence: a cached robots row older than this many rounds no
     # longer counts as known, so the host is re-probed on its next wave
     # (rules changing mid-crawl are picked up). None = cache for the crawl.
@@ -332,6 +346,8 @@ class CrawlEngine:
         self._adaptive_dir = _os.path.join(
             self.cfg.ckpt_dir, "adaptive_politeness"
         )
+        # trap-suppression sketches: same sidecar-cache pattern
+        self._trap_dir = _os.path.join(self.cfg.ckpt_dir, "trap_sketches")
         bloom_root = _os.path.join(self.cfg.ckpt_dir, "blooms")
         if self.cfg.bloom_partitions is None:
             # auto: adopt the persisted partition count (resume keeps a
@@ -472,6 +488,112 @@ class CrawlEngine:
         keep.coalesce(1).write.mode("overwrite").parquet(tmp)
         _sh.rmtree(self._adaptive_dir, ignore_errors=True)
         _os.replace(tmp, self._adaptive_dir)
+
+    # -- trap suppression (evidence-based; the incremental form of
+    #    functions/urlfilter.host_dup_stats) -------------------------------
+
+    def _load_trap_sketches(self) -> DataFrame | None:
+        """Freshest (host, url_sk, fp_sk) per host from the sidecar —
+        sketches are merged cumulatively at update time, so the newest
+        row per host IS the whole-crawl state."""
+        import os as _os
+
+        if not _os.path.isdir(self._trap_dir):
+            return None
+        try:
+            t = self.spark.read.parquet(self._trap_dir)
+        except Exception:
+            return None
+        w = Window.partitionBy("host").orderBy(F.col("updated_round").desc())
+        return (
+            t.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("host", "url_sk", "fp_sk")
+        )
+
+    def _trap_update(self, ok: DataFrame, round_no: int) -> None:
+        """One bounded append per round: per-host HLL sketches of this
+        round's distinct URL hashes and body fingerprints, hll_union'd
+        into the persisted state for the hosts the round touched (other
+        hosts' rows stay put; freshest-per-host read). O(round batch)
+        aggregation — the same cost shape as the adaptive-backoff
+        update."""
+        from crawler_spark.functions.urlfilter import url_host
+
+        cur = (
+            ok.select(
+                url_host(F.col("url")).alias("host"),
+                F.xxhash64("url").alias("__u"),
+                F.xxhash64("body").alias("__f"),
+            )
+            .groupBy("host")
+            .agg(
+                F.hll_sketch_agg("__u").alias("url_sk"),
+                F.hll_sketch_agg("__f").alias("fp_sk"),
+            )
+        )
+        old = self._load_trap_sketches()
+        if old is not None:
+            cur = cur.join(
+                old.select(
+                    "host",
+                    F.col("url_sk").alias("__ou"),
+                    F.col("fp_sk").alias("__of"),
+                ),
+                "host",
+                "left",
+            ).select(
+                "host",
+                F.when(F.col("__ou").isNull(), F.col("url_sk"))
+                .otherwise(F.hll_union("url_sk", "__ou"))
+                .alias("url_sk"),
+                F.when(F.col("__of").isNull(), F.col("fp_sk"))
+                .otherwise(F.hll_union("fp_sk", "__of"))
+                .alias("fp_sk"),
+            )
+        cur.withColumn(
+            "updated_round", F.lit(int(round_no))
+        ).write.mode("append").parquet(self._trap_dir)
+        self._compact_trap_table()
+
+    def _compact_trap_table(self, max_files: int = 64) -> None:
+        """Same cache semantics as the adaptive/robots sidecars: a kill
+        mid-rewrite at worst loses learned sketches, never correctness."""
+        import os as _os
+        import shutil as _sh
+
+        try:
+            files = [
+                f
+                for f in _os.listdir(self._trap_dir)
+                if not f.startswith("_") and not f.startswith(".")
+            ]
+        except OSError:
+            return
+        if len(files) <= max_files:
+            return
+        winners = self._load_trap_sketches()
+        if winners is None:
+            return
+        keep = winners.withColumn("updated_round", F.lit(0))
+        tmp = self._trap_dir + ".compact"
+        keep.coalesce(1).write.mode("overwrite").parquet(tmp)
+        _sh.rmtree(self._trap_dir, ignore_errors=True)
+        _os.replace(tmp, self._trap_dir)
+
+    def _trapped_hosts(self) -> DataFrame | None:
+        """Hosts whose sketch estimates cross the trap thresholds. Host
+        grain over the (tiny) sidecar — Catalyst's own size estimate
+        broadcasts it into the candidate gate's anti-join."""
+        sk = self._load_trap_sketches()
+        if sk is None:
+            return None
+        est_u = F.hll_sketch_estimate("url_sk")
+        est_f = F.greatest(F.hll_sketch_estimate("fp_sk"), F.lit(1))
+        return sk.where(
+            (est_u >= self.cfg.trap_min_urls)
+            & (est_u.cast("double") / est_f >= self.cfg.trap_dup_ratio)
+        ).select("host")
 
     def _load_robots_table(self) -> DataFrame | None:
         import os as _os
@@ -1222,6 +1344,10 @@ class CrawlEngine:
                     self._adaptive_update(fetched, round_no)
             else:
                 ok, retry, dead = split_retries(fetched, cfg.max_attempts)
+            if cfg.trap_detection:
+                # learn from this round's fetched bytes; suppression
+                # applies from the NEXT round's candidate gate
+                self._trap_update(ok, round_no)
             _sect("fetch+count")
 
             # lineage-truncated frames (LogicalRDD) report no size stats, so
@@ -1582,7 +1708,11 @@ class CrawlEngine:
             # registrable domains drop here, before any seen/frontier work
             # (the gate is pure codegen + at most one anti-join; Catalyst
             # broadcasts a small blocklist on its own size estimate)
-            if cfg.url_junk_filter or self.url_blocklist is not None:
+            if (
+                cfg.url_junk_filter
+                or self.url_blocklist is not None
+                or cfg.trap_detection
+            ):
                 from crawler_spark.functions import urlfilter as _uf
 
                 if cfg.url_junk_filter:
@@ -1596,6 +1726,17 @@ class CrawlEngine:
                         == F.col("__blk"),
                         "left_anti",
                     )
+                if cfg.trap_detection:
+                    trapped = self._trapped_hosts()
+                    if trapped is not None:
+                        cands = cands.join(
+                            trapped.select(
+                                F.col("host").alias("__trap_h")
+                            ),
+                            _uf.url_host(F.col("url"))
+                            == F.col("__trap_h"),
+                            "left_anti",
+                        )
             seen_plus = seen.select("url_hash").union(
                 ok.select("url_hash")
             )

@@ -63,3 +63,33 @@ def test_junk_filter_unchanged_on_clean_site(spark, tmp_path):
     a = sorted(r["url"] for r in res_gated.records.select("url").collect())
     b = sorted(r["url"] for r in res_plain.records.select("url").collect())
     assert a == b and a
+
+
+def test_host_dup_stats_trap_detection(spark):
+    from crawler_spark.functions.urlfilter import host_dup_stats
+
+    rows = []
+    # trap host: 40 distinct calendar URLs over 4 fingerprints
+    for k in range(40):
+        rows.append((f"http://trap.test/cal/view?d=2024-{k}", f"f{k % 4}"))
+    # healthy host: 40 URLs, 40 fingerprints, deeper paths
+    for k in range(40):
+        rows.append((f"http://ok.test/a/b/p{k}", f"g{k}"))
+    df = spark.createDataFrame(rows, "url string, fp string")
+    got = {
+        r["host"]: r
+        for r in host_dup_stats(
+            df, min_urls=30, dup_ratio_threshold=5.0
+        ).collect()
+    }
+    t, o = got["trap.test"], got["ok.test"]
+    assert t["is_trap"] and not o["is_trap"]
+    assert t["n_urls"] == 40 and t["n_fps"] == 4 and t["dup_ratio"] == 10.0
+    assert o["n_urls"] == 40 and o["n_fps"] == 40
+    assert t["max_params"] == 1 and o["max_params"] == 0
+    assert t["avg_depth"] == 2.0 and o["avg_depth"] == 3.0
+    # duplicate rows inflate n_rows, not n_urls
+    got2 = host_dup_stats(df.union(df.limit(5))).collect()
+    by = {r["host"]: r for r in got2}
+    assert by["trap.test"]["n_urls"] == 40
+    assert sum(r["n_rows"] for r in got2) == 85
