@@ -4,7 +4,7 @@ Every entry in ``queries()`` exercises one operator family from
 ``SURVEY.md §2`` (the ✦-marked inventory) through the *engine's own
 modules* (``crawler_spark.*``), over the driver-generated synthetic
 tables at ``sf_dir``. ``oracle_sql()`` holds the DuckDB-equivalent ANSI
-SQL for EVERY key (67/67): hash-dependent pipelines run md5 variants both
+SQL for EVERY key (76/76): hash-dependent pipelines run md5 variants both
 engines compute identically (MinHash/SimHash), approximate searches run
 at deterministic or provably-exact anchors (coordinate-sign LSH; IVF at
 nprobe == n_cells), and the iterative crawl loop is checked against a
@@ -1970,6 +1970,24 @@ def _trap_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_dup_stats(corpus, min_urls=50, dup_ratio_threshold=10.0)
 
 
+def _text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-token census (crawler_spark.functions.textstats.
+    corpus_token_report): per (lang, source, size-bucket) document/token/
+    char totals — the budget accounting behind a data-mix decision. Both
+    engines first inflate the short synthetic docs deterministically
+    (repeat keyed on doc_id) so multiple size buckets are exercised."""
+    from crawler_spark.functions.textstats import corpus_token_report
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.expr(
+            "repeat(concat(text, ' '), CAST(doc_id % 6 AS INT) * 7 + 1)"
+        ).alias("text"),
+    )
+    return corpus_token_report(docs)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2056,6 +2074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s16_warc_scan": _s16_warc_scan,
         "dust_param_rules": _dust_param_rules,
         "trap_host_stats": _trap_host_stats,
+        "text_token_budget": _text_token_budget,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
     }
@@ -3251,5 +3270,30 @@ def oracle_sql() -> dict[str, str]:
                 AND CAST(count(DISTINCT url) AS DOUBLE)
                       / count(DISTINCT fp) >= 10.0) AS is_trap
         FROM b GROUP BY host
+    """
+    out["text_token_budget"] = r"""
+        WITH d AS (
+          SELECT lang, source,
+                 repeat(text || ' ', (doc_id % 6) * 7 + 1) AS text
+          FROM documents),
+        t AS (
+          SELECT lang, source,
+                 len(list_filter(str_split_regex(trim(text), '\s+'),
+                     x -> x <> '')) AS n,
+                 length(text) AS c
+          FROM d)
+        SELECT lang, source,
+               CASE WHEN n < 128 THEN '<128'
+                    WHEN n < 512 THEN '128-511'
+                    WHEN n < 2048 THEN '512-2047'
+                    WHEN n < 8192 THEN '2048-8191'
+                    ELSE '>=8192' END AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS total_tokens,
+               CAST(min(n) AS BIGINT) AS min_tokens,
+               CAST(max(n) AS BIGINT) AS max_tokens,
+               CAST(sum(c) AS BIGINT) AS total_chars,
+               CAST(sum(n) AS DOUBLE) / count(*) AS mean_tokens
+        FROM t GROUP BY 1, 2, 3
     """
     return out

@@ -76,6 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--url-blocklist", default=None,
                    help="parquet with one `domain` column of registrable "
                         "domains; matching candidates are dropped pre-seen")
+    p.add_argument("--trap-detection", action="store_true",
+                   help="evidence-based trap suppression: per-host HLL "
+                        "sketches of URLs vs body fingerprints (persist in "
+                        "ckpt); exploding hosts stop contributing links")
+    p.add_argument("--trap-min-urls", type=int, default=1000)
+    p.add_argument("--trap-dup-ratio", type=float, default=20.0)
     p.add_argument("--adaptive-politeness", action="store_true",
                    help="live mode: AIMD per-host crawl-delay backoff on "
                         "429/503 throttle signals (factors persist in ckpt)")
@@ -246,6 +252,9 @@ def main(argv: list[str] | None = None) -> int:
         live_sitemaps=args.live_sitemaps,
         url_junk_filter=args.url_junk_filter,
         adaptive_politeness=args.adaptive_politeness,
+        trap_detection=args.trap_detection,
+        trap_min_urls=args.trap_min_urls,
+        trap_dup_ratio=args.trap_dup_ratio,
     )
     eng = CrawlEngine(
         spark, pages, seeds, politeness, cfg,

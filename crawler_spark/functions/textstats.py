@@ -277,3 +277,53 @@ def web_gate_reasons(
 
 def web_gate_keep(text: Column, **thresholds) -> Column:
     return F.size(web_gate_reasons(text, **thresholds)) == 0
+
+
+# token-budget buckets: fixed thresholds, pure integer comparisons (no
+# log2 float boundary risk), so engine/oracle bucketing is identical
+TOKEN_BUCKETS = (128, 512, 2048, 8192)
+
+
+def token_bucket(text: Column) -> Column:
+    """Doc-size bucket label from whitespace token count."""
+    n = token_count(text)
+    c = F.when(n < TOKEN_BUCKETS[0], F.lit(f"<{TOKEN_BUCKETS[0]}"))
+    for lo, hi in zip(TOKEN_BUCKETS, TOKEN_BUCKETS[1:]):
+        c = c.when(n < hi, F.lit(f"{lo}-{hi - 1}"))
+    return c.otherwise(F.lit(f">={TOKEN_BUCKETS[-1]}"))
+
+
+def corpus_token_report(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """The training-token census a corpus pipeline runs before a data mix
+    is chosen (Chinchilla-style budget accounting): per
+    (group_cols…, size-bucket) — document count, total/min/max whitespace
+    tokens, total characters, and mean tokens per doc. One
+    map-side-combined aggregation at (lang × source × bucket) grain; the
+    mean is a single IEEE division of exact integer aggregates so the
+    DuckDB oracle matches bit-for-bit."""
+    t = F.col(text_col)
+    n = token_count(t)
+    return (
+        df.select(
+            *group_cols,
+            token_bucket(t).alias("bucket"),
+            n.alias("__n"),
+            F.length(t).cast("long").alias("__c"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").cast("long").alias("total_tokens"),
+            F.min("__n").cast("long").alias("min_tokens"),
+            F.max("__n").cast("long").alias("max_tokens"),
+            F.sum("__c").alias("total_chars"),
+        )
+        .withColumn(
+            "mean_tokens",
+            F.col("total_tokens").cast("double") / F.col("n_docs"),
+        )
+    )

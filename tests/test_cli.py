@@ -190,3 +190,17 @@ def test_cli_url_gate_flags(spark, inputs, tmp_path, capsys):
     fl = spark.read.parquet(f"{out}/fetch_log")
     urls = [r["url"] for r in fl.select("url").collect()]
     assert urls and all("/search" in u for u in urls)
+
+
+def test_cli_trap_detection_flag(spark, inputs, tmp_path, capsys):
+    """--trap-detection threads through: with thresholds every host crosses
+    after round 1, discovery shuts off and the sidecar is persisted."""
+    import os
+
+    _run(
+        inputs, tmp_path,
+        ["--trap-detection", "--trap-min-urls", "2",
+         "--trap-dup-ratio", "1.0", "--no-files"],
+    )
+    capsys.readouterr()
+    assert os.path.isdir(str(tmp_path / "ckpt" / "trap_sketches"))

@@ -735,3 +735,25 @@ def test_filter_urls_blocklist_antijoin(spark):
     assert kept == {1, 3}
     # no blocklist -> only the junk gate applies
     assert {r["k"] for r in uf.filter_urls(df).collect()} == {1, 2, 3}
+
+
+def test_corpus_token_report(spark):
+    from crawler_spark.functions.textstats import corpus_token_report
+
+    rows = [
+        ("en", "s0", "a b c"),                      # 3 tokens, <128
+        ("en", "s0", " ".join(["t"] * 130)),        # 130 tokens, 128-511
+        ("en", "s1", ""),                           # 0 tokens
+        ("fr", "s0", " ".join(["u"] * 600)),        # 512-2047
+    ]
+    df = spark.createDataFrame(rows, "lang string, source string, text string")
+    got = {
+        (r["lang"], r["source"], r["bucket"]): r
+        for r in corpus_token_report(df).collect()
+    }
+    r = got[("en", "s0", "<128")]
+    assert r["n_docs"] == 1 and r["total_tokens"] == 3 and r["total_chars"] == 5
+    assert got[("en", "s0", "128-511")]["total_tokens"] == 130
+    assert got[("en", "s1", "<128")]["min_tokens"] == 0
+    assert got[("fr", "s0", "512-2047")]["n_docs"] == 1
+    assert r["mean_tokens"] == 3.0
