@@ -4,7 +4,7 @@ Every entry in ``queries()`` exercises one operator family from
 ``SURVEY.md §2`` (the ✦-marked inventory) through the *engine's own
 modules* (``crawler_spark.*``), over the driver-generated synthetic
 tables at ``sf_dir``. ``oracle_sql()`` holds the DuckDB-equivalent ANSI
-SQL for EVERY key (76/76): hash-dependent pipelines run md5 variants both
+SQL for EVERY key (77/77): hash-dependent pipelines run md5 variants both
 engines compute identically (MinHash/SimHash), approximate searches run
 at deterministic or provably-exact anchors (coordinate-sign LSH; IVF at
 nprobe == n_cells), and the iterative crawl loop is checked against a
@@ -1988,6 +1988,26 @@ def _text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_token_report(docs)
 
 
+def _text_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-quota prefix sample
+    (crawler_spark.functions.sampling.quota_sample): the data-mix selection
+    step after the token census. The engine runs the distributed two-phase
+    prefix-sum (range-bucketed hash, bounded driver summary, boundary-
+    bucket-only window); the oracle states the naive definition — one
+    cumulative-sum window per language over the Knuth-hash order — which
+    the two-phase plan must equal exactly. en/fr quotas bind at every sf
+    (partial keep), de's never does (whole-language keep), es/zh are
+    absent from the mix (dropped)."""
+    from crawler_spark.functions.sampling import quota_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return quota_sample(
+        docs,
+        {"en": 6000, "fr": 2000, "de": 1_000_000},
+        n_buckets=256,
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2075,6 +2095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dust_param_rules": _dust_param_rules,
         "trap_host_stats": _trap_host_stats,
         "text_token_budget": _text_token_budget,
+        "text_quota_sample": _text_quota_sample,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
     }
@@ -3295,5 +3316,21 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(c) AS BIGINT) AS total_chars,
                CAST(sum(n) AS DOUBLE) / count(*) AS mean_tokens
         FROM t GROUP BY 1, 2, 3
+    """
+    out["text_quota_sample"] = r"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 CAST(len(list_filter(str_split_regex(trim(text), '\s+'),
+                      x -> x <> '')) AS BIGINT) AS n_tokens,
+                 (doc_id * 2654435761) % 4294967296 AS h
+          FROM documents),
+        q(lang, quota) AS (
+          VALUES ('en', 6000), ('fr', 2000), ('de', 1000000)),
+        c AS (
+          SELECT t.doc_id, t.lang, t.n_tokens, q.quota,
+                 sum(t.n_tokens) OVER (PARTITION BY t.lang
+                                       ORDER BY t.h, t.doc_id) AS cum
+          FROM t JOIN q USING (lang))
+        SELECT doc_id, lang, n_tokens FROM c WHERE cum <= quota
     """
     return out
