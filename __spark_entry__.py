@@ -4,7 +4,7 @@ Every entry in ``queries()`` exercises one operator family from
 ``SURVEY.md §2`` (the ✦-marked inventory) through the *engine's own
 modules* (``crawler_spark.*``), over the driver-generated synthetic
 tables at ``sf_dir``. ``oracle_sql()`` holds the DuckDB-equivalent ANSI
-SQL for EVERY key (77/77): hash-dependent pipelines run md5 variants both
+SQL for EVERY key (78/78): hash-dependent pipelines run md5 variants both
 engines compute identically (MinHash/SimHash), approximate searches run
 at deterministic or provably-exact anchors (coordinate-sign LSH; IVF at
 nprobe == n_cells), and the iterative crawl loop is checked against a
@@ -2008,6 +2008,40 @@ def _text_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _url_surt_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-style SURT sort keys
+    (crawler_spark.functions.canonicalize.surt_key, pure JVM regexp/array
+    expressions): scheme/userinfo/fragment dropped, www-prefix stripped,
+    default ports removed, host labels reversed + comma-joined so a
+    lexicographic sort makes each domain contiguous (the Common-Crawl CDX
+    index layout; ``write_cdx_index`` range-partitions on it). URLs are
+    synthesized with userinfo / www and deep subdomains / non-default
+    ports / query / fragment so every dialect rule is exercised; the
+    DuckDB oracle replicates the PARSER (regex + list_reverse), not the
+    construction, so the parsing logic itself is value-checked."""
+    from crawler_spark.functions.canonicalize import surt_key
+
+    customer = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.when(k % 3 == 0, F.lit("user:pw@")).otherwise(F.lit("")),
+        F.when(k % 2 == 0, F.lit("www.")).otherwise(F.lit("sub.")),
+        F.lit("Host"),
+        (k % 11).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(k % 5 == 0, F.lit(":8443")).otherwise(F.lit("")),
+        F.lit("/cat/"),
+        F.col("c_mktsegment"),
+        F.lit("?k="),
+        (k % 13).cast("string"),
+        F.lit("#frag"),
+    )
+    return customer.select(
+        k.alias("custkey"), url.alias("url"), surt_key(url).alias("surt")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2096,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trap_host_stats": _trap_host_stats,
         "text_token_budget": _text_token_budget,
         "text_quota_sample": _text_quota_sample,
+        "url_surt_key": _url_surt_key,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
     }
@@ -3332,5 +3367,46 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY t.h, t.doc_id) AS cum
           FROM t JOIN q USING (lang))
         SELECT doc_id, lang, n_tokens FROM c WHERE cum <= quota
+    """
+    out["url_surt_key"] = r"""
+        WITH u AS (
+          SELECT c_custkey AS custkey,
+                 'HTTPS://'
+                 || CASE WHEN c_custkey % 3 = 0 THEN 'user:pw@' ELSE '' END
+                 || CASE WHEN c_custkey % 2 = 0 THEN 'www.' ELSE 'sub.' END
+                 || 'Host' || CAST(c_custkey % 11 AS VARCHAR)
+                 || '.Example.COM'
+                 || CASE WHEN c_custkey % 5 = 0 THEN ':8443' ELSE '' END
+                 || '/cat/' || c_mktsegment
+                 || '?k=' || CAST(c_custkey % 13 AS VARCHAR) || '#frag'
+                 AS url
+          FROM customer),
+        s1 AS (
+          SELECT custkey, url,
+                 regexp_replace(lower(url),
+                                '^[a-z][a-z0-9+.-]*://', '') AS rest
+          FROM u),
+        s2 AS (
+          SELECT *, regexp_extract(rest, '^([^/?#]*)', 1) AS auth FROM s1),
+        s3 AS (
+          SELECT *,
+                 regexp_replace(substring(rest, length(auth) + 1),
+                                '#.*$', '') AS pathq0,
+                 regexp_replace(auth, '^[^@]*@', '') AS a2
+          FROM s2),
+        s4 AS (
+          SELECT *,
+                 CASE WHEN pathq0 = '' THEN '/' ELSE pathq0 END AS pathq,
+                 regexp_extract(a2, ':(\d+)$', 1) AS port,
+                 regexp_replace(
+                   regexp_replace(a2, ':\d+$', ''),
+                   '^www\d*\.', '') AS host
+          FROM s3)
+        SELECT custkey, url,
+               array_to_string(list_reverse(string_split(host, '.')), ',')
+               || CASE WHEN port = '' OR port IN ('80', '443') THEN ''
+                       ELSE ':' || port END
+               || ')' || pathq AS surt
+        FROM s4
     """
     return out
