@@ -1159,10 +1159,11 @@ def _emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_spark.functions.similarity import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = embedding_neardup_pairs(emb, threshold=0.30, block_col="label")
-    return out.select(
-        "id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim4")
-    )
+    # raw IEEE doubles compare bit-for-bit (same element order, f32
+    # multiply + f64 sequential accumulate in both engines); decimal
+    # rounding is what DIVERGES across engines near .5 boundaries
+    # (double-rounding flipped 4 of 1449 rows at sf0.1)
+    return embedding_neardup_pairs(emb, threshold=0.30, block_col="label")
 
 
 # ---------------------------------------------------------------------------
@@ -2669,15 +2670,15 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
                  pairs AS (
                    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                          round(CASE WHEN sqrt(list_sum(list_transform(a.embedding, x -> CAST(x*x AS DOUBLE))))
-                                        * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x*x AS DOUBLE)))) > 0
+                          CASE WHEN sqrt(list_sum(list_transform(a.embedding, x -> CAST(x*x AS DOUBLE))))
+                                    * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x*x AS DOUBLE)))) > 0
                             THEN list_sum(list_transform(list_zip(a.embedding, b.embedding),
                                           p -> CAST(p[1]*p[2] AS DOUBLE)))
                                  / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x*x AS DOUBLE))))
                                     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x*x AS DOUBLE)))))
-                            ELSE 0.0 END, 6) AS cos_sim
+                            ELSE 0.0 END AS cos_sim
                    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-            SELECT id_a, id_b, round(cos_sim, 4) AS cos_sim4
+            SELECT id_a, id_b, cos_sim
             FROM pairs WHERE cos_sim >= 0.30
         """,
         "text_langid": f"""

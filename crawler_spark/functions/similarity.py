@@ -326,6 +326,7 @@ def embedding_neardup_pairs(
     block_col: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_to: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (blocked exact variant).
 
@@ -333,6 +334,13 @@ def embedding_neardup_pairs(
     join, which is a scale-killer one default away at 10^9 vectors. Callers
     without a natural block key should bucket first (``lsh_topk``'s
     hyperplane buckets give one) and pass the bucket column here.
+
+    ``round_to=None`` (default) emits the raw IEEE double: with the same
+    element order and float32-multiply/double-accumulate arithmetic any
+    engine reproduces it BIT-FOR-BIT, whereas decimal rounding is the one
+    step engines implement differently (double-rounding flips the last
+    digit for values near a .5 boundary — measured at sf0.1). Pass an int
+    only for display.
     """
     if not block_col:
         raise ValueError(
@@ -348,8 +356,11 @@ def embedding_neardup_pairs(
     l = base.select(*keys, F.col("id").alias("id_a"), F.col("v").alias("va"))
     r = base.select(*keys, F.col("id").alias("id_b"), F.col("v").alias("vb"))
     pairs = l.join(r, keys).where(F.col("id_a") < F.col("id_b"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
     return pairs.select(
         "id_a",
         "id_b",
-        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        sim.alias("cos_sim"),
     ).where(F.col("cos_sim") >= threshold)
