@@ -1110,8 +1110,10 @@ def _sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 50)
     out = brute_force_topk(queries, emb, k=3)
+    # raw IEEE doubles: bit-identical across engines (same fold order);
+    # decimal rounding is the step that diverges near .5 boundaries
     return out.select(
-        "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim4"),
+        "query_id", "neighbor_id", "cos_sim",
         F.col("rank").cast("long").alias("rank"),
     )
 
@@ -1125,9 +1127,9 @@ def _sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     out = axis_lsh_topk(emb, k=3, coords=(0, 1, 2, 3, 4, 5))
-    # single rounding only (6 dp): re-rounding 6dp → 4dp can straddle a .5
-    # boundary where Spark (HALF_UP on decimal) and DuckDB (binary double)
-    # disagree — one rounding of the bit-identical raw value cannot
+    # no decimal rounding at all: the raw doubles are bit-identical across
+    # engines (same fold order), while ANY round() near a .5 boundary can
+    # differ per engine (measured on emb_neardup at sf0.1)
     return out.select(
         "query_id", "neighbor_id", "cos_sim",
         F.col("rank").cast("long").alias("rank"),
@@ -2605,13 +2607,13 @@ def oracle_sql() -> dict[str, str]:
                    -- to Spark's F.aggregate sequential sum (list_sum may
                    -- reassociate and flip a round(.,4) boundary)
                    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-                          round(CASE WHEN sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x*x AS DOUBLE)), (s, v) -> s + v))
+                          (CASE WHEN sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x*x AS DOUBLE)), (s, v) -> s + v))
                                         * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x*x AS DOUBLE)), (s, v) -> s + v)) > 0
                             THEN list_reduce(list_transform(list_zip(a.embedding, b.embedding),
                                           p -> CAST(p[1]*p[2] AS DOUBLE)), (s, v) -> s + v)
                                  / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x*x AS DOUBLE)), (s, v) -> s + v))
                                     * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x*x AS DOUBLE)), (s, v) -> s + v)))
-                            ELSE 0.0 END, 6) AS cos_sim
+                            ELSE 0.0 END) AS cos_sim
                    FROM e a JOIN e b
                      ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
                  ranked AS (
@@ -2628,13 +2630,13 @@ def oracle_sql() -> dict[str, str]:
                  c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
                  scored AS (
                    SELECT query_id, neighbor_id,
-                          round(CASE WHEN sqrt(list_reduce(list_transform(qv, x -> CAST(x*x AS DOUBLE)), (s, v) -> s + v))
+                          (CASE WHEN sqrt(list_reduce(list_transform(qv, x -> CAST(x*x AS DOUBLE)), (s, v) -> s + v))
                                         * sqrt(list_reduce(list_transform(cv, x -> CAST(x*x AS DOUBLE)), (s, v) -> s + v)) > 0
                             THEN list_reduce(list_transform(list_zip(qv, cv),
                                           p -> CAST(p[1]*p[2] AS DOUBLE)), (s, v) -> s + v)
                                  / (sqrt(list_reduce(list_transform(qv, x -> CAST(x*x AS DOUBLE)), (s, v) -> s + v))
                                     * sqrt(list_reduce(list_transform(cv, x -> CAST(x*x AS DOUBLE)), (s, v) -> s + v)))
-                            ELSE 0.0 END, 6) AS cos_sim
+                            ELSE 0.0 END) AS cos_sim
                    FROM q JOIN c ON query_id <> neighbor_id),
                  ranked AS (
                    SELECT query_id, neighbor_id, cos_sim,
@@ -2650,20 +2652,20 @@ def oracle_sql() -> dict[str, str]:
                  c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
                  scored AS (
                    SELECT query_id, neighbor_id,
-                          round(CASE WHEN sqrt(list_sum(list_transform(qv, x -> CAST(x*x AS DOUBLE))))
+                          (CASE WHEN sqrt(list_sum(list_transform(qv, x -> CAST(x*x AS DOUBLE))))
                                         * sqrt(list_sum(list_transform(cv, x -> CAST(x*x AS DOUBLE)))) > 0
                             THEN list_sum(list_transform(list_zip(qv, cv),
                                           p -> CAST(p[1]*p[2] AS DOUBLE)))
                                  / (sqrt(list_sum(list_transform(qv, x -> CAST(x*x AS DOUBLE))))
                                     * sqrt(list_sum(list_transform(cv, x -> CAST(x*x AS DOUBLE)))))
-                            ELSE 0.0 END, 6) AS cos_sim
+                            ELSE 0.0 END) AS cos_sim
                    FROM q JOIN c ON query_id <> neighbor_id),
                  ranked AS (
                    SELECT query_id, neighbor_id, cos_sim,
                           CAST(row_number() OVER (PARTITION BY query_id
                                ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
                    FROM scored)
-            SELECT query_id, neighbor_id, round(cos_sim, 4) AS cos_sim4, rank
+            SELECT query_id, neighbor_id, cos_sim, rank
             FROM ranked WHERE rank <= 3
         """,
         "emb_neardup": """
