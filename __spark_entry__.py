@@ -2045,6 +2045,133 @@ def _url_surt_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _url_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (operators/redirects.py:resolve_redirects)
+    — pointer jumping / path doubling, ceil(log2(max_hops))+1 self-joins
+    instead of an L-step sequential walk. Chains are synthesized from
+    events: every event_id not divisible by 16 redirects to event_id-1,
+    giving chains of 1..15 hops down to each multiple of 16. The DuckDB
+    oracle walks the same edges with a recursive CTE and keeps each
+    source's farthest reach; the engine must agree on terminal AND hop
+    count for every chain length."""
+    from crawler_spark.operators.redirects import resolve_redirects
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.where(F.col("event_id") % 16 != 0).select(
+        F.col("event_id").alias("src"),
+        (F.col("event_id") - 1).alias("dst"),
+    )
+    out = resolve_redirects(edges, "src", "dst", max_hops=32)
+    return out.select(
+        "src",
+        "final_dst",
+        F.col("hops").cast("long").alias("hops"),
+        "resolved",
+    )
+
+
+def _graph_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation (functions/anchors.py:anchor_text_summary):
+    top-k anchor strings per link target with deterministic (count desc,
+    anchor asc) tiebreak, plus exact in-link and distinct-source-host
+    fan-in. The edge table is synthesized from lineitem with case/
+    whitespace variants ('Click  Here' vs 'click here') so the
+    normalization is value-checked, and empty anchors that must count
+    toward fan-in but never rank. All keyed aggregation — (dst, anchor)
+    counts are map-side combinable; the top-k window runs over aggregated
+    rows only."""
+    from crawler_spark.functions.anchors import anchor_text_summary
+
+    li = _t(spark, sf_dir, "lineitem")
+    ln = F.col("l_linenumber") % 4
+    anchor = (
+        F.when(ln == 0, F.lit("Click  Here"))
+        .when(ln == 1, F.lit("click here"))
+        .when(ln == 2, F.concat(F.lit("part "), (F.col("l_partkey") % 500)))
+        .otherwise(F.lit(""))
+    )
+    links = li.select(
+        (F.col("l_partkey") % 500).alias("dst"),
+        anchor.alias("anchor"),
+        F.concat(F.lit("h"), (F.col("l_suppkey") % 97)).alias("src_host"),
+    )
+    out = anchor_text_summary(links, k=2)
+    return out.select(
+        "dst",
+        "anchor",
+        "anchor_count",
+        F.col("anchor_rank").cast("long").alias("anchor_rank"),
+        "n_inlinks",
+        "n_src_hosts",
+    )
+
+
+def _text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing
+    (functions/packing.py:pack_sequences): every doc's token start offset
+    in its language's concatenated training stream and the fixed-length
+    sequence it starts in. The engine runs the distributed two-phase
+    prefix-sum (range-bucketed summary agg + per-bucket exclusive cumsum —
+    no per-language global window); the DuckDB oracle is the naive
+    single-window definition, so the decomposition is value-checked
+    bit-for-bit (all-integer arithmetic)."""
+    from crawler_spark.functions.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, seq_len=512, n_buckets=64)
+
+
+def _url_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection (functions/urlfilter.py:soft404_reason): error
+    pages served with HTTP 200, flagged from content shape — canonical
+    not-found phrases (case/whitespace tolerant) upgraded to high
+    confidence when the body is also short (Bar-Yossef et al. WWW'04
+    content-side signal). Bodies are synthesized per doc_id residue so
+    all four outcomes occur: phrase+short, phrase (long body merely
+    mentioning the phrase), short-but-healthy stub (must NOT flag), and
+    healthy. Pure JVM regex/length expressions."""
+    from crawler_spark.functions.urlfilter import is_soft404, soft404_reason
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 7
+    body = (
+        F.when(m == 0, F.concat(F.lit("Error 404 - Page Not  Found. "),
+                                F.col("text")))
+        .when(m == 1, F.lit("Sorry, this page  does not exist."))
+        .when(m == 2, F.lit("ok"))
+        .otherwise(F.col("text"))
+    )
+    return docs.select(
+        "doc_id",
+        soft404_reason(body, 400).alias("reason"),
+        is_soft404(body, 400).alias("soft404"),
+    )
+
+
+def _crawl_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-URL change-rate statistics for revisit scheduling
+    (operators/revisit.py:change_rate_stats — Cho & Garcia-Molina TOIT'03
+    input statistics): visits, fingerprint changes vs the previous visit,
+    exact visit span, and the change ratio (one IEEE division of exact
+    integers). Visit history synthesized from events (event_id % 300 as
+    the URL, event_type as the content fingerprint, event_id as the
+    deterministic timestamp tiebreak). The transcendental λ̂ estimator
+    itself is numpy-pinned in tests, not SQL-oracled, per the raw-double
+    parity policy."""
+    from crawler_spark.operators.revisit import change_rate_stats
+
+    ev = _t(spark, sf_dir, "events")
+    hist = ev.select(
+        F.concat(F.lit("u"), (F.col("event_id") % 300)).alias("url"),
+        F.col("ts"),
+        F.col("event_type").alias("fp"),
+        F.col("event_id"),
+    )
+    return change_rate_stats(
+        hist, url_col="url", ts_col="ts", fp_col="fp", order_col="event_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2134,6 +2261,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_budget": _text_token_budget,
         "text_quota_sample": _text_quota_sample,
         "url_surt_key": _url_surt_key,
+        "url_redirect_resolve": _url_redirect_resolve,
+        "graph_anchor_texts": _graph_anchor_texts,
+        "text_pack_sequences": _text_pack_sequences,
+        "url_soft404": _url_soft404,
+        "crawl_change_rate": _crawl_change_rate,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
     }
@@ -3411,5 +3543,126 @@ def oracle_sql() -> dict[str, str]:
                        ELSE ':' || port END
                || ')' || pathq AS surt
         FROM s4
+    """
+    # redirect chains: recursive CTE walks every chain to its end; the
+    # farthest row per src (max hops) is the terminal — acyclic by
+    # construction (edges strictly decrease event_id), so always resolved
+    out["url_redirect_resolve"] = r"""
+        WITH RECURSIVE edges AS (
+          SELECT event_id AS src, event_id - 1 AS dst
+          FROM events WHERE event_id % 16 <> 0),
+        walk AS (
+          SELECT src, dst AS cur, 1 AS hops FROM edges
+          UNION ALL
+          SELECT w.src, e.dst, w.hops + 1
+          FROM walk w JOIN edges e ON e.src = w.cur)
+        SELECT src, cur AS final_dst, CAST(hops AS BIGINT) AS hops,
+               TRUE AS resolved
+        FROM (SELECT *, row_number() OVER (PARTITION BY src
+                                           ORDER BY hops DESC) AS rn
+              FROM walk)
+        WHERE rn = 1
+    """
+    out["graph_anchor_texts"] = r"""
+        WITH links AS (
+          SELECT l_partkey % 500 AS dst,
+                 CASE l_linenumber % 4
+                   WHEN 0 THEN 'Click  Here'
+                   WHEN 1 THEN 'click here'
+                   WHEN 2 THEN 'part ' || CAST(l_partkey % 500 AS VARCHAR)
+                   ELSE '' END AS anchor,
+                 'h' || CAST(l_suppkey % 97 AS VARCHAR) AS src_host
+          FROM lineitem),
+        norm AS (
+          SELECT dst,
+                 trim(regexp_replace(lower(anchor), '\s+', ' ', 'g'))
+                   AS anchor,
+                 src_host
+          FROM links),
+        fanin AS (
+          SELECT dst, COUNT(*) AS n_inlinks,
+                 COUNT(DISTINCT src_host) AS n_src_hosts
+          FROM norm GROUP BY dst),
+        counts AS (
+          SELECT dst, anchor, COUNT(*) AS anchor_count
+          FROM norm WHERE anchor IS NOT NULL AND anchor <> ''
+          GROUP BY dst, anchor),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY dst
+                   ORDER BY anchor_count DESC, anchor ASC) AS BIGINT)
+                 AS anchor_rank
+          FROM counts)
+        SELECT r.dst, r.anchor, r.anchor_count, r.anchor_rank,
+               f.n_inlinks, f.n_src_hosts
+        FROM ranked r JOIN fanin f ON f.dst = r.dst
+        WHERE r.anchor_rank <= 2
+    """
+    # packing oracle = the naive per-language window definition; the
+    # engine's two-phase prefix-sum must reproduce it bit-for-bit
+    out["text_pack_sequences"] = r"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 CAST(len(list_filter(str_split_regex(trim(text), '\s+'),
+                      x -> x <> '')) AS BIGINT) AS n_tokens,
+                 (doc_id * 2654435761) % 4294967296 AS h
+          FROM documents)
+        SELECT doc_id, lang, n_tokens,
+               CAST(COALESCE(sum(n_tokens) OVER (
+                 PARTITION BY lang ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_offset,
+               CAST(COALESCE(sum(n_tokens) OVER (
+                 PARTITION BY lang ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // 512 AS BIGINT) AS seq_id
+        FROM t
+    """
+    out["url_soft404"] = r"""
+        WITH b AS (
+          SELECT doc_id,
+                 CASE doc_id % 7
+                   WHEN 0 THEN 'Error 404 - Page Not  Found. ' || text
+                   WHEN 1 THEN 'Sorry, this page  does not exist.'
+                   WHEN 2 THEN 'ok'
+                   ELSE text END AS body
+          FROM documents),
+        sig AS (
+          SELECT doc_id,
+                 regexp_matches(lower(body),
+                   '(page\s+not\s+found|404\s+not\s+found|error\s+404'
+                   || '|page\s+does\s+not\s+exist|no\s+longer\s+available'
+                   || '|page\s+you\s+requested\s+could\s+not\s+be\s+found)')
+                   AS hit,
+                 length(trim(body)) < 400 AS short
+          FROM b)
+        SELECT doc_id,
+               CASE WHEN hit AND short THEN 'phrase+short'
+                    WHEN hit THEN 'phrase' END AS reason,
+               (hit AND short) AS soft404
+        FROM sig
+    """
+    # change stats: lag over (ts, event_id) exactly as the engine's
+    # window; span via second-boundary count == floored epoch difference
+    out["crawl_change_rate"] = r"""
+        WITH h AS (
+          SELECT 'u' || CAST(event_id % 300 AS VARCHAR) AS url,
+                 ts, event_type AS fp, event_id
+          FROM events),
+        c AS (
+          SELECT url, ts,
+                 CASE WHEN lag(fp) OVER w IS NOT NULL
+                           AND fp <> lag(fp) OVER w
+                      THEN 1 ELSE 0 END AS chg
+          FROM h WINDOW w AS (PARTITION BY url ORDER BY ts, event_id)),
+        a AS (
+          SELECT url, COUNT(*) AS n_visits,
+                 CAST(SUM(chg) AS BIGINT) AS n_changes,
+                 date_diff('second', min(ts), max(ts)) AS span_secs
+          FROM c GROUP BY url)
+        SELECT url, n_visits, n_changes, span_secs,
+               CAST(n_changes AS DOUBLE)
+                 / greatest(n_visits - 1, 1) AS change_ratio
+        FROM a
     """
     return out

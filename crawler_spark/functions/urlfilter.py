@@ -171,3 +171,62 @@ def host_dup_stats(
             & (dup_ratio >= dup_ratio_threshold)
         ).alias("is_trap"),
     )
+
+
+# --- soft-404 detection ----------------------------------------------------
+# A soft 404 is an error page served with HTTP 200: the server says OK, the
+# body says "not found". Link-graph and dedup stages must drop them or every
+# parked domain's template becomes a mega-duplicate-cluster and dead links
+# stay in the frontier forever. Heuristic family: Bar-Yossef et al., "Sic
+# transit gloria telae" (WWW 2004) probe by fetching a random sibling URL;
+# offline over a crawl table we use the content-shape half of the signal
+# (error phrases + abnormally small bodies), which is what the probe
+# validates. Pure JVM expressions — rides the pages scan.
+
+_SOFT404_PHRASES = (
+    "page not found",
+    "404 not found",
+    "error 404",
+    "page does not exist",
+    "no longer available",
+    "page you requested could not be found",
+)
+# one alternation, compiled once by the JVM regex engine per task
+_SOFT404_RE = "(" + "|".join(p.replace(" ", "\\s+") for p in _SOFT404_PHRASES) + ")"
+
+
+def soft404_phrase_hit(text: Column) -> Column:
+    """True when the body contains a canonical not-found phrase
+    (case-insensitive, whitespace-run tolerant)."""
+    return F.lower(text).rlike(_SOFT404_RE)
+
+
+def soft404_reason(
+    text: Column, short_chars: int = 400
+) -> Column:
+    """NULL for a healthy page, else why it looks like a soft 404:
+
+    - ``'phrase'``        — error phrase in a normal-sized body
+    - ``'phrase+short'``  — error phrase AND body under ``short_chars``
+      (the high-confidence bucket: real articles that merely *mention*
+      "not found" are long; error templates are tiny)
+
+    A short body alone is NOT flagged (stub pages are legitimate); the
+    phrase is the anchor signal, length only upgrades confidence.
+    """
+    hit = soft404_phrase_hit(text)
+    short = F.length(F.trim(text)) < short_chars
+    return (
+        F.when(hit & short, F.lit("phrase+short"))
+        .when(hit, F.lit("phrase"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def is_soft404(text: Column, short_chars: int = 400) -> Column:
+    """High-confidence soft-404 flag: phrase AND short body. Computed
+    directly (not via reason-string equality) so healthy pages get FALSE,
+    not NULL."""
+    return soft404_phrase_hit(text) & (
+        F.length(F.trim(text)) < short_chars
+    )

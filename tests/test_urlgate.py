@@ -93,3 +93,34 @@ def test_host_dup_stats_trap_detection(spark):
     by = {r["host"]: r for r in got2}
     assert by["trap.test"]["n_urls"] == 40
     assert sum(r["n_rows"] for r in got2) == 85
+
+
+# --- soft-404 detection ------------------------------------------------------
+
+def test_soft404_reason_buckets(spark):
+    from crawler_spark.functions.urlfilter import is_soft404, soft404_reason
+
+    long_pad = " lorem ipsum" * 60  # push past the short threshold
+    rows = [
+        (0, "Error 404 - Page Not  Found."),              # phrase+short
+        (1, "This page does not exist." + long_pad),      # phrase (long)
+        (2, "ok"),                                        # short, healthy
+        (3, "A perfectly fine article." + long_pad),      # healthy
+        (4, "the page you  requested could not be found"),# phrase+short
+    ]
+    df = spark.createDataFrame(rows, "i long, body string")
+    out = {
+        r["i"]: (r["reason"], r["flag"])
+        for r in df.select(
+            "i",
+            soft404_reason(F.col("body")).alias("reason"),
+            is_soft404(F.col("body")).alias("flag"),
+        ).collect()
+    }
+    assert out[0] == ("phrase+short", True)
+    assert out[1] == ("phrase", False)
+    assert out[2] == (None, False)   # short alone never flags
+    assert out[3] == (None, False)
+    assert out[4] == ("phrase+short", True)
+    # booleans must be real FALSE, not NULL (anti-join/filter safety)
+    assert all(f is not None for _, f in out.values())
