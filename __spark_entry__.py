@@ -2157,7 +2157,7 @@ def _crawl_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the URL, event_type as the content fingerprint, event_id as the
     deterministic timestamp tiebreak). The transcendental λ̂ estimator
     itself is numpy-pinned in tests, not SQL-oracled, per the raw-double
-    parity policy."""
+    parity policy; last_visit_ts (exact timestamp max) IS oracled."""
     from crawler_spark.operators.revisit import change_rate_stats
 
     ev = _t(spark, sf_dir, "events")
@@ -3658,9 +3658,10 @@ def oracle_sql() -> dict[str, str]:
         a AS (
           SELECT url, COUNT(*) AS n_visits,
                  CAST(SUM(chg) AS BIGINT) AS n_changes,
-                 date_diff('second', min(ts), max(ts)) AS span_secs
+                 date_diff('second', min(ts), max(ts)) AS span_secs,
+                 max(ts) AS last_visit_ts
           FROM c GROUP BY url)
-        SELECT url, n_visits, n_changes, span_secs,
+        SELECT url, n_visits, n_changes, span_secs, last_visit_ts,
                CAST(n_changes AS DOUBLE)
                  / greatest(n_visits - 1, 1) AS change_ratio
         FROM a

@@ -43,12 +43,13 @@ def change_rate_stats(
 
     Returns one row per url:
 
-    - ``n_visits``      — fetches observed
-    - ``n_changes``     — visits whose fingerprint differs from the
+    - ``n_visits``       — fetches observed
+    - ``n_changes``      — visits whose fingerprint differs from the
       previous visit's (first visit is never a change)
-    - ``span_secs``     — seconds between first and last visit (exact
+    - ``span_secs``      — seconds between first and last visit (exact
       integer arithmetic)
-    - ``change_ratio``  — n_changes / max(n_visits - 1, 1): one IEEE
+    - ``last_visit_ts``  — timestamp of the most recent visit
+    - ``change_ratio``   — n_changes / max(n_visits - 1, 1): one IEEE
       division of exact integers, bit-reproducible across engines
 
     Exactly-representable outputs only; the Poisson-rate estimate (a
@@ -78,6 +79,7 @@ def change_rate_stats(
                 F.unix_timestamp(F.max("__ts"))
                 - F.unix_timestamp(F.min("__ts"))
             ).alias("span_secs"),
+            F.max("__ts").alias("last_visit_ts"),
         )
     )
     denom = F.greatest(F.col("n_visits") - 1, F.lit(1))
@@ -86,6 +88,7 @@ def change_rate_stats(
         "n_visits",
         "n_changes",
         "span_secs",
+        "last_visit_ts",
         (F.col("n_changes").cast("double") / denom).alias("change_ratio"),
     )
 
@@ -145,4 +148,69 @@ def due_for_revisit(
     return scheduled.where(
         F.unix_timestamp(F.col(ts_col)) + F.col("revisit_secs")
         <= F.unix_timestamp(F.lit(now_ts))
+    )
+
+
+def visit_history_from_webtext(
+    runs: list[tuple[DataFrame, object]],
+) -> DataFrame:
+    """Build a (url, ts, fp, fetch_id) visit history from successive crawl
+    runs' webtext tables (the input_hint shape: url, text, lang, warc_ts).
+
+    ``runs``: (webtext_df, run_ts) per crawl run, oldest first. The
+    fingerprint is xxhash64 of the extracted text — the same content hash
+    family the dedup stage uses — so a revisit whose page re-renders
+    byte-identically counts as unchanged. ``ts`` prefers the page's own
+    warc_ts and falls back to the run timestamp; ``fetch_id`` (the run
+    ordinal) is the deterministic tiebreak change_rate_stats orders by.
+
+    A union of column-pruned scans — at scale each run is one Iceberg
+    snapshot and this is a straight multi-snapshot read, no shuffle until
+    the stats aggregation.
+    """
+    if not runs:
+        raise ValueError("runs must contain at least one webtext table")
+    parts = []
+    for i, (wt, run_ts) in enumerate(runs):
+        parts.append(
+            wt.select(
+                F.col("url"),
+                F.coalesce(
+                    F.col("warc_ts"), F.lit(run_ts).cast("timestamp")
+                ).alias("ts"),
+                F.xxhash64(F.coalesce(F.col("text"), F.lit(""))).alias("fp"),
+                F.lit(i).cast("long").alias("fetch_id"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def revisit_recrawl_candidates(
+    history: DataFrame,
+    now_ts,
+    connector_id: str = "revisit",
+    min_interval_secs: int = 3600,
+    max_interval_secs: int = 90 * 24 * 3600,
+) -> DataFrame:
+    """Change-rate-driven recrawl set: URLs whose Cho–Garcia-Molina
+    revisit interval has elapsed by ``now_ts`` — the rows to hand to
+    ``CrawlEngine.run(recrawl=...)`` ((url, connector_id) shape, which
+    revokes their seen status), the estimator-driven complement to the
+    sitemap-lastmod freshness set (operators/sitemaps.py
+    ``sitemap_recrawl_candidates``: explicit server signal there, observed
+    change history here).
+
+    One lag-window + one aggregation over the history, then a pushdown
+    predicate — no joins, no driver state.
+    """
+    stats = estimate_change_rate(
+        change_rate_stats(history, order_col="fetch_id"),
+        min_interval_secs=min_interval_secs,
+        max_interval_secs=max_interval_secs,
+    )
+    return due_for_revisit(stats, now_ts, ts_col="last_visit_ts").select(
+        "url", F.lit(connector_id).alias("connector_id")
     )

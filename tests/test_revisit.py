@@ -100,3 +100,91 @@ def test_due_filter(spark):
     )
     due = due_for_revisit(sched, T0 + dt.timedelta(hours=2))
     assert [r["url"] for r in due.collect()] == ["a"]
+
+
+def test_history_from_webtext_and_candidates(spark):
+    # two runs: u1 changed between runs, u2 identical, u3 only in run 2
+    wt1 = spark.createDataFrame(
+        [("u1", "old text", "en", T0),
+         ("u2", "stable", "en", T0)],
+        "url string, text string, lang string, warc_ts timestamp",
+    )
+    t1 = T0 + dt.timedelta(days=1)
+    wt2 = spark.createDataFrame(
+        [("u1", "NEW text", "en", t1),
+         ("u2", "stable", "en", t1),
+         ("u3", "fresh", "en", t1)],
+        "url string, text string, lang string, warc_ts timestamp",
+    )
+    from crawler_spark.operators.revisit import (
+        revisit_recrawl_candidates,
+        visit_history_from_webtext,
+    )
+
+    hist = visit_history_from_webtext([(wt1, T0), (wt2, t1)])
+    assert hist.count() == 5
+    # far in the future every known-changing URL is due; u2 (never seen
+    # changing) and u3 (single visit) sit at the max interval
+    due = revisit_recrawl_candidates(
+        hist, t1 + dt.timedelta(days=2), max_interval_secs=90 * 24 * 3600
+    )
+    assert [r["url"] for r in due.collect()] == ["u1"]
+    assert due.columns == ["url", "connector_id"]
+    # ... and past the max interval even the unknowns come due
+    due_all = revisit_recrawl_candidates(
+        hist, t1 + dt.timedelta(days=91)
+    )
+    assert sorted(r["url"] for r in due_all.collect()) == ["u1", "u2", "u3"]
+
+
+def test_revisit_candidates_drive_engine_recrawl(spark, tmp_path):
+    """E2e: crawl → synthesize a changed second visit → the change-rate
+    candidates feed CrawlEngine.run(recrawl=...) and exactly those URLs
+    are re-fetched."""
+    from crawler_spark.operators.revisit import (
+        revisit_recrawl_candidates,
+        visit_history_from_webtext,
+    )
+    from crawler_spark.plans.rounds import CrawlEngine, EngineConfig
+    from crawler_spark.sources.sitegen import (
+        SiteSpec,
+        generate_site,
+        site_to_spark,
+    )
+
+    site = generate_site(SiteSpec(n_hosts=2, details_per_host=6, limit=4))
+    sdfs = site_to_spark(spark, site)
+    ck = str(tmp_path / "ck")
+    cfg = EngineConfig(ckpt_dir=ck, default_budget=10, use_bloom=True,
+                       bloom_partitions=4)
+    first = CrawlEngine(spark, sdfs["pages"], sdfs["seeds"],
+                        sdfs["politeness"], cfg).run()
+    rounds_first = first.rounds
+    wt = first.webtext
+
+    # second visit a day later: record/3 pages changed, all else stable
+    changed = F.col("url").contains("/record/3")
+    wt2 = wt.select(
+        "url",
+        F.when(changed, F.concat(F.col("text"), F.lit(" CHANGED")))
+         .otherwise(F.col("text")).alias("text"),
+        "lang",
+        (F.col("warc_ts") + F.expr("INTERVAL 1 DAY")).alias("warc_ts"),
+    )
+    hist = visit_history_from_webtext([(wt, T0), (wt2, T0)])
+    now = [r[0] for r in wt2.select(F.max("warc_ts")).collect()][0]
+    cand = revisit_recrawl_candidates(
+        hist, now + dt.timedelta(days=3), min_interval_secs=1
+    )
+    want = sorted(r["url"] for r in cand.collect())
+    assert want and all("/record/3" in u for u in want)
+
+    second = CrawlEngine(spark, sdfs["pages"], sdfs["seeds"],
+                         sdfs["politeness"], cfg).run(recrawl=cand)
+    refetched = sorted(
+        r["url"]
+        for r in second.fetch_log.where(
+            (F.col("round") >= rounds_first) & (F.col("status") == 200)
+        ).select("url").collect()
+    )
+    assert refetched == want
