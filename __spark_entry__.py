@@ -2070,6 +2070,91 @@ def _url_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _url_rel_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``<link rel=canonical>`` extraction + resolution
+    (operators/redirects.py:extract_rel_canonical): the tag is pulled from
+    raw HTML by a pure-JVM regexp (both attribute orders, either quoting,
+    ``&amp;`` entity decode — functions/canonicalize.py:rel_canonical_href)
+    and the href resolved against the page URL through the Arrow
+    canonicalizer. HTML is synthesized per customer row in six dialect
+    variants: no tag (NULL out), absolute rel-first, relative href-first
+    uppercase single-quoted, bare-attribute with entity query, decoy
+    stylesheet link + un-normalized absolute target (mixed-case host,
+    default :80 port, dot-segment), and a duplicate canonical pair where
+    the first must win. The DuckDB oracle runs the IDENTICAL RE2-safe
+    regex strings for the raw href (parser value-check) and reconstructs
+    the resolved target from the synthesis rule (resolution value-check).
+    """
+    from crawler_spark.functions.canonicalize import rel_canonical_href
+    from crawler_spark.operators.redirects import extract_rel_canonical
+
+    customer = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    h9 = (k % 9).cast("string")
+    host = F.concat(F.lit("host"), h9, F.lit(".example.com"))
+    base = F.concat(F.lit("http://"), host, F.lit("/item/"), ks)
+    v = k % 6
+    html = (
+        F.when(v == 0, F.lit("<html><body>plain</body></html>"))
+        .when(
+            v == 1,
+            F.concat(
+                F.lit('<link rel="canonical" href="http://'),
+                host,
+                F.lit("/canon/"),
+                ks,
+                F.lit('">'),
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("<LINK HREF='/canon/"),
+                ks,
+                F.lit("' REL='canonical'>"),
+            ),
+        )
+        .when(
+            v == 3,
+            F.concat(
+                F.lit("<link rel=canonical href=/canon/"),
+                ks,
+                F.lit("?a=1&amp;b=2>"),
+            ),
+        )
+        .when(
+            v == 4,
+            F.concat(
+                F.lit('<link rel="stylesheet" href="/s.css">'),
+                F.lit('<link rel="canonical" href="HTTP://Host'),
+                h9,
+                F.lit(".EXAMPLE.com:80/x/../canon/"),
+                ks,
+                F.lit('">'),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('<link rel="canonical" href="/first/'),
+                ks,
+                F.lit('"><link rel="canonical" href="/second">'),
+            )
+        )
+    )
+    pages = customer.select(
+        k.alias("custkey"), base.alias("url"), html.alias("html")
+    )
+    out = extract_rel_canonical(
+        pages, html_col="html", url_col="url", out_col="canonical"
+    )
+    return out.select(
+        "custkey",
+        rel_canonical_href(F.col("html")).alias("href_raw"),
+        "canonical",
+    )
+
+
 def _graph_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text aggregation (functions/anchors.py:anchor_text_summary):
     top-k anchor strings per link target with deterministic (count desc,
@@ -2262,6 +2347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quota_sample": _text_quota_sample,
         "url_surt_key": _url_surt_key,
         "url_redirect_resolve": _url_redirect_resolve,
+        "url_rel_canonical": _url_rel_canonical,
         "graph_anchor_texts": _graph_anchor_texts,
         "text_pack_sequences": _text_pack_sequences,
         "url_soft404": _url_soft404,
@@ -3562,6 +3648,57 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY hops DESC) AS rn
               FROM walk)
         WHERE rn = 1
+    """
+    out["url_rel_canonical"] = r"""
+        WITH pages AS (
+          SELECT c_custkey AS custkey,
+                 CAST(c_custkey % 9 AS VARCHAR) AS h9,
+                 CAST(c_custkey AS VARCHAR) AS ks,
+                 c_custkey % 6 AS v
+          FROM customer),
+        built AS (
+          SELECT custkey, h9, ks, v,
+                 CASE v
+                   WHEN 0 THEN '<html><body>plain</body></html>'
+                   WHEN 1 THEN '<link rel="canonical" href="http://host'
+                               || h9 || '.example.com/canon/' || ks || '">'
+                   WHEN 2 THEN '<LINK HREF=''/canon/' || ks
+                               || ''' REL=''canonical''>'
+                   WHEN 3 THEN '<link rel=canonical href=/canon/' || ks
+                               || '?a=1&amp;b=2>'
+                   WHEN 4 THEN '<link rel="stylesheet" href="/s.css">'
+                               || '<link rel="canonical" href="HTTP://Host'
+                               || h9 || '.EXAMPLE.com:80/x/../canon/'
+                               || ks || '">'
+                   ELSE '<link rel="canonical" href="/first/' || ks
+                        || '"><link rel="canonical" href="/second">'
+                 END AS html
+          FROM pages),
+        ext AS (
+          SELECT custkey, h9, ks, v,
+                 nullif(CASE WHEN regexp_extract(html,
+                     '(?i)<link[^>]*rel\s*=\s*["'']?canonical\b[^>]*href\s*=\s*["'']?([^"''\s>]+)',
+                     1) <> ''
+                   THEN regexp_extract(html,
+                     '(?i)<link[^>]*rel\s*=\s*["'']?canonical\b[^>]*href\s*=\s*["'']?([^"''\s>]+)',
+                     1)
+                   ELSE regexp_extract(html,
+                     '(?i)<link[^>]*href\s*=\s*["'']?([^"''\s>]+)[^>]*rel\s*=\s*["'']?canonical\b',
+                     1)
+                 END, '') AS href_ent
+          FROM built)
+        SELECT custkey,
+               regexp_replace(href_ent, '&amp;|&#0*38;', '&', 'g')
+                 AS href_raw,
+               CASE v
+                 WHEN 0 THEN NULL
+                 WHEN 3 THEN 'http://host' || h9 || '.example.com/canon/'
+                             || ks || '?a=1&b=2'
+                 WHEN 5 THEN 'http://host' || h9 || '.example.com/first/'
+                             || ks
+                 ELSE 'http://host' || h9 || '.example.com/canon/' || ks
+               END AS canonical
+        FROM ext
     """
     out["graph_anchor_texts"] = r"""
         WITH links AS (

@@ -204,7 +204,12 @@ def _canonicalize_batch(
         mask &= ~url.str.contains("?", regex=False, na=True)
     res = pd.Series(index=url.index, dtype="object")
     res[mask] = url[mask]
-    slow = ~mask
+    # NULL in → NULL out without touching the per-element loop (dominant
+    # case when canonicalizing sparse columns, e.g. rel=canonical hrefs)
+    nul = url.isna()
+    if nul.any():
+        res[nul] = None
+    slow = ~mask & ~nul
     if slow.any():
         res[slow] = [
             canonicalize_url(u, b, drop_params)
@@ -259,6 +264,44 @@ def with_canonical_url(
     df = df.withColumn("url_hash", url_hash(F.col(out_col)))
     df = df.withColumn("host", url_host(F.col(out_col)))
     return df
+
+
+# --- <link rel=canonical> extraction ---------------------------------------
+#
+# Pages declare their preferred URL in a head tag; a web-scale dedup/index
+# pipeline keys on it (the reference's single-page crawlers never need to —
+# they fetch exactly the record URLs their connectors construct, see e.g.
+# /root/reference/src/crawlers/base.js request path — but Common-Crawl-style
+# corpora are full of alias URLs pointing at one canonical). Extraction is a
+# pure JVM regexp over the raw HTML — no DOM parse, no Python — so it runs
+# inside whole-stage codegen during the same scan that computes fingerprints.
+# Both attribute orders are handled; the first matching tag wins (browser
+# behavior). Patterns avoid lookarounds so the DuckDB (RE2) oracle can run
+# the *identical* pattern strings.
+
+# rel before href / href before rel; values quoted either way or bare.
+_REL_CANON_A = (
+    r"""(?i)<link[^>]*rel\s*=\s*["']?canonical\b[^>]*"""
+    r"""href\s*=\s*["']?([^"'\s>]+)"""
+)
+_REL_CANON_B = (
+    r"""(?i)<link[^>]*href\s*=\s*["']?([^"'\s>]+)[^>]*"""
+    r"""rel\s*=\s*["']?canonical\b"""
+)
+
+
+def rel_canonical_href(html: Column) -> Column:
+    """Raw ``<link rel=canonical>`` href from an HTML string column.
+
+    NULL when the page declares none. Attribute-entity ``&amp;`` is decoded
+    (the one entity that legitimately appears inside URLs in attributes);
+    the result is still *unresolved* — feed it to the canonicalizer with
+    the page URL as base to get an absolute, normalized target.
+    """
+    a = F.regexp_extract(html, _REL_CANON_A, 1)
+    b = F.regexp_extract(html, _REL_CANON_B, 1)
+    href = F.when(a != "", a).otherwise(F.nullif(b, F.lit("")))
+    return F.regexp_replace(href, r"&amp;|&#0*38;", "&")
 
 
 # --- SURT keys (Sort-friendly URI Reordering Transform) --------------------

@@ -134,20 +134,62 @@ def resolve_redirects(
     )
 
 
+def extract_rel_canonical(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    out_col: str = "canonical_url",
+    drop_params: frozenset[str] = frozenset(),
+) -> DataFrame:
+    """Add each page's declared ``<link rel=canonical>`` target, resolved
+    against the page URL and RFC-3986-normalized; NULL when none declared.
+
+    Physical shape: the tag extraction is a JVM regexp
+    (functions/canonicalize.py:rel_canonical_href — codegen, no Python);
+    only the resolve step goes through the Arrow-vectorized canonicalizer,
+    which short-circuits NULL hrefs per batch. ``html_col`` may be string
+    or binary (the input_hint table carries ``html: binary``) — binary is
+    decoded as UTF-8 in the JVM before the regexp.
+    """
+    from crawler_spark.functions.canonicalize import (
+        canonicalize_urls_udf,
+        rel_canonical_href,
+    )
+
+    html = F.col(html_col)
+    if dict(pages.dtypes).get(html_col) == "binary":
+        html = F.decode(html, "UTF-8")
+    canon = canonicalize_urls_udf(drop_params)
+    return pages.withColumn(
+        out_col, canon(rel_canonical_href(html), F.col(url_col))
+    )
+
+
 def canonical_alias_map(
     pages: DataFrame,
     url_col: str = "url",
     canonical_col: str = "canonical_url",
     max_hops: int = 8,
+    html_col: str | None = None,
+    drop_params: frozenset[str] = frozenset(),
 ) -> DataFrame:
     """``<link rel=canonical>`` alias map: (url, canonical_final) for every
     page whose declared canonical differs from itself, with canonical-of-
     canonical chains collapsed (sites do chain them) and loops cut.
 
+    With ``html_col`` set, ``canonical_col`` is first *extracted* from the
+    raw HTML (``extract_rel_canonical``) instead of being required as an
+    input column — one call takes a Common-Crawl-style pages table
+    (url, html) straight to the collapsed alias map.
+
     Rows whose canonical equals the URL (self-canonical, the common case)
     are dropped before the join loop — at web scale that prunes ~90% of
     pages from the doubling passes entirely.
     """
+    if html_col is not None:
+        pages = extract_rel_canonical(
+            pages, html_col, url_col, canonical_col, drop_params
+        )
     edges = (
         pages.select(
             F.col(url_col).alias("src"), F.col(canonical_col).alias("dst")

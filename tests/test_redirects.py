@@ -99,6 +99,84 @@ def test_canonical_alias_map(spark):
     assert got["u5"] == ("u4", 3, True)
 
 
+def test_extract_rel_canonical_variants(spark):
+    from crawler_spark.operators.redirects import extract_rel_canonical
+
+    base = "http://h.example.com/item/1"
+    rows = [
+        # (html, expected canonical)
+        ("<html><body>no head link</body></html>", None),
+        # rel-first, absolute, double quotes
+        ('<link rel="canonical" href="http://h.example.com/canon/1">',
+         "http://h.example.com/canon/1"),
+        # href-first, root-relative, single quotes, uppercase tag+attrs
+        ("<LINK HREF='/canon/2' REL='canonical'>",
+         "http://h.example.com/canon/2"),
+        # bare (unquoted) attribute values + &amp; entity in the query
+        ("<link rel=canonical href=/canon/3?a=1&amp;b=2>",
+         "http://h.example.com/canon/3?a=1&b=2"),
+        # decoy non-canonical link first; target needs normalization
+        # (scheme/host case, default port) and has a dot-segment
+        ('<link rel="stylesheet" href="/s.css">'
+         '<link rel="canonical" href="HTTP://H.Example.COM:80/x/../canon/4">',
+         "http://h.example.com/canon/4"),
+        # two canonical tags: first one wins (browser behavior)
+        ('<link rel="canonical" href="/first">'
+         '<link rel="canonical" href="/second">',
+         "http://h.example.com/first"),
+        # rel=canonicalize must NOT match (word boundary)
+        ('<link rel="canonicalize" href="/nope">', None),
+        # newline inside the tag
+        ('<link rel="canonical"\n      href="/multi/line">',
+         "http://h.example.com/multi/line"),
+    ]
+    pages = spark.createDataFrame(
+        [(base, h) for h, _ in rows], "url string, html string"
+    )
+    got = [
+        r["canonical_url"]
+        for r in extract_rel_canonical(pages)
+        .select("canonical_url")
+        .collect()
+    ]
+    assert got == [want for _, want in rows]
+
+
+def test_extract_rel_canonical_binary_html(spark):
+    from crawler_spark.operators.redirects import extract_rel_canonical
+
+    pages = spark.createDataFrame(
+        [("http://b.example.com/p",
+          '<link rel="canonical" href="/c">'.encode())],
+        "url string, html binary",
+    )
+    assert (
+        extract_rel_canonical(pages).first()["canonical_url"]
+        == "http://b.example.com/c"
+    )
+
+
+def test_canonical_alias_map_from_html(spark):
+    # one call: raw (url, html) pages table -> collapsed alias map,
+    # including a canonical-of-canonical chain declared across pages
+    pages = spark.createDataFrame(
+        [
+            ("http://s/u1", '<link rel="canonical" href="/u1">'),
+            ("http://s/u2", '<link rel="canonical" href="/u3">'),
+            ("http://s/u3", '<link rel="canonical" href="/u4">'),
+            ("http://s/u4", "<p>terminal</p>"),
+        ],
+        "url string, html string",
+    )
+    got = {
+        r["url"]: (r["canonical_final"], r["hops"], r["resolved"])
+        for r in canonical_alias_map(pages, html_col="html").collect()
+    }
+    assert set(got) == {"http://s/u2", "http://s/u3"}
+    assert got["http://s/u2"] == ("http://s/u4", 2, True)
+    assert got["http://s/u3"] == ("http://s/u4", 1, True)
+
+
 def test_lineage_is_cut_per_round(spark):
     # each doubling references the previous state twice, so WITHOUT the
     # per-round localCheckpoint the plan doubles per round (2^6 - 1 = 63
