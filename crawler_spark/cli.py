@@ -85,6 +85,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--adaptive-politeness", action="store_true",
                    help="live mode: AIMD per-host crawl-delay backoff on "
                         "429/503 throttle signals (factors persist in ckpt)")
+    p.add_argument("--canonical-collapse", action="store_true",
+                   help="learn <link rel=canonical> aliases from fetched "
+                        "pages (persist in ckpt) and rewrite future link "
+                        "candidates to the collapsed terminal URL, so the "
+                        "frontier/seen set key on canonical identity")
     p.add_argument("--link-graph", action="store_true",
                    help="commit a per-round (src_hash, dst_hash) edge log"
                         " for offline re-scoring (opic.pagerank)")
@@ -255,6 +260,7 @@ def main(argv: list[str] | None = None) -> int:
         trap_detection=args.trap_detection,
         trap_min_urls=args.trap_min_urls,
         trap_dup_ratio=args.trap_dup_ratio,
+        canonical_collapse=args.canonical_collapse,
     )
     eng = CrawlEngine(
         spark, pages, seeds, politeness, cfg,

@@ -222,6 +222,18 @@ class EngineConfig:
     trap_detection: bool = False
     trap_min_urls: int = 1000
     trap_dup_ratio: float = 20.0
+    # opt-in <link rel=canonical> alias collapse: pages declaring a
+    # canonical different from their own URL feed an append-only alias
+    # sidecar (url → canonical, O(round) extraction — the tag pull is a
+    # JVM regexp inside the fetched-bytes scan, operators/redirects.py);
+    # from the NEXT round, link candidates are rewritten to the collapsed
+    # terminal (pointer-jumped over the alias map, cycles dropped) BEFORE
+    # the seen anti-join, so the frontier and URL-seen set key on
+    # canonical identity and alias duplicates are never fetched. Off by
+    # default: rewriting changes crawl order vs the reference's literal
+    # URL identity, so it must never engage under a parity gate.
+    canonical_collapse: bool = False
+    canonical_max_hops: int = 8
     # re-probe cadence: a cached robots row older than this many rounds no
     # longer counts as known, so the host is re-probed on its next wave
     # (rules changing mid-crawl are picked up). None = cache for the crawl.
@@ -348,6 +360,10 @@ class CrawlEngine:
         )
         # trap-suppression sketches: same sidecar-cache pattern
         self._trap_dir = _os.path.join(self.cfg.ckpt_dir, "trap_sketches")
+        # rel=canonical alias map: same sidecar-cache pattern
+        self._alias_dir = _os.path.join(
+            self.cfg.ckpt_dir, "canonical_aliases"
+        )
         bloom_root = _os.path.join(self.cfg.ckpt_dir, "blooms")
         if self.cfg.bloom_partitions is None:
             # auto: adopt the persisted partition count (resume keeps a
@@ -594,6 +610,147 @@ class CrawlEngine:
             (est_u >= self.cfg.trap_min_urls)
             & (est_u.cast("double") / est_f >= self.cfg.trap_dup_ratio)
         ).select("host")
+
+    # ---- <link rel=canonical> alias collapse --------------------------
+
+    ALIAS_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
+
+    def _alias_update(self, ok: DataFrame, round_no: int) -> None:
+        """One bounded append per round: (url, canonical) for every fetched
+        page declaring a canonical different from its own URL. The tag
+        extraction is a JVM regexp over the already-scanned bytes; only
+        pages WITH a differing declaration produce rows (typically a small
+        fraction of the batch), so the sidecar is O(aliased pages), never
+        O(frontier)."""
+        from crawler_spark.operators.redirects import extract_rel_canonical
+
+        aliases = (
+            extract_rel_canonical(
+                ok.select("url", "body"),
+                html_col="body",
+                url_col="url",
+                out_col="__canon",
+            )
+            .where(
+                F.col("__canon").isNotNull()
+                & (F.col("__canon") != F.col("url"))
+            )
+            .select(
+                "url",
+                F.col("__canon").alias("canonical"),
+                F.lit(int(round_no)).alias("updated_round"),
+            )
+        )
+        aliases.write.mode("append").parquet(self._alias_dir)
+        self._compact_alias_table()
+
+    def _alias_bytes(self) -> int | None:
+        import os as _os
+
+        try:
+            return sum(
+                e.stat().st_size
+                for e in _os.scandir(self._alias_dir)
+                if e.is_file() and not e.name.startswith(("_", "."))
+            )
+        except OSError:
+            return None
+
+    def _load_alias_map(self) -> DataFrame | None:
+        """Collapsed alias map ``(url, canonical_final)`` or None.
+
+        Freshest declaration per url wins (a page may change its canonical
+        between revisits), then canonical-of-canonical chains — including
+        chains learned across DIFFERENT rounds in either order — are
+        collapsed by pointer jumping (operators/redirects.py:
+        resolve_redirects, ceil(log2 max_hops)+1 equi-joins over the alias
+        table only). Cycle rows (sites do ship canonical loops) resolve to
+        nothing and are dropped: the candidate keeps its literal URL."""
+        import os as _os
+
+        if not _os.path.isdir(self._alias_dir):
+            return None
+        try:
+            t = self.spark.read.parquet(self._alias_dir)
+        except Exception:
+            return None
+        from crawler_spark.operators.redirects import resolve_redirects
+
+        w = Window.partitionBy("url").orderBy(F.col("updated_round").desc())
+        edges = (
+            t.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("url", "canonical")
+        )
+        out = resolve_redirects(
+            edges, "url", "canonical", max_hops=self.cfg.canonical_max_hops
+        )
+        return out.where(F.col("resolved")).select(
+            "url", F.col("final_canonical").alias("canonical_final")
+        )
+
+    def _compact_alias_table(self, max_files: int = 64) -> None:
+        """Fold history to freshest-per-url (RAW edges, not collapsed —
+        the read path pointer-jumps, so storing pairs keeps later-learned
+        chain links composable). Same crash semantics as the other
+        sidecars: a kill mid-rewrite loses learned aliases, never
+        correctness."""
+        import os as _os
+        import shutil as _sh
+
+        try:
+            files = [
+                f
+                for f in _os.listdir(self._alias_dir)
+                if not f.startswith("_") and not f.startswith(".")
+            ]
+        except OSError:
+            return
+        if len(files) <= max_files:
+            return
+        t = self.spark.read.parquet(self._alias_dir)
+        w = Window.partitionBy("url").orderBy(F.col("updated_round").desc())
+        keep = (
+            t.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("url", "canonical", F.lit(0).alias("updated_round"))
+        )
+        tmp = self._alias_dir + ".compact"
+        keep.coalesce(1).write.mode("overwrite").parquet(tmp)
+        _sh.rmtree(self._alias_dir, ignore_errors=True)
+        _os.replace(tmp, self._alias_dir)
+
+    def _apply_alias_map(
+        self, cands: DataFrame, amap: DataFrame
+    ) -> DataFrame:
+        """Rewrite candidate URLs to collapsed canonical identity: one
+        LEFT equi-join on url (broadcast when the sidecar's driver-known
+        on-disk bytes fit, mirroring the politeness/adaptive gates; plain
+        shuffle join past that), url_hash/host recomputed JVM-side so the
+        downstream seen anti-join and per-host politeness key on the
+        terminal URL."""
+        from crawler_spark.functions.canonicalize import url_host
+
+        b = self._alias_bytes()
+        if b is not None and b <= self.ALIAS_BROADCAST_MAX_BYTES:
+            amap = F.broadcast(amap)
+        m = amap.select(
+            F.col("url").alias("__alias_u"),
+            F.col("canonical_final").alias("__alias_c"),
+        )
+        joined = cands.join(
+            m, cands["url"] == F.col("__alias_u"), "left"
+        )
+        new_url = F.coalesce(F.col("__alias_c"), cands["url"])
+        fr_cols = self._candidate_schema_cols()
+        repl = {
+            "url": new_url.alias("url"),
+            "url_hash": F.xxhash64(new_url).alias("url_hash"),
+            "host": url_host(new_url).alias("host"),
+        }
+        return joined.select(
+            *[repl.get(c, F.col(c)) for c in fr_cols]
+        )
 
     def _load_robots_table(self) -> DataFrame | None:
         import os as _os
@@ -1348,6 +1505,10 @@ class CrawlEngine:
                 # learn from this round's fetched bytes; suppression
                 # applies from the NEXT round's candidate gate
                 self._trap_update(ok, round_no)
+            if cfg.canonical_collapse:
+                # learn rel=canonical declarations from this round's
+                # bytes; rewrites apply from the NEXT round's candidates
+                self._alias_update(ok, round_no)
             _sect("fetch+count")
 
             # lineage-truncated frames (LogicalRDD) report no size stats, so
@@ -1737,6 +1898,12 @@ class CrawlEngine:
                             == F.col("__trap_h"),
                             "left_anti",
                         )
+            if cfg.canonical_collapse:
+                # rewrite candidates to collapsed canonical identity so
+                # the seen anti-join and frontier key on terminal URLs
+                amap = self._load_alias_map()
+                if amap is not None:
+                    cands = self._apply_alias_map(cands, amap)
             seen_plus = seen.select("url_hash").union(
                 ok.select("url_hash")
             )

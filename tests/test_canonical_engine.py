@@ -1,0 +1,170 @@
+"""Engine wiring of <link rel=canonical> alias collapse
+(EngineConfig.canonical_collapse): per-round alias sidecar learned from
+fetched bytes; from the next round, link candidates are rewritten to the
+collapsed terminal before the seen anti-join, so alias URLs are never
+fetched and the frontier keys on canonical identity."""
+
+from pyspark.sql import functions as F
+
+from crawler_spark.plans.rounds import CrawlEngine, EngineConfig
+from crawler_spark.schemas import FRONTIER
+from crawler_spark.sources.sitegen import SiteSpec, generate_site, site_to_spark
+
+
+def _engine(spark, tmp_path, **cfg_kw):
+    site = generate_site(SiteSpec(n_hosts=2, details_per_host=12, limit=4))
+    sdfs = site_to_spark(spark, site)
+    cfg = EngineConfig(ckpt_dir=str(tmp_path / "ck"), **cfg_kw)
+    return CrawlEngine(
+        spark, sdfs["pages"], sdfs["seeds"], sdfs["politeness"], cfg
+    )
+
+
+def _ok_df(spark, rows):
+    """rows: (url, html string) -> fetched-page shape (url, body binary)."""
+    return spark.createDataFrame(
+        [(u, bytearray(h.encode())) for u, h in rows],
+        "url string, body binary",
+    )
+
+
+def _canon(href):
+    return f'<link rel="canonical" href="{href}">'
+
+
+def test_alias_update_and_cross_round_collapse(spark, tmp_path):
+    eng = _engine(spark, tmp_path, canonical_collapse=True)
+    # round 1: u2 declares u3; self-canonical and no-tag pages add nothing
+    eng._alias_update(
+        _ok_df(
+            spark,
+            [
+                ("http://s.test/u2", _canon("/u3")),
+                ("http://s.test/self", _canon("http://s.test/self")),
+                ("http://s.test/plain", "<p>no declaration</p>"),
+            ],
+        ),
+        1,
+    )
+    got = {
+        r["url"]: r["canonical_final"]
+        for r in eng._load_alias_map().collect()
+    }
+    assert got == {"http://s.test/u2": "http://s.test/u3"}
+    # round 2 extends the chain FROM THE FAR END (u3 -> u4): the map must
+    # collapse across rounds in either learning order
+    eng._alias_update(
+        _ok_df(spark, [("http://s.test/u3", _canon("/u4"))]), 2
+    )
+    got = {
+        r["url"]: r["canonical_final"]
+        for r in eng._load_alias_map().collect()
+    }
+    assert got == {
+        "http://s.test/u2": "http://s.test/u4",
+        "http://s.test/u3": "http://s.test/u4",
+    }
+
+
+def test_canonical_loop_rows_are_dropped(spark, tmp_path):
+    eng = _engine(spark, tmp_path, canonical_collapse=True)
+    eng._alias_update(
+        _ok_df(
+            spark,
+            [
+                ("http://s.test/a", _canon("/b")),
+                ("http://s.test/b", _canon("/a")),
+                ("http://s.test/ok", _canon("/fine")),
+            ],
+        ),
+        1,
+    )
+    got = {
+        r["url"]: r["canonical_final"]
+        for r in eng._load_alias_map().collect()
+    }
+    # the a<->b loop can never resolve; only the sane row survives
+    assert got == {"http://s.test/ok": "http://s.test/fine"}
+
+
+def test_freshest_declaration_wins(spark, tmp_path):
+    eng = _engine(spark, tmp_path, canonical_collapse=True)
+    eng._alias_update(
+        _ok_df(spark, [("http://s.test/u", _canon("/old"))]), 1
+    )
+    eng._alias_update(
+        _ok_df(spark, [("http://s.test/u", _canon("/new"))]), 2
+    )
+    got = {
+        r["url"]: r["canonical_final"]
+        for r in eng._load_alias_map().collect()
+    }
+    assert got == {"http://s.test/u": "http://s.test/new"}
+
+
+def test_apply_alias_map_rewrites_candidates(spark, tmp_path):
+    eng = _engine(spark, tmp_path, canonical_collapse=True)
+    eng._alias_update(
+        _ok_df(spark, [("http://h0.example.test/alias", _canon("/real"))]),
+        1,
+    )
+    cands = spark.createDataFrame(
+        [
+            (
+                "http://h0.example.test/alias", 0, "h0.example.test",
+                1, 0.0, 0, 1, 0, 0, 1, 0, 1, "record", "c0",
+            ),
+            (
+                "http://h1.example.test/other", 0, "h1.example.test",
+                1, 0.5, 0, 1, 1, 0, 1, 0, 1, "record", "c0",
+            ),
+        ],
+        FRONTIER,
+    ).withColumn("url_hash", F.xxhash64("url"))
+    cands = cands.select(*[f.name for f in FRONTIER.fields])
+    out = eng._apply_alias_map(cands, eng._load_alias_map())
+    # schema preserved exactly (positional unions downstream depend on it)
+    assert [f.name for f in out.schema.fields] == [
+        f.name for f in FRONTIER.fields
+    ]
+    rows = {r["url"]: r for r in out.collect()}
+    assert set(rows) == {
+        "http://h0.example.test/real",
+        "http://h1.example.test/other",
+    }
+    rw = rows["http://h0.example.test/real"]
+    # url_hash/host recomputed for the rewritten row; metadata untouched
+    ref = cands.select(
+        F.xxhash64(F.lit("http://h0.example.test/real"))
+    ).first()[0]
+    assert rw["url_hash"] == ref
+    assert rw["host"] == "h0.example.test"
+    assert rw["depth"] == 1 and rw["score"] == 0.0
+    other = rows["http://h1.example.test/other"]
+    assert other["score"] == 0.5  # untouched row survives verbatim
+
+
+def test_e2e_alias_rewrite_suppresses_alias_fetch(spark, tmp_path):
+    # baseline run: which record URLs does the crawl produce?
+    base = _engine(spark, tmp_path / "a")
+    base_urls = sorted(
+        r["url"] for r in base.run().records.select("url").collect()
+    )
+    assert len(base_urls) >= 4
+    # pick an alias/target pair of real detail URLs on the same host
+    alias_url, target_url = base_urls[0], base_urls[1]
+
+    eng = _engine(spark, tmp_path / "b", canonical_collapse=True)
+    # pre-seed the sidecar as if a previous crawl learned the alias
+    spark.createDataFrame(
+        [(alias_url, target_url, 0)],
+        "url string, canonical string, updated_round int",
+    ).write.mode("append").parquet(eng._alias_dir)
+
+    res = eng.run()
+    got = {r["url"] for r in res.records.select("url").collect()}
+    # the alias URL was rewritten to the target before the seen anti-join:
+    # it is never fetched, the target is crawled exactly as before
+    assert alias_url not in got
+    assert target_url in got
+    assert got == set(base_urls) - {alias_url}

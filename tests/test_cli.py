@@ -204,3 +204,15 @@ def test_cli_trap_detection_flag(spark, inputs, tmp_path, capsys):
     )
     capsys.readouterr()
     assert os.path.isdir(str(tmp_path / "ckpt" / "trap_sketches"))
+
+
+def test_cli_canonical_collapse_flag(spark, inputs, tmp_path, capsys):
+    """--canonical-collapse threads through: the alias sidecar directory is
+    created (fixture pages declare no canonicals, so it stays empty — the
+    wiring, not the rewrite, is under test here; rewrite semantics live in
+    test_canonical_engine.py)."""
+    import os
+
+    _run(inputs, tmp_path, ["--canonical-collapse", "--no-files"])
+    capsys.readouterr()
+    assert os.path.isdir(str(tmp_path / "ckpt" / "canonical_aliases"))
