@@ -90,6 +90,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "pages (persist in ckpt) and rewrite future link "
                         "candidates to the collapsed terminal URL, so the "
                         "frontier/seen set key on canonical identity")
+    p.add_argument("--conditional-fetch", action="store_true",
+                   help="live mode: persist ETag/Last-Modified validators "
+                        "(ckpt sidecar) and send If-None-Match / "
+                        "If-Modified-Since on revisits; 304 answers cost "
+                        "headers, not body")
     p.add_argument("--link-graph", action="store_true",
                    help="commit a per-round (src_hash, dst_hash) edge log"
                         " for offline re-scoring (opic.pagerank)")
@@ -261,6 +266,7 @@ def main(argv: list[str] | None = None) -> int:
         trap_min_urls=args.trap_min_urls,
         trap_dup_ratio=args.trap_dup_ratio,
         canonical_collapse=args.canonical_collapse,
+        conditional_fetch=args.conditional_fetch,
     )
     eng = CrawlEngine(
         spark, pages, seeds, politeness, cfg,

@@ -193,6 +193,15 @@ def live_fetch(
     connectors: each row's request is shaped by ``build_request`` — method,
     body template, Content-Type, identity-param stripping. The dict is a
     handful of configs; it ships inside the task closure.
+
+    Conditional revisits (RFC 9110 §13): rows carrying non-null
+    ``req_etag`` / ``req_last_modified`` input columns send
+    ``If-None-Match`` / ``If-Modified-Since``; an unchanged resource
+    answers 304 with no body (status 304, body NULL). The output always
+    appends ``etag`` / ``last_modified`` columns with the response's
+    validators (on 304, the request's own — still the freshest known), so
+    the engine can persist them for the next revisit (reserved output
+    names — don't feed input columns called ``etag``/``last_modified``).
     """
     delay_col = (
         F.col("crawl_delay_ms")
@@ -205,7 +214,10 @@ def live_fetch(
         f"`{f.name}` {f.dataType.simpleString()}"
         for f in inp.schema.fields
         if f.name != "__delay_ms"
-    ) + ", body binary, warc_ts timestamp, lang string, status int, bytes long"
+    ) + (
+        ", body binary, warc_ts timestamp, lang string, status int,"
+        " bytes long, etag string, last_modified string"
+    )
 
     def _fetch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import http.cookiejar
@@ -254,7 +266,8 @@ def live_fetch(
         for pdf in it:
             out = {c: [] for c in in_cols if c != "__delay_ms"}
             out.update({"body": [], "warc_ts": [], "lang": [],
-                        "status": [], "bytes": []})
+                        "status": [], "bytes": [],
+                        "etag": [], "last_modified": []})
             # plain tuples + a name→position map: named itertuples RENAMES
             # underscore-prefixed columns to positional _N, which silently
             # turned getattr(row, "__delay_ms", 0) into a constant 0 — the
@@ -265,11 +278,18 @@ def live_fetch(
             kind_i = ci.get("kind")
             cid_i = ci.get("connector_id")
             url_i = ci["url"]
+            # conditional revisit: rows carrying stored validators send
+            # them (RFC 9110 §13.1); a 304 answer costs headers, not body
+            retag_i = ci.get("req_etag")
+            rlm_i = ci.get("req_last_modified")
             for row in pdf.itertuples(index=False, name=None):
                 host = row[host_i] if host_i is not None else ""
                 delay = (row[delay_i] or 0) if delay_i is not None else 0
                 wait_politeness(host, delay)
                 body, status = None, -1
+                req_etag = row[retag_i] if retag_i is not None else None
+                req_lm = row[rlm_i] if rlm_i is not None else None
+                resp_etag, resp_lm = None, None
                 try:
                     cfg = (
                         connectors.get(
@@ -328,19 +348,28 @@ def live_fetch(
                         cfg,
                         session=session_state.get(host),
                     )
+                    hdrs = {"User-Agent": user_agent, **extra}
+                    if req_etag:
+                        hdrs["If-None-Match"] = req_etag
+                    if req_lm:
+                        hdrs["If-Modified-Since"] = req_lm
                     req = urllib.request.Request(
-                        send_url,
-                        data=data,
-                        headers={"User-Agent": user_agent, **extra},
+                        send_url, data=data, headers=hdrs
                     )
                     with opener_for(host).open(req, timeout=timeout_s) as r:
                         body = r.read(max_bytes + 1)
                         status = r.status
+                        resp_etag = r.headers.get("ETag")
+                        resp_lm = r.headers.get("Last-Modified")
                         if len(body) > max_bytes:
                             body, status = None, 413  # 50 MB cap (base.js:43)
                     harvest(host, cfg, body)
                 except urllib.error.HTTPError as e:
                     status = e.code
+                    if status == 304:
+                        # our stored copy is current; the validators we
+                        # sent remain the freshest known
+                        resp_etag, resp_lm = req_etag, req_lm
                 except Exception:
                     status = -1  # network/timeout — retryable
                 last_hit[host] = _time.monotonic()
@@ -355,6 +384,10 @@ def live_fetch(
                         out[c].append(status)
                     elif c == "bytes":
                         out[c].append(len(body) if body is not None else 0)
+                    elif c == "etag":
+                        out[c].append(resp_etag)
+                    elif c == "last_modified":
+                        out[c].append(resp_lm)
                     else:
                         out[c].append(row[ci[c]])
             yield pd.DataFrame(out)

@@ -234,6 +234,17 @@ class EngineConfig:
     # URL identity, so it must never engage under a parity gate.
     canonical_collapse: bool = False
     canonical_max_hops: int = 8
+    # opt-in conditional revisit fetches (live mode, RFC 9110 §13): ETag /
+    # Last-Modified response validators persist in a checkpoint sidecar
+    # (url → validators, freshest per url); popped batches join them back
+    # so revisits send If-None-Match / If-Modified-Since, and an unchanged
+    # resource answers 304 — headers, no body. The 304 row is a permanent
+    # non-200 for the round (no re-parse, no new record — the previously
+    # committed record IS the current content), which is exactly the
+    # bandwidth shape a 10^10-URL recrawl needs: unchanged pages cost a
+    # request, not a transfer. Pairs with the change-rate revisit
+    # scheduler (operators/revisit.py) deciding WHEN to revisit.
+    conditional_fetch: bool = False
     # re-probe cadence: a cached robots row older than this many rounds no
     # longer counts as known, so the host is re-probed on its next wave
     # (rules changing mid-crawl are picked up). None = cache for the crawl.
@@ -363,6 +374,10 @@ class CrawlEngine:
         # rel=canonical alias map: same sidecar-cache pattern
         self._alias_dir = _os.path.join(
             self.cfg.ckpt_dir, "canonical_aliases"
+        )
+        # HTTP validators (ETag/Last-Modified): same sidecar-cache pattern
+        self._validators_dir = _os.path.join(
+            self.cfg.ckpt_dir, "http_validators"
         )
         bloom_root = _os.path.join(self.cfg.ckpt_dir, "blooms")
         if self.cfg.bloom_partitions is None:
@@ -751,6 +766,90 @@ class CrawlEngine:
         return joined.select(
             *[repl.get(c, F.col(c)) for c in fr_cols]
         )
+
+    # ---- HTTP validators (conditional revisit fetches) -----------------
+
+    def _validators_update(self, ok: DataFrame, round_no: int) -> None:
+        """One bounded append per round: (url, etag, last_modified) for
+        every 200 response that supplied a validator. 304 rows never reach
+        ``ok`` and need no update — the validators they were sent with are
+        already the sidecar's freshest row for that url."""
+        rows = ok.where(
+            F.col("etag").isNotNull() | F.col("last_modified").isNotNull()
+        ).select(
+            "url",
+            "etag",
+            "last_modified",
+            F.lit(int(round_no)).alias("updated_round"),
+        )
+        rows.write.mode("append").parquet(self._validators_dir)
+        self._compact_validators_table()
+
+    def _validators_bytes(self) -> int | None:
+        import os as _os
+
+        try:
+            return sum(
+                e.stat().st_size
+                for e in _os.scandir(self._validators_dir)
+                if e.is_file() and not e.name.startswith(("_", "."))
+            )
+        except OSError:
+            return None
+
+    def _load_validators(self) -> DataFrame | None:
+        """Freshest (url, req_etag, req_last_modified) per url, or None —
+        column names match live_fetch's conditional-request inputs."""
+        import os as _os
+
+        if not _os.path.isdir(self._validators_dir):
+            return None
+        try:
+            t = self.spark.read.parquet(self._validators_dir)
+        except Exception:
+            return None
+        w = Window.partitionBy("url").orderBy(F.col("updated_round").desc())
+        return (
+            t.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(
+                "url",
+                F.col("etag").alias("req_etag"),
+                F.col("last_modified").alias("req_last_modified"),
+            )
+        )
+
+    def _compact_validators_table(self, max_files: int = 64) -> None:
+        """Freshest-per-url fold; same crash semantics as the other
+        sidecars (a kill mid-rewrite loses stored validators → the next
+        revisit is an unconditional fetch, never a correctness issue)."""
+        import os as _os
+        import shutil as _sh
+
+        try:
+            files = [
+                f
+                for f in _os.listdir(self._validators_dir)
+                if not f.startswith("_") and not f.startswith(".")
+            ]
+        except OSError:
+            return
+        if len(files) <= max_files:
+            return
+        t = self.spark.read.parquet(self._validators_dir)
+        w = Window.partitionBy("url").orderBy(F.col("updated_round").desc())
+        keep = (
+            t.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(
+                "url", "etag", "last_modified",
+                F.lit(0).alias("updated_round"),
+            )
+        )
+        tmp = self._validators_dir + ".compact"
+        keep.coalesce(1).write.mode("overwrite").parquet(tmp)
+        _sh.rmtree(self._validators_dir, ignore_errors=True)
+        _os.replace(tmp, self._validators_dir)
 
     def _load_robots_table(self) -> DataFrame | None:
         import os as _os
@@ -1456,6 +1555,22 @@ class CrawlEngine:
                             )
                             .drop("factor")
                         )
+                if cfg.conditional_fetch:
+                    vals = self._load_validators()
+                    if vals is not None:
+                        vb = self._validators_bytes()
+                        if (
+                            vb is None
+                            or vb <= self.ALIAS_BROADCAST_MAX_BYTES
+                        ):
+                            vals = F.broadcast(vals)
+                        # revisited URLs pick up their stored validators;
+                        # first-time URLs join to NULLs → unconditional GET
+                        batch_in = batch_in.join(
+                            vals.withColumnRenamed("url", "__v_url"),
+                            batch_in["url"] == F.col("__v_url"),
+                            "left",
+                        ).drop("__v_url")
                 fetched = live_fetch(
                     batch_in,
                     timeout_s=cfg.fetch_timeout_s,
@@ -1509,6 +1624,10 @@ class CrawlEngine:
                 # learn rel=canonical declarations from this round's
                 # bytes; rewrites apply from the NEXT round's candidates
                 self._alias_update(ok, round_no)
+            if cfg.conditional_fetch and cfg.fetch_mode == "live":
+                # persist this round's response validators; the next
+                # revisit of these URLs goes out conditional
+                self._validators_update(ok, round_no)
             _sect("fetch+count")
 
             # lineage-truncated frames (LogicalRDD) report no size stats, so

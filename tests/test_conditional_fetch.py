@@ -1,0 +1,203 @@
+"""Conditional revisit fetches (RFC 9110 §13): live_fetch sends stored
+ETag/Last-Modified validators and surfaces 304s; the engine persists
+validators in a checkpoint sidecar and recrawls go out conditional, so
+unchanged pages cost a request, not a transfer."""
+
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.oracle.replay import replay
+from crawler_spark.plans.rounds import CrawlEngine, EngineConfig
+from crawler_spark.sources.sitegen import SiteSpec, generate_site, site_to_spark
+
+
+@pytest.fixture(scope="module")
+def site():
+    return generate_site(
+        SiteSpec(n_hosts=1, details_per_host=8, limit=4, related_per_host=0)
+    )
+
+
+@pytest.fixture()
+def server(site):
+    """Serve the site's pages with strong ETags (one per path) and honor
+    If-None-Match / If-Modified-Since. Records every request's conditional
+    headers and response status for assertions."""
+    by_path = {}
+    for r in site["pages"].itertuples():
+        path = r.url.split("example.test", 1)[1]
+        by_path[path] = bytes(r.html)
+    LM = "Tue, 01 Jul 2025 00:00:00 GMT"
+    log = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = by_path.get(self.path)
+            if body is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            etag = f'"et-{self.path}"'
+            inm = self.headers.get("If-None-Match")
+            ims = self.headers.get("If-Modified-Since")
+            if inm == etag or (inm is None and ims == LM):
+                log.append((self.path, inm, ims, 304))
+                self.send_response(304)
+                self.send_header("ETag", etag)
+                self.end_headers()
+                return
+            log.append((self.path, inm, ims, 200))
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("ETag", etag)
+            self.send_header("Last-Modified", LM)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", log
+    srv.shutdown()
+
+
+def _localized(site, base):
+    s = dict(site)
+    seeds = site["seeds"].copy()
+    seeds["url"] = seeds["url"].str.replace(
+        r"http://h0\.example\.test", base, regex=True
+    )
+    s["seeds"] = seeds
+    pol = site["politeness"].copy()
+    pol["host"] = base.split("//", 1)[1]
+    s["politeness"] = pol
+    return s
+
+
+def test_live_fetch_conditional_requests(spark, site, server):
+    from crawler_spark.operators.fetch import live_fetch
+
+    base, log = server
+    path = site["pages"].iloc[0]["url"].split("example.test", 1)[1]
+    url = f"{base}{path}"
+    et = f'"et-{path}"'
+    rows = [
+        (url, "127.0.0.1", et, None),          # matching etag -> 304
+        (url, "127.0.0.1", '"stale"', None),   # stale etag -> 200 + body
+        (url, "127.0.0.1", None, None),        # unconditional -> 200
+    ]
+    batch = spark.createDataFrame(
+        rows,
+        "url string, host string, req_etag string,"
+        " req_last_modified string",
+    )
+    out = live_fetch(batch, timeout_s=5).collect()
+    by_req = {r["req_etag"]: r for r in out}
+    hit = by_req[et]
+    assert hit["status"] == 304 and hit["body"] is None
+    # the validators we sent remain the freshest known
+    assert hit["etag"] == et
+    stale = by_req['"stale"']
+    assert stale["status"] == 200 and stale["body"] is not None
+    assert stale["etag"] == et  # response validator captured
+    assert stale["last_modified"] is not None
+    uncond = by_req[None]
+    assert uncond["status"] == 200 and uncond["etag"] == et
+
+
+def test_live_fetch_if_modified_since(spark, site, server):
+    from crawler_spark.operators.fetch import live_fetch
+
+    base, log = server
+    path = site["pages"].iloc[0]["url"].split("example.test", 1)[1]
+    batch = spark.createDataFrame(
+        [(f"{base}{path}", "127.0.0.1", None,
+          "Tue, 01 Jul 2025 00:00:00 GMT")],
+        "url string, host string, req_etag string,"
+        " req_last_modified string",
+    )
+    r = live_fetch(batch, timeout_s=5).first()
+    assert r["status"] == 304 and r["body"] is None
+    assert r["last_modified"] == "Tue, 01 Jul 2025 00:00:00 GMT"
+
+
+def test_validators_sidecar_roundtrip(spark, tmp_path):
+    site_ = generate_site(SiteSpec(n_hosts=1, details_per_host=4, limit=4))
+    sdfs = site_to_spark(spark, site_)
+    eng = CrawlEngine(
+        spark, sdfs["pages"], sdfs["seeds"], sdfs["politeness"],
+        EngineConfig(ckpt_dir=str(tmp_path / "ck"), conditional_fetch=True),
+    )
+    ok1 = spark.createDataFrame(
+        [("http://s/a", '"v1"', None), ("http://s/b", None, "Mon"),
+         ("http://s/c", None, None)],
+        "url string, etag string, last_modified string",
+    )
+    eng._validators_update(ok1, 1)
+    got = {
+        r["url"]: (r["req_etag"], r["req_last_modified"])
+        for r in eng._load_validators().collect()
+    }
+    # validator-less responses add no row
+    assert got == {"http://s/a": ('"v1"', None), "http://s/b": (None, "Mon")}
+    # freshest per url wins across rounds
+    eng._validators_update(
+        spark.createDataFrame(
+            [("http://s/a", '"v2"', None)],
+            "url string, etag string, last_modified string",
+        ),
+        2,
+    )
+    got = {
+        r["url"]: r["req_etag"] for r in eng._load_validators().collect()
+    }
+    assert got["http://s/a"] == '"v2"'
+    # compaction folds history without changing the answer
+    eng._compact_validators_table(max_files=0)
+    got2 = {
+        r["url"]: r["req_etag"] for r in eng._load_validators().collect()
+    }
+    assert got2 == got
+
+
+def test_engine_conditional_recrawl_e2e(spark, site, server, tmp_path):
+    base, log = server
+    local = _localized(site, base)
+    sdfs = site_to_spark(spark, local)
+    cfg = EngineConfig(
+        ckpt_dir=str(tmp_path / "ck"), default_budget=8,
+        fetch_mode="live", fetch_timeout_s=10, conditional_fetch=True,
+    )
+    res1 = CrawlEngine(
+        spark, None, sdfs["seeds"], sdfs["politeness"], cfg,
+        connectors=site["connectors"],
+    ).run()
+    n1 = res1.records.count()
+    assert n1 > 0
+    # crawl 1 is unconditional end to end
+    assert all(inm is None and ims is None for _, inm, ims, _ in log)
+    assert all(status == 200 for *_, status in log)
+    first_len = len(log)
+
+    # recrawl every record URL on the same checkpoint: validators stored
+    # by crawl 1 must go out as If-None-Match, the server answers 304,
+    # and no record is re-parsed or duplicated
+    recrawl = res1.records.select(
+        "url", F.lit("c0").alias("connector_id")
+    )
+    res2 = CrawlEngine(
+        spark, None, sdfs["seeds"], sdfs["politeness"], cfg,
+        connectors=site["connectors"],
+    ).run(recrawl=recrawl)
+    second = log[first_len:]
+    assert second, "recrawl issued no requests"
+    revisits = [e for e in second if e[1] is not None]
+    assert revisits, "no conditional request was sent on recrawl"
+    assert all(status == 304 for *_, status in revisits)
+    assert res2.records.count() == n1  # nothing re-parsed into the sink
