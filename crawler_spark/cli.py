@@ -95,6 +95,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(ckpt sidecar) and send If-None-Match / "
                         "If-Modified-Since on revisits; 304 answers cost "
                         "headers, not body")
+    p.add_argument("--soft404-filter", action="store_true",
+                   help="suppress records/webtext for HTTP-200 error "
+                        "templates (not-found phrase + short body); the "
+                        "visit still counts as fetched and seen")
     p.add_argument("--link-graph", action="store_true",
                    help="commit a per-round (src_hash, dst_hash) edge log"
                         " for offline re-scoring (opic.pagerank)")
@@ -267,6 +271,7 @@ def main(argv: list[str] | None = None) -> int:
         trap_dup_ratio=args.trap_dup_ratio,
         canonical_collapse=args.canonical_collapse,
         conditional_fetch=args.conditional_fetch,
+        soft404_filter=args.soft404_filter,
     )
     eng = CrawlEngine(
         spark, pages, seeds, politeness, cfg,

@@ -245,6 +245,15 @@ class EngineConfig:
     # request, not a transfer. Pairs with the change-rate revisit
     # scheduler (operators/revisit.py) deciding WHEN to revisit.
     conditional_fetch: bool = False
+    # opt-in soft-404 suppression at the record sink: a fetched page whose
+    # extracted text trips the high-confidence content signal (error
+    # phrase AND abnormally short body — functions/urlfilter.is_soft404,
+    # pure JVM predicate riding the existing extraction scan) produces no
+    # record/webtext row. The URL still counts as fetched and seen — the
+    # page EXISTS, it is just an HTTP-200 error template; suppressing the
+    # visit would make the frontier re-pop it forever.
+    soft404_filter: bool = False
+    soft404_short_chars: int = 400
     # re-probe cadence: a cached robots row older than this many rounds no
     # longer counts as known, so the host is re-probed on its next wave
     # (rules changing mid-crawl are picked up). None = cache for the crawl.
@@ -1903,7 +1912,16 @@ class CrawlEngine:
             # description/author/license on GraphQL entities —
             # paris-musees.js:181-191) carries through to the record sink;
             # text/localFilename/hasError are sink-stage fields
-            records_out = recs.where(F.col("keep")).select(
+            keep_pred = F.col("keep")
+            if cfg.soft404_filter:
+                from crawler_spark.functions.urlfilter import is_soft404
+
+                # HTTP-200 error templates never reach the sinks; the
+                # visit itself stays (seen set, frontier removal)
+                keep_pred = keep_pred & ~is_soft404(
+                    F.col("text"), cfg.soft404_short_chars
+                )
+            records_out = recs.where(keep_pred).select(
                 "connector_id",
                 F.col("record_id").alias("id"),
                 "url",
@@ -1930,7 +1948,7 @@ class CrawlEngine:
             )
             # webtext in the input_hint shape: url, text (+ lang, warc_ts
             # carried from the fetched page)
-            webtext_out = recs.where(F.col("keep")).select(
+            webtext_out = recs.where(keep_pred).select(
                 "url",
                 "text",
                 *(
