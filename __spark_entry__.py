@@ -2155,6 +2155,48 @@ def _url_rel_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _s17_warc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed WARC export sink (sources/warc.py:warc_export): each
+    task serializes its own partition into one Common-Crawl-style
+    ``.warc.gz`` container (deterministic bytes, atomic rename, manifest
+    parquet) — the inverse of the S16 scan. The query proves the
+    round-trip under the driver gate: documents rows become pages, are
+    exported to real container files, scanned BACK with warc_scan, and
+    must equal the DuckDB oracle's by-construction statement of the same
+    rows (url, decoded body text, language header, status, mime)."""
+    import tempfile
+
+    from crawler_spark.sources.warc import warc_export, warc_scan
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    pages = docs.select(
+        F.concat(
+            F.lit("http://w"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.lit("2024-03-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")
+            ),
+            "UTF-8",
+        ).alias("html"),
+        F.col("lang"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="warc_export_q_")
+    warc_export(pages, out_dir, lang_col="lang", n_files=8)
+    back = warc_scan(spark, out_dir)
+    return back.select(
+        "url",
+        F.col("text").alias("body_text"),
+        "lang",
+        F.col("status").cast("int").alias("status"),
+        "mime",
+    )
+
+
 def _graph_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text aggregation (functions/anchors.py:anchor_text_summary):
     top-k anchor strings per link target with deterministic (count desc,
@@ -2348,6 +2390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_surt_key": _url_surt_key,
         "url_redirect_resolve": _url_redirect_resolve,
         "url_rel_canonical": _url_rel_canonical,
+        "s17_warc_export": _s17_warc_export,
         "graph_anchor_texts": _graph_anchor_texts,
         "text_pack_sequences": _text_pack_sequences,
         "url_soft404": _url_soft404,
@@ -3699,6 +3742,15 @@ def oracle_sql() -> dict[str, str]:
                  ELSE 'http://host' || h9 || '.example.com/canon/' || ks
                END AS canonical
         FROM ext
+    """
+    out["s17_warc_export"] = r"""
+        SELECT 'http://w' || CAST(doc_id % 7 AS VARCHAR)
+                 || '.example.com/d/' || CAST(doc_id AS VARCHAR) AS url,
+               '<html><body>' || text || '</body></html>' AS body_text,
+               lang,
+               CAST(200 AS INTEGER) AS status,
+               'text/html' AS mime
+        FROM documents
     """
     out["graph_anchor_texts"] = r"""
         WITH links AS (

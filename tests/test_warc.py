@@ -139,3 +139,105 @@ def test_warc_scan_dataframe_input(spark):
     out = warc_scan(df)
     assert out.count() == 4
     assert {r["status"] for r in out.collect()} == {200, 404}
+
+
+def test_warc_export_roundtrip(spark, tmp_path):
+    from datetime import datetime
+
+    from crawler_spark.sources.warc import warc_export
+
+    rows = [
+        (
+            f"http://h{i % 3}.example.com/p/{i}",
+            datetime(2024, 5, 1, 12, 0, i),
+            f"<html><body>doc {i} café</body></html>".encode(),
+            "text/html",
+            "en" if i % 2 == 0 else None,
+            200,
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, mime string,"
+        " lang string, status int",
+    )
+    out = str(tmp_path / "export")
+    manifest = warc_export(
+        df, out, mime_col="mime", lang_col="lang", status_col="status",
+        n_files=4,
+    )
+    man = manifest.collect()
+    assert sum(r["n_records"] for r in man) == 40
+    assert all(r["warc_file"].endswith(".warc.gz") for r in man)
+    import os
+
+    files = [f for f in os.listdir(out) if f.endswith(".warc.gz")]
+    assert sorted(files) == sorted(r["warc_file"] for r in man)
+    # manifest persisted next to the archives
+    assert (
+        spark.read.parquet(os.path.join(out, "_manifest")).count()
+        == len(man)
+    )
+
+    # scan recovers every row: url, timestamp, bytes, text, lang, status
+    back = warc_scan(spark, out)
+    got = {r["url"]: r for r in back.collect()}
+    assert len(got) == 40
+    for url, ts, html, mime, lang, status in rows:
+        r = got[url]
+        assert bytes(r["html"]) == html
+        assert r["warc_ts"] == ts
+        assert r["text"] == html.decode()
+        assert r["lang"] == lang
+        assert r["status"] == status
+        assert r["mime"] == "text/html"
+
+
+def test_warc_export_deterministic_and_idempotent(spark, tmp_path):
+    from datetime import datetime
+
+    from crawler_spark.sources.warc import warc_export
+
+    df = spark.createDataFrame(
+        [(f"http://h/p{i}", datetime(2024, 1, 1), b"x") for i in range(8)],
+        "url string, warc_ts timestamp, html binary",
+    ).repartition(2)
+    out = str(tmp_path / "w")
+    warc_export(df, out, n_files=2)
+    import os
+
+    first = {
+        f: open(os.path.join(out, f), "rb").read()
+        for f in os.listdir(out)
+        if f.endswith(".warc.gz")
+    }
+    # re-export (simulates a retried/speculative task re-running): byte-
+    # identical files, no leftovers, no duplicates
+    warc_export(df, out, n_files=2)
+    second = {
+        f: open(os.path.join(out, f), "rb").read()
+        for f in os.listdir(out)
+        if f.endswith(".warc.gz")
+    }
+    assert first == second
+    assert not any(".inprogress" in f for f in os.listdir(out))
+
+
+def test_warc_export_uncompressed_and_defaults(spark, tmp_path):
+    from datetime import datetime
+
+    from crawler_spark.sources.warc import warc_export
+
+    df = spark.createDataFrame(
+        [("http://h/a", datetime(2024, 1, 1), "<p>t</p>".encode())],
+        "url string, warc_ts timestamp, html binary",
+    )
+    out = str(tmp_path / "u")
+    warc_export(df, out, compress=False, n_files=1)
+    back = warc_scan(spark, out).collect()
+    assert len(back) == 1
+    r = back[0]
+    # defaults: text/html, status 200, no language
+    assert (r["mime"], r["status"], r["lang"]) == ("text/html", 200, None)
+    assert r["text"] == "<p>t</p>"
