@@ -2197,6 +2197,56 @@ def _s17_warc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal (functions/boilerplate.py) — jusText-family
+    block classification expressed entirely in JVM column expressions
+    (regexp split/extract + higher-order array functions; no Python, no
+    shuffle). Pages are synthesized per document with a nav bar, a
+    link-farm div, script/style/comment noise, an entity-laden prose
+    block, and the doc's own text as the main paragraph; the DuckDB
+    oracle replicates the SPEC with the IDENTICAL RE2-safe pattern
+    strings over the same construction — block split, per-block anchor
+    text, entity decode, keep rule (len >= 40 AND link_chars <= 0.3 *
+    chars), newline join, and the content_ratio division (one IEEE
+    double op, bit-reproducible)."""
+    from crawler_spark.functions.boilerplate import boilerplate_report
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    k = F.col("doc_id")
+    ks = k.cast("string")
+    farm = F.concat(
+        F.lit('<div><a href="/t/1">tag one '),
+        ks,
+        F.lit('</a> <a href="/t/2">tag two '),
+        ks,
+        F.lit('</a> <a href="/t/3">tag three '),
+        ks,
+        F.lit("</a></div>"),
+    )
+    html = F.concat(
+        F.lit('<nav><a href="/">Home</a> <a href="/a">About</a></nav>'),
+        F.lit("<script>var x = 'boilerplate noise that must vanish';"
+              "</script>"),
+        F.lit("<!-- comment long enough to pass the length bar -->"),
+        farm,
+        F.lit("<p>Warp &amp; weft &quot;figured&quot; velvet block kept "
+              "for doc "),
+        ks,
+        F.lit(" of this corpus</p><p>"),
+        F.col("text"),
+        F.lit("</p>"),
+    )
+    pages = docs.select(k.alias("doc_id"), html.alias("html"))
+    out = boilerplate_report(pages, html_col="html")
+    return out.select(
+        "doc_id",
+        "main_text",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        "content_ratio",
+    )
+
+
 def _graph_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text aggregation (functions/anchors.py:anchor_text_summary):
     top-k anchor strings per link target with deterministic (count desc,
@@ -2391,6 +2441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_redirect_resolve": _url_redirect_resolve,
         "url_rel_canonical": _url_rel_canonical,
         "s17_warc_export": _s17_warc_export,
+        "text_boilerplate": _text_boilerplate,
         "graph_anchor_texts": _graph_anchor_texts,
         "text_pack_sequences": _text_pack_sequences,
         "url_soft404": _url_soft404,
@@ -3751,6 +3802,74 @@ def oracle_sql() -> dict[str, str]:
                CAST(200 AS INTEGER) AS status,
                'text/html' AS mime
         FROM documents
+    """
+    out["text_boilerplate"] = r"""
+        WITH built AS (
+          SELECT doc_id,
+                 '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+                 || '<script>var x = ''boilerplate noise that must vanish'';</script>'
+                 || '<!-- comment long enough to pass the length bar -->'
+                 || '<div><a href="/t/1">tag one ' || CAST(doc_id AS VARCHAR)
+                 || '</a> <a href="/t/2">tag two ' || CAST(doc_id AS VARCHAR)
+                 || '</a> <a href="/t/3">tag three ' || CAST(doc_id AS VARCHAR)
+                 || '</a></div>'
+                 || '<p>Warp &amp; weft &quot;figured&quot; velvet block kept for doc '
+                 || CAST(doc_id AS VARCHAR)
+                 || ' of this corpus</p><p>' || text || '</p>' AS html
+          FROM documents),
+        blocks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(
+                   regexp_replace(html,
+                     '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->',
+                     ' ', 'g'),
+                   '(?i)</?(?:p|div|td|th|li|h[1-6]|section|article|header|footer|nav|aside|ul|ol|table|tr|blockquote|br|main|figure|figcaption|dl|dt|dd)\b[^>]*>'
+                 ) AS bs
+          FROM built),
+        stats AS (
+          SELECT doc_id,
+                 list_transform(bs, b -> struct_pack(
+                   t := trim(regexp_replace(
+                          replace(replace(replace(replace(replace(replace(
+                            regexp_replace(b, '<[^>]*>', ' ', 'g'),
+                            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                            '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+                          '\s+', ' ', 'g')),
+                   l := trim(regexp_replace(
+                          replace(replace(replace(replace(replace(replace(
+                            regexp_replace(
+                              coalesce(array_to_string(
+                                regexp_extract_all(b,
+                                  '(?is)<a\b[^>]*>(.*?)</a>', 1), ' '), ''),
+                              '<[^>]*>', ' ', 'g'),
+                            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                            '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+                          '\s+', ' ', 'g'))
+                 )) AS st
+          FROM blocks),
+        sel AS (
+          SELECT doc_id, list_filter(st, s -> len(s.t) > 0) AS ne
+          FROM stats),
+        fin AS (
+          SELECT doc_id, ne,
+                 list_filter(ne, s -> len(s.t) >= 40
+                   AND CAST(len(s.l) AS DOUBLE)
+                       <= 0.3 * CAST(len(s.t) AS DOUBLE)) AS kept
+          FROM sel)
+        SELECT doc_id,
+               coalesce(array_to_string(
+                 list_transform(kept, s -> s.t), chr(10)), '')
+                 AS main_text,
+               CAST(len(ne) AS BIGINT) AS n_blocks,
+               CAST(len(kept) AS BIGINT) AS n_kept,
+               CASE WHEN coalesce(list_sum(
+                        list_transform(ne, s -> len(s.t))), 0) > 0
+                    THEN CAST(coalesce(list_sum(
+                           list_transform(kept, s -> len(s.t))), 0) AS DOUBLE)
+                         / CAST(list_sum(
+                             list_transform(ne, s -> len(s.t))) AS DOUBLE)
+                    ELSE 0.0 END AS content_ratio
+        FROM fin
     """
     out["graph_anchor_texts"] = r"""
         WITH links AS (
