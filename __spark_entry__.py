@@ -2247,6 +2247,40 @@ def _text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _crawl_visits_304_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """304-visit merge for the change-rate history
+    (operators/revisit.py:visit_history_with_not_modified): HTTP-304
+    revisits carry no body, so their fingerprint is forward-filled from
+    the url's last contentful fetch (per-url window, (ts, fetch_id)
+    order); 304s with no contentful predecessor are dropped. Visits are
+    synthesized from events (every third event is a 304); the DuckDB
+    oracle is the same forward fill via last_value IGNORE NULLS."""
+    from crawler_spark.operators.revisit import (
+        visit_history_with_not_modified,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        F.concat(
+            F.lit("http://h"),
+            (F.col("event_id") % 37).cast("string"),
+            F.lit(".test/p/"),
+            (F.col("event_id") % 211).cast("string"),
+        ).alias("url"),
+    )
+    hist = ev.where(F.col("event_id") % 3 != 0).select(
+        "url",
+        "ts",
+        (F.col("event_id") % 7).cast("long").alias("fp"),
+        F.col("event_id").cast("long").alias("fetch_id"),
+    )
+    nm = ev.where(F.col("event_id") % 3 == 0).select(
+        "url", "ts", F.col("event_id").cast("long").alias("fetch_id")
+    )
+    return visit_history_with_not_modified(hist, nm)
+
+
 def _graph_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text aggregation (functions/anchors.py:anchor_text_summary):
     top-k anchor strings per link target with deterministic (count desc,
@@ -2442,6 +2476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_rel_canonical": _url_rel_canonical,
         "s17_warc_export": _s17_warc_export,
         "text_boilerplate": _text_boilerplate,
+        "crawl_visits_304_fill": _crawl_visits_304_fill,
         "graph_anchor_texts": _graph_anchor_texts,
         "text_pack_sequences": _text_pack_sequences,
         "url_soft404": _url_soft404,
@@ -3870,6 +3905,30 @@ def oracle_sql() -> dict[str, str]:
                              list_transform(ne, s -> len(s.t))) AS DOUBLE)
                     ELSE 0.0 END AS content_ratio
         FROM fin
+    """
+    out["crawl_visits_304_fill"] = r"""
+        WITH ev AS (
+          SELECT event_id, ts,
+                 'http://h' || CAST(event_id % 37 AS VARCHAR)
+                 || '.test/p/' || CAST(event_id % 211 AS VARCHAR) AS url
+          FROM events),
+        hist AS (
+          SELECT url, ts, CAST(event_id % 7 AS BIGINT) AS fp,
+                 CAST(event_id AS BIGINT) AS fetch_id
+          FROM ev WHERE event_id % 3 <> 0),
+        nm AS (
+          SELECT url, ts, CAST(NULL AS BIGINT) AS fp,
+                 CAST(event_id AS BIGINT) AS fetch_id
+          FROM ev WHERE event_id % 3 = 0),
+        merged AS (SELECT * FROM hist UNION ALL SELECT * FROM nm),
+        filled AS (
+          SELECT url, ts,
+                 last_value(fp IGNORE NULLS) OVER (
+                   PARTITION BY url ORDER BY ts, fetch_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+                 fetch_id
+          FROM merged)
+        SELECT url, ts, fp, fetch_id FROM filled WHERE fp IS NOT NULL
     """
     out["graph_anchor_texts"] = r"""
         WITH links AS (

@@ -188,6 +188,43 @@ def visit_history_from_webtext(
     return out
 
 
+def visit_history_with_not_modified(
+    history: DataFrame,
+    not_modified: DataFrame,
+) -> DataFrame:
+    """Merge HTTP-304 revisits into a ``(url, ts, fp, fetch_id)`` history.
+
+    A 304 answer proves the content at ``ts`` is byte-identical to the
+    previous contentful fetch, but it ships no body — so the visit never
+    reaches webtext and :func:`visit_history_from_webtext` cannot see it.
+    Dropping it would bias the Cho–Garcia-Molina estimator UP (the
+    cheapest possible evidence of stability is exactly the evidence a
+    conditional-fetch crawl produces most of): n visits with 0 changes
+    must lower λ̂, and the 304s are most of those n.
+
+    ``not_modified`` rows: ``(url, ts, fetch_id)``. Each becomes a history
+    row whose fingerprint is forward-filled from the url's last contentful
+    visit (per-url window, ordered (ts, fetch_id) — same tiny-partition
+    shape as change detection; no join). A 304 with no preceding
+    contentful fetch (possible only if the validator sidecar outlived the
+    webtext history) is dropped rather than guessed.
+    """
+    fp_type = dict(history.dtypes)["fp"]  # any stable hash type works
+    nm = not_modified.select(
+        "url", "ts", F.lit(None).cast(fp_type).alias("fp"), "fetch_id"
+    )
+    merged = history.select("url", "ts", "fp", "fetch_id").unionByName(nm)
+    w = (
+        Window.partitionBy("url")
+        .orderBy("ts", "fetch_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = merged.withColumn(
+        "fp", F.last("fp", ignorenulls=True).over(w)
+    )
+    return filled.where(F.col("fp").isNotNull())
+
+
 def revisit_recrawl_candidates(
     history: DataFrame,
     now_ts,

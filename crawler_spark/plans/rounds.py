@@ -388,6 +388,11 @@ class CrawlEngine:
         self._validators_dir = _os.path.join(
             self.cfg.ckpt_dir, "http_validators"
         )
+        # 304 visit log: unchanged-revisit evidence for the change-rate
+        # estimator (append-only; one row per 304 answer)
+        self._nm_dir = _os.path.join(
+            self.cfg.ckpt_dir, "not_modified_visits"
+        )
         bloom_root = _os.path.join(self.cfg.ckpt_dir, "blooms")
         if self.cfg.bloom_partitions is None:
             # auto: adopt the persisted partition count (resume keeps a
@@ -859,6 +864,34 @@ class CrawlEngine:
         keep.coalesce(1).write.mode("overwrite").parquet(tmp)
         _sh.rmtree(self._validators_dir, ignore_errors=True)
         _os.replace(tmp, self._validators_dir)
+
+    def _nm_update(self, fetched: DataFrame, round_no: int) -> None:
+        """Append this round's 304 answers as (url, ts, round) — the
+        unchanged-revisit evidence operators/revisit.py's
+        visit_history_with_not_modified folds into the change-rate
+        history. O(304s in the round); no read-modify-write."""
+        rows = fetched.where(F.col("status") == 304).select(
+            "url",
+            F.col("warc_ts").alias("ts"),
+            F.lit(int(round_no)).alias("round"),
+        )
+        rows.write.mode("append").parquet(self._nm_dir)
+
+    def not_modified_visits(self) -> DataFrame | None:
+        """All logged 304 visits ``(url, ts, fetch_id)`` or None —
+        ``fetch_id`` is the round number (the deterministic same-ts
+        tiebreak the change-rate window orders by)."""
+        import os as _os
+
+        if not _os.path.isdir(self._nm_dir):
+            return None
+        try:
+            t = self.spark.read.parquet(self._nm_dir)
+        except Exception:
+            return None
+        return t.select(
+            "url", "ts", F.col("round").cast("long").alias("fetch_id")
+        )
 
     def _load_robots_table(self) -> DataFrame | None:
         import os as _os
@@ -1637,6 +1670,9 @@ class CrawlEngine:
                 # persist this round's response validators; the next
                 # revisit of these URLs goes out conditional
                 self._validators_update(ok, round_no)
+                # and log 304 answers as unchanged-visit evidence for
+                # the change-rate revisit estimator
+                self._nm_update(fetched, round_no)
             _sect("fetch+count")
 
             # lineage-truncated frames (LogicalRDD) report no size stats, so

@@ -191,13 +191,40 @@ def test_engine_conditional_recrawl_e2e(spark, site, server, tmp_path):
     recrawl = res1.records.select(
         "url", F.lit("c0").alias("connector_id")
     )
-    res2 = CrawlEngine(
+    eng2 = CrawlEngine(
         spark, None, sdfs["seeds"], sdfs["politeness"], cfg,
         connectors=site["connectors"],
-    ).run(recrawl=recrawl)
+    )
+    res2 = eng2.run(recrawl=recrawl)
     second = log[first_len:]
     assert second, "recrawl issued no requests"
     revisits = [e for e in second if e[1] is not None]
     assert revisits, "no conditional request was sent on recrawl"
     assert all(status == 304 for *_, status in revisits)
     assert res2.records.count() == n1  # nothing re-parsed into the sink
+
+    # the 304s were logged as unchanged-visit evidence, and folding them
+    # into the change-rate history yields n_visits=2 / n_changes=0 for
+    # every revisited URL — the estimator sees stability, not silence
+    from crawler_spark.operators.revisit import (
+        change_rate_stats,
+        visit_history_from_webtext,
+        visit_history_with_not_modified,
+    )
+
+    nm = eng2.not_modified_visits()
+    assert nm is not None
+    nm_urls = {r["url"] for r in nm.select("url").collect()}
+    assert nm_urls == {
+        r["url"] for r in res1.records.select("url").collect()
+    }
+    hist = visit_history_from_webtext(
+        [(res1.webtext, "2025-07-01 00:00:00")]
+    )
+    merged = visit_history_with_not_modified(hist, nm)
+    stats = {
+        r["url"]: (r["n_visits"], r["n_changes"])
+        for r in change_rate_stats(merged, order_col="fetch_id").collect()
+    }
+    for u in nm_urls:
+        assert stats[u] == (2, 0)

@@ -188,3 +188,37 @@ def test_revisit_candidates_drive_engine_recrawl(spark, tmp_path):
         ).select("url").collect()
     )
     assert refetched == want
+
+
+def test_not_modified_fill(spark):
+    from crawler_spark.operators.revisit import visit_history_with_not_modified
+
+    hist = _hist(spark, [
+        ("u1", 0, "A"), ("u1", 100, "B"),   # contentful: one change
+        ("u2", 0, "X"),
+        ("orphan-free", 0, "Z"),
+    ])
+    nm = spark.createDataFrame(
+        [
+            ("u1", T0 + dt.timedelta(seconds=200), 10),  # 304 after B
+            ("u2", T0 + dt.timedelta(seconds=50), 11),   # 304 after X
+            ("u2", T0 + dt.timedelta(seconds=60), 12),   # and again
+            ("ghost", T0, 13),  # 304 with NO contentful visit: dropped
+        ],
+        "url string, ts timestamp, fetch_id long",
+    )
+    merged = visit_history_with_not_modified(hist, nm)
+    rows = {
+        (r["url"], r["fetch_id"]): r["fp"] for r in merged.collect()
+    }
+    # 304 fingerprints forward-filled from the last contentful visit
+    assert rows[("u1", 10)] == "B"
+    assert rows[("u2", 11)] == "X" and rows[("u2", 12)] == "X"
+    assert not any(u == "ghost" for u, _ in rows)
+    # and the estimator sees the 304s as unchanged visits
+    st = {
+        r["url"]: (r["n_visits"], r["n_changes"])
+        for r in change_rate_stats(merged, order_col="fetch_id").collect()
+    }
+    assert st["u1"] == (3, 1)   # A->B change; B->B(304) not a change
+    assert st["u2"] == (3, 0)
