@@ -11,7 +11,7 @@ crawl-delay for the hosts it owns.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 def pop_order() -> list:
@@ -53,11 +53,59 @@ def apply_robots(
         rules, frontier["host"] == F.col("__p_host"), "left"
     )
     path = F.regexp_replace(F.col("url"), r"^[a-z]+://[^/]+", "")
-    blocked = F.exists(
-        F.coalesce(F.col("__disallow"), F.array()),
-        lambda p: path.startswith(p),
+    blocked = robots_blocked(
+        path, F.coalesce(F.col("__disallow"), F.array())
     )
     return joined.where(~blocked).drop("__p_host", "__disallow")
+
+
+def robots_blocked(path: Column, rules: Column) -> Column:
+    """RFC 9309 §2.2.2-2.2.3 rule matching as one JVM array-aggregate.
+
+    ``rules`` entries are Disallow patterns, or Allow patterns prefixed
+    with ``"!"`` (robots.py's encoding — paths always start with ``/``,
+    so the sentinel cannot collide). Patterns may contain ``*`` (any run)
+    and a trailing ``$`` (end anchor); everything else is literal. The
+    longest matching pattern wins; an Allow beats a Disallow of the same
+    length. Plain user-config prefix arrays are the degenerate case
+    (no ``!``, no wildcards) and keep their fast ``startswith`` path.
+
+    Priority encoding makes the tie-break free: ``2*len(pattern) + 1``
+    for Allow vs ``2*len(pattern)`` for Disallow — one max-aggregate over
+    the (tiny) rule array, blocked iff the winner is even. Wildcard
+    patterns are translated to anchored regexes inline (escape regex
+    metachars, then ``*`` → ``.*``); literal patterns never touch the
+    regex engine.
+    """
+    def entry_prio(e: Column) -> Column:
+        allow = e.startswith("!")
+        pat = F.when(allow, F.substring(e, 2, 1 << 30)).otherwise(e)
+        anchored = pat.endswith("$")
+        body = F.when(
+            anchored, F.substring(pat, 1, F.length(pat) - 1)
+        ).otherwise(pat)
+        has_wild = body.contains("*") | anchored
+        # escape regex metachars EXCEPT '*', then '*' -> '.*'
+        esc = F.regexp_replace(
+            body, r"([.^$+?(){}\[\]\\|])", r"\\$1"
+        )
+        rx = F.concat(
+            F.lit("^"),
+            F.replace(esc, F.lit("*"), F.lit(".*")),
+            F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+        )
+        matched = F.when(has_wild, F.rlike(path, rx)).otherwise(
+            path.startswith(body)
+        )
+        prio = F.length(pat) * 2 + F.when(allow, 1).otherwise(0)
+        return F.when(matched, prio).otherwise(F.lit(-1))
+
+    best = F.aggregate(
+        rules,
+        F.lit(-1),
+        lambda acc, e: F.greatest(acc, entry_prio(e)),
+    )
+    return (best >= 0) & (best % 2 == 0)
 
 
 #: join-back broadcast gate — mirrors BloomTable.BROADCAST_MAX_BYTES: the

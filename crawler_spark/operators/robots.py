@@ -23,29 +23,38 @@ from crawler_spark.functions.canonicalize import host_of
 def parse_robots(
     text: str | bytes | None, user_agent: str = "*"
 ) -> dict:
-    """→ {"disallow": [prefixes], "crawl_delay_ms": int | None}.
+    """→ {"disallow": [patterns], "allow": [patterns],
+    "crawl_delay_ms": int | None}.
 
     Group selection per RFC 9309: the most specific matching User-agent
     group wins (longest agent token that is a prefix of ``user_agent`` or
     ``*``); multiple UA lines stack onto one group; rules end at the next
-    UA line that follows at least one rule.
+    UA line that follows at least one rule. Patterns are kept VERBATIM —
+    including RFC 9309 §2.2.3 wildcards (``*`` anywhere, ``$`` end
+    anchor); matching semantics (longest-match, allow wins ties) live in
+    ``politeness.apply_robots``, where Allow rules ride the politeness
+    disallow array as ``"!"``-prefixed entries (paths always start with
+    ``/``, so the sentinel is unambiguous).
     """
     if text is None:
-        return {"disallow": [], "crawl_delay_ms": None}
+        return {"disallow": [], "allow": [], "crawl_delay_ms": None}
     if isinstance(text, (bytes, bytearray, memoryview)):
         text = bytes(text).decode("utf-8", errors="replace")
 
-    groups: list[tuple[list[str], list[str], float | None]] = []
+    groups: list[tuple[list[str], list[str], list[str], float | None]] = []
     cur_agents: list[str] = []
     cur_rules: list[str] = []
+    cur_allow: list[str] = []
     cur_delay: float | None = None
     in_rules = False
 
     def flush():
-        nonlocal cur_agents, cur_rules, cur_delay, in_rules
+        nonlocal cur_agents, cur_rules, cur_allow, cur_delay, in_rules
         if cur_agents:
-            groups.append((cur_agents, cur_rules, cur_delay))
-        cur_agents, cur_rules, cur_delay, in_rules = [], [], None, False
+            groups.append((cur_agents, cur_rules, cur_allow, cur_delay))
+        cur_agents, cur_rules, cur_allow, cur_delay, in_rules = (
+            [], [], [], None, False,
+        )
 
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -68,13 +77,17 @@ def parse_robots(
                 cur_delay = float(val)
             except ValueError:
                 pass
-        elif key in ("allow", "sitemap"):
-            in_rules = True  # recognized, not modelled (allow-all default)
+        elif key == "allow":
+            in_rules = True
+            if val:
+                cur_allow.append(val)
+        elif key == "sitemap":
+            in_rules = True  # group marker only; handled by sitemaps.py
     flush()
 
     ua = user_agent.lower()
-    best: tuple[int, list[str], float | None] | None = None
-    for agents, rules, delay in groups:
+    best: tuple[int, list[str], list[str], float | None] | None = None
+    for agents, rules, allow, delay in groups:
         for a in agents:
             if a == "*":
                 score = 0
@@ -83,13 +96,14 @@ def parse_robots(
             else:
                 continue
             if best is None or score > best[0]:
-                best = (score, rules, delay)
+                best = (score, rules, allow, delay)
     if best is None:
-        return {"disallow": [], "crawl_delay_ms": None}
+        return {"disallow": [], "allow": [], "crawl_delay_ms": None}
     return {
         "disallow": list(best[1]),
+        "allow": list(best[2]),
         "crawl_delay_ms": (
-            int(best[2] * 1000) if best[2] is not None else None
+            int(best[3] * 1000) if best[3] is not None else None
         ),
     }
 
@@ -129,7 +143,10 @@ def politeness_from_robots(
                     else default_delay_ms
                 )
                 out["budget_per_round"].append(default_budget)
-                out["disallow"].append(parsed["disallow"])
+                out["disallow"].append(
+                    parsed["disallow"]
+                    + ["!" + a for a in parsed["allow"]]
+                )
             yield pd.DataFrame(out)
 
     return (
@@ -204,7 +221,10 @@ def robots_wave(
                     else default_delay_ms
                 )
                 out["budget_per_round"].append(default_budget)
-                out["disallow"].append(parsed["disallow"])
+                out["disallow"].append(
+                    parsed["disallow"]
+                    + ["!" + a for a in parsed["allow"]]
+                )
                 out["probe_status"].append(status)
             yield pd.DataFrame(out)
 

@@ -34,8 +34,9 @@ def test_parse_wildcard_fallback():
 
 
 def test_parse_edge_cases():
-    assert parse_robots(None) == {"disallow": [], "crawl_delay_ms": None}
-    assert parse_robots(b"") == {"disallow": [], "crawl_delay_ms": None}
+    empty = {"disallow": [], "allow": [], "crawl_delay_ms": None}
+    assert parse_robots(None) == empty
+    assert parse_robots(b"") == empty
     # empty Disallow means allow-all
     p = parse_robots(b"User-agent: *\nDisallow:\n")
     assert p["disallow"] == []
@@ -167,3 +168,106 @@ def test_robots_cache_compaction_keeps_latest_row(spark, tmp_path):
     assert pol["h0"]["crawl_delay_ms"] == 700
     # the unexpired final row wins for h2 despite the fresher transient
     assert pol["h2"]["disallow"] == ["/y"]
+
+
+# ---- RFC 9309 wildcards + Allow rules (longest-match, allow wins ties) ----
+
+
+def test_parse_allow_rules():
+    p = parse_robots(
+        b"User-agent: *\nDisallow: /a\nAllow: /a/pub\nDisallow: /*.pdf$\n"
+    )
+    assert p["disallow"] == ["/a", "/*.pdf$"]
+    assert p["allow"] == ["/a/pub"]
+
+
+def _blocked(spark, rules, paths):
+    from crawler_spark.operators.politeness import robots_blocked
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(p,) for p in paths], "path string")
+    out = df.select(
+        "path", robots_blocked(F.col("path"), F.array(
+            *[F.lit(r) for r in rules])).alias("b")
+    )
+    return {r["path"]: r["b"] for r in out.collect()}
+
+
+def test_rfc_matching_wildcards_and_anchors(spark):
+    got = _blocked(
+        spark,
+        ["/private", "/*.pdf$", "/tmp/*/x"],
+        ["/private/a", "/privatey", "/doc.pdf", "/doc.pdfx",
+         "/tmp/1/x", "/tmp/1/2/x", "/tmp/x", "/ok"],
+    )
+    assert got["/private/a"] and got["/privatey"]  # prefix semantics
+    assert got["/doc.pdf"] and not got["/doc.pdfx"]  # $ anchors the end
+    assert got["/tmp/1/x"] and got["/tmp/1/2/x"]  # * spans any run
+    assert not got["/tmp/x"]  # * requires its surrounding literals
+    assert not got["/ok"]
+
+
+def test_rfc_allow_overrides_by_length(spark):
+    rules = ["/a", "!/a/pub"]
+    got = _blocked(spark, rules, ["/a/secret", "/a/pub/x", "/a/pub"])
+    assert got["/a/secret"]
+    assert not got["/a/pub/x"] and not got["/a/pub"]
+    # equal length: allow wins the tie (RFC 9309 S2.2.2)
+    got = _blocked(spark, ["/ab", "!/ab"], ["/ab/x"])
+    assert not got["/ab/x"]
+    # shorter allow does NOT override a longer disallow
+    got = _blocked(spark, ["/a/priv", "!/a"], ["/a/priv/x", "/a/other"])
+    assert got["/a/priv/x"] and not got["/a/other"]
+
+
+def test_rfc_regex_metachars_are_literal(spark):
+    got = _blocked(
+        spark, ["/p(1).x+?", "/q|r"], ["/p(1).x+?y", "/p11axz", "/q|r/s", "/q"]
+    )
+    assert got["/p(1).x+?y"] and got["/q|r/s"]
+    assert not got["/p11axz"] and not got["/q"]
+
+
+def test_allow_rules_flow_through_politeness_tables(spark):
+    from crawler_spark.operators.robots import politeness_from_robots
+
+    pages = spark.createDataFrame(
+        [("http://h9.test/robots.txt",
+          b"User-agent: *\nDisallow: /a\nAllow: /a/pub\n")],
+        "url string, html binary",
+    )
+    row = politeness_from_robots(pages).first()
+    assert row["disallow"] == ["/a", "!/a/pub"]
+
+
+def test_engine_end_to_end_wildcard_disallow(spark, tmp_path):
+    # a politeness table carrying a wildcard pattern blocks matching
+    # record paths in a real crawl
+    from crawler_spark.plans.rounds import CrawlEngine, EngineConfig
+    from crawler_spark.sources.sitegen import (
+        SiteSpec, generate_site, site_to_spark,
+    )
+
+    site = generate_site(SiteSpec(n_hosts=1, details_per_host=8, limit=4))
+    sdfs = site_to_spark(spark, site)
+    base = CrawlEngine(
+        spark, sdfs["pages"], sdfs["seeds"], sdfs["politeness"],
+        EngineConfig(ckpt_dir=str(tmp_path / "a")),
+    ).run()
+    urls = sorted(r["url"] for r in base.records.select("url").collect())
+    victim = urls[0]
+    suffix = victim.rsplit("/", 1)[-1]
+    from pyspark.sql import functions as F
+
+    pol = sdfs["politeness"].withColumn(
+        "disallow", F.array(F.lit(f"/*/{suffix}$"))
+    )
+    res = CrawlEngine(
+        spark, sdfs["pages"], sdfs["seeds"], pol,
+        EngineConfig(ckpt_dir=str(tmp_path / "b")),
+    ).run()
+    got = {r["url"] for r in res.records.select("url").collect()}
+    assert victim not in got
+    assert got == set(urls) - {
+        u for u in urls if u.endswith("/" + suffix)
+    }
