@@ -216,7 +216,7 @@ def live_fetch(
         if f.name != "__delay_ms"
     ) + (
         ", body binary, warc_ts timestamp, lang string, status int,"
-        " bytes long, etag string, last_modified string"
+        " bytes long, etag string, last_modified string, final_url string"
     )
 
     def _fetch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -267,7 +267,8 @@ def live_fetch(
             out = {c: [] for c in in_cols if c != "__delay_ms"}
             out.update({"body": [], "warc_ts": [], "lang": [],
                         "status": [], "bytes": [],
-                        "etag": [], "last_modified": []})
+                        "etag": [], "last_modified": [],
+                        "final_url": []})
             # plain tuples + a name→position map: named itertuples RENAMES
             # underscore-prefixed columns to positional _N, which silently
             # turned getattr(row, "__delay_ms", 0) into a constant 0 — the
@@ -290,6 +291,7 @@ def live_fetch(
                 req_etag = row[retag_i] if retag_i is not None else None
                 req_lm = row[rlm_i] if rlm_i is not None else None
                 resp_etag, resp_lm = None, None
+                final_url = None
                 try:
                     cfg = (
                         connectors.get(
@@ -361,6 +363,11 @@ def live_fetch(
                         status = r.status
                         resp_etag = r.headers.get("ETag")
                         resp_lm = r.headers.get("Last-Modified")
+                        # 3xx chains followed by the opener: surface the
+                        # landing URL so the engine can learn the alias
+                        landed = r.geturl()
+                        if landed and landed != send_url:
+                            final_url = landed
                         if len(body) > max_bytes:
                             body, status = None, 413  # 50 MB cap (base.js:43)
                     harvest(host, cfg, body)
@@ -388,6 +395,8 @@ def live_fetch(
                         out[c].append(resp_etag)
                     elif c == "last_modified":
                         out[c].append(resp_lm)
+                    elif c == "final_url":
+                        out[c].append(final_url)
                     else:
                         out[c].append(row[ci[c]])
             yield pd.DataFrame(out)

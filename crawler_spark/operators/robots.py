@@ -211,9 +211,11 @@ def robots_wave(
                 if status == 200 and body is not None:
                     parsed = parse_robots(bytes(body), user_agent)
                 elif 400 <= status < 500:
-                    parsed = {"disallow": [], "crawl_delay_ms": None}
+                    parsed = {"disallow": [], "allow": [],
+                              "crawl_delay_ms": None}
                 else:  # 5xx / -1 network / timeout: unreachable ⇒ disallow
-                    parsed = {"disallow": ["/"], "crawl_delay_ms": None}
+                    parsed = {"disallow": ["/"], "allow": [],
+                              "crawl_delay_ms": None}
                 out["host"].append(host)
                 out["crawl_delay_ms"].append(
                     parsed["crawl_delay_ms"]

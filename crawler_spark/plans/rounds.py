@@ -670,6 +670,28 @@ class CrawlEngine:
                 F.lit(int(round_no)).alias("updated_round"),
             )
         )
+        if "final_url" in ok.columns:
+            # live mode: 3xx chains the HTTP opener followed are aliases
+            # too (redirects.py module docstring's "recorded at fetch
+            # time" source) — same sidecar, same collapse. A page that
+            # both redirected AND declares a canonical keeps only the
+            # rel=canonical row (the deeper target; also makes the
+            # freshest-per-url read deterministic within a round).
+            redirects = ok.where(
+                F.col("final_url").isNotNull()
+                & (F.col("final_url") != F.col("url"))
+            ).select(
+                "url",
+                F.col("final_url").alias("canonical"),
+                F.lit(int(round_no)).alias("updated_round"),
+            )
+            aliases = aliases.unionByName(
+                redirects.join(
+                    aliases.select(F.col("url").alias("__cu")),
+                    redirects["url"] == F.col("__cu"),
+                    "left_anti",
+                )
+            )
         aliases.write.mode("append").parquet(self._alias_dir)
         self._compact_alias_table()
 

@@ -168,3 +168,66 @@ def test_e2e_alias_rewrite_suppresses_alias_fetch(spark, tmp_path):
     assert alias_url not in got
     assert target_url in got
     assert got == set(base_urls) - {alias_url}
+
+
+def test_alias_update_learns_redirect_landings(spark, tmp_path):
+    eng = _engine(spark, tmp_path, canonical_collapse=True)
+    ok = spark.createDataFrame(
+        [
+            # redirect only
+            ("http://s.test/old", bytearray(b"<p>x</p>"),
+             "http://s.test/new"),
+            # redirect AND rel=canonical: canonical wins (deeper target)
+            ("http://s.test/both", bytearray(_canon("/deep").encode()),
+             "http://s.test/mid"),
+            # no redirect, no canonical
+            ("http://s.test/plain", bytearray(b"<p>y</p>"), None),
+        ],
+        "url string, body binary, final_url string",
+    )
+    eng._alias_update(ok, 1)
+    got = {
+        r["url"]: r["canonical_final"]
+        for r in eng._load_alias_map().collect()
+    }
+    assert got == {
+        "http://s.test/old": "http://s.test/new",
+        "http://s.test/both": "http://s.test/deep",
+    }
+
+
+def test_live_fetch_surfaces_redirect_landing(spark):
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from crawler_spark.operators.fetch import live_fetch
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/moved":
+                self.send_response(301)
+                self.send_header("Location", "/landed")
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"<p>here</p>")
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        batch = spark.createDataFrame(
+            [(f"{base}/moved", "127.0.0.1"), (f"{base}/landed", "127.0.0.1")],
+            "url string, host string",
+        )
+        out = {r["url"]: r for r in live_fetch(batch, timeout_s=5).collect()}
+        moved = out[f"{base}/moved"]
+        assert moved["status"] == 200  # opener followed the chain
+        assert moved["final_url"] == f"{base}/landed"
+        assert out[f"{base}/landed"]["final_url"] is None  # no redirect
+    finally:
+        srv.shutdown()
