@@ -71,6 +71,10 @@ HEADLINE = [
     "sim_topk_brute",
     "text_quality",
     "events_tumbling",
+    # round-4 webtext-pipeline additions: all-JVM boilerplate removal and
+    # rel=canonical extraction+resolution (each one narrow projection)
+    "text_boilerplate",
+    "url_rel_canonical",
 ]
 
 
