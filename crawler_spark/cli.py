@@ -99,6 +99,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="suppress records/webtext for HTTP-200 error "
                         "templates (not-found phrase + short body); the "
                         "visit still counts as fetched and seen")
+    p.add_argument("--lang-detect", action="store_true",
+                   help="backfill NULL webtext lang via the stopword-vote "
+                        "heuristic (live fetches carry no corpus language)")
+    p.add_argument("--warc-out", default=None,
+                   help="archive each round's fetched pages as WARC "
+                        "containers under DIR/round=<N>/")
     p.add_argument("--link-graph", action="store_true",
                    help="commit a per-round (src_hash, dst_hash) edge log"
                         " for offline re-scoring (opic.pagerank)")
@@ -272,6 +278,8 @@ def main(argv: list[str] | None = None) -> int:
         canonical_collapse=args.canonical_collapse,
         conditional_fetch=args.conditional_fetch,
         soft404_filter=args.soft404_filter,
+        lang_detect=args.lang_detect,
+        warc_out=args.warc_out,
     )
     eng = CrawlEngine(
         spark, pages, seeds, politeness, cfg,

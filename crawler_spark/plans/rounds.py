@@ -254,6 +254,20 @@ class EngineConfig:
     # visit would make the frontier re-pop it forever.
     soft404_filter: bool = False
     soft404_short_chars: int = 400
+    # opt-in language backfill on the webtext sink: live fetches carry no
+    # corpus language (lang is NULL), so the input_hint shape loses its
+    # lang column exactly when crawling for real. When on, NULL lang is
+    # filled from the stopword-vote heuristic (functions/textstats.langid
+    # — pure JVM, rides the existing extraction projection); a non-NULL
+    # lang (fixture corpora, WARC Content-Language) is never overridden.
+    lang_detect: bool = False
+    # opt-in WARC archive mirror: write each round's fetched-OK pages as
+    # Common-Crawl-style containers under <warc_out>/round=<N>/ (the
+    # archive-as-you-crawl shape; sources/warc.warc_export — one
+    # .warc.gz per partition, written to temp + atomically renamed, so a
+    # killed/re-run round replaces whole files, never tears them
+    # (fixture-mode bytes are fully deterministic; live timestamps vary).
+    warc_out: str | None = None
     # re-probe cadence: a cached robots row older than this many rounds no
     # longer counts as known, so the host is re-probed on its next wave
     # (rules changing mid-crawl are picked up). None = cache for the crawl.
@@ -1695,6 +1709,26 @@ class CrawlEngine:
                 # and log 304 answers as unchanged-visit evidence for
                 # the change-rate revisit estimator
                 self._nm_update(fetched, round_no)
+            if cfg.warc_out:
+                # archive-as-you-crawl: this round's fetched bytes as
+                # WARC containers (ok is already materialized, so this
+                # re-reads the cache, not the network)
+                from crawler_spark.sources.warc import warc_export
+
+                wcols = [
+                    F.col("url"),
+                    F.col("warc_ts"),
+                    F.col("body").alias("html"),
+                ]
+                wkw = {}
+                if has_lang:
+                    wcols.append(F.col("lang"))
+                    wkw["lang_col"] = "lang"
+                warc_export(
+                    ok.select(*wcols),
+                    _os.path.join(cfg.warc_out, f"round={round_no}"),
+                    **wkw,
+                )
             _sect("fetch+count")
 
             # lineage-truncated frames (LogicalRDD) report no size stats, so
@@ -2006,14 +2040,22 @@ class CrawlEngine:
             )
             # webtext in the input_hint shape: url, text (+ lang, warc_ts
             # carried from the fetched page)
+            lang_col = (
+                F.col("lang")
+                if has_lang
+                else F.lit(None).cast("string").alias("lang")
+            )
+            if cfg.lang_detect:
+                from crawler_spark.functions.textstats import langid
+
+                lang_col = F.coalesce(
+                    F.col("lang") if has_lang else F.lit(None).cast("string"),
+                    langid(F.col("text")),
+                ).alias("lang")
             webtext_out = recs.where(keep_pred).select(
                 "url",
                 "text",
-                *(
-                    [F.col("lang")]
-                    if has_lang
-                    else [F.lit(None).cast("string").alias("lang")]
-                ),
+                lang_col,
                 "warc_ts",
             )
 
