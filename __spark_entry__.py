@@ -2281,6 +2281,73 @@ def _crawl_visits_304_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return visit_history_with_not_modified(hist, nm)
 
 
+def _pipeline_webtext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composition: the Common-Crawl → training-data path in one
+    plan. Documents become HTML pages (same construction as
+    `text_boilerplate`), are exported as REAL WARC containers
+    (sources/warc.py:warc_export), scanned back (S16), boilerplate-
+    stripped (functions/boilerplate.py), language-classified
+    (textstats.langid), token-counted, and content-fingerprinted — all
+    downstream stages one narrow JVM projection over the scan. The DuckDB
+    oracle treats the WARC leg as identity (value-checked separately by
+    `s17_warc_export`) and re-states the boilerplate+langid+token+md5
+    specs over the same construction, so the COMPOSITION is what this row
+    value-checks."""
+    import tempfile
+
+    from crawler_spark.functions.boilerplate import boilerplate_report
+    from crawler_spark.functions.textstats import langid, token_count
+    from crawler_spark.sources.warc import warc_export, warc_scan
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    k = F.col("doc_id")
+    ks = k.cast("string")
+    farm = F.concat(
+        F.lit('<div><a href="/t/1">tag one '),
+        ks,
+        F.lit('</a> <a href="/t/2">tag two '),
+        ks,
+        F.lit('</a> <a href="/t/3">tag three '),
+        ks,
+        F.lit("</a></div>"),
+    )
+    html = F.concat(
+        F.lit('<nav><a href="/">Home</a> <a href="/a">About</a></nav>'),
+        F.lit("<script>var x = 'boilerplate noise that must vanish';"
+              "</script>"),
+        F.lit("<!-- comment long enough to pass the length bar -->"),
+        farm,
+        F.lit("<p>Warp &amp; weft &quot;figured&quot; velvet block kept "
+              "for doc "),
+        ks,
+        F.lit(" of this corpus</p><p>"),
+        F.col("text"),
+        F.lit("</p>"),
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("http://w"),
+            (k % 7).cast("string"),
+            F.lit(".example.com/d/"),
+            ks,
+        ).alias("url"),
+        F.lit("2024-03-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="pipeline_webtext_q_")
+    warc_export(pages, out_dir, n_files=8)
+    back = warc_scan(spark, out_dir)
+    rep = boilerplate_report(back.select("url", "html"), html_col="html")
+    mt = F.col("main_text")
+    return rep.select(
+        "url",
+        langid(mt).alias("lang_pred"),
+        token_count(mt).cast("long").alias("n_tokens"),
+        F.md5(mt).alias("fp"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+    )
+
+
 def _graph_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text aggregation (functions/anchors.py:anchor_text_summary):
     top-k anchor strings per link target with deterministic (count desc,
@@ -2477,6 +2544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s17_warc_export": _s17_warc_export,
         "text_boilerplate": _text_boilerplate,
         "crawl_visits_304_fill": _crawl_visits_304_fill,
+        "pipeline_webtext": _pipeline_webtext,
         "graph_anchor_texts": _graph_anchor_texts,
         "text_pack_sequences": _text_pack_sequences,
         "url_soft404": _url_soft404,
@@ -3929,6 +3997,89 @@ def oracle_sql() -> dict[str, str]:
                  fetch_id
           FROM merged)
         SELECT url, ts, fp, fetch_id FROM filled WHERE fp IS NOT NULL
+    """
+    out["pipeline_webtext"] = r"""
+        WITH built AS (
+          SELECT doc_id,
+                 '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+                 || '<script>var x = ''boilerplate noise that must vanish'';</script>'
+                 || '<!-- comment long enough to pass the length bar -->'
+                 || '<div><a href="/t/1">tag one ' || CAST(doc_id AS VARCHAR)
+                 || '</a> <a href="/t/2">tag two ' || CAST(doc_id AS VARCHAR)
+                 || '</a> <a href="/t/3">tag three ' || CAST(doc_id AS VARCHAR)
+                 || '</a></div>'
+                 || '<p>Warp &amp; weft &quot;figured&quot; velvet block kept for doc '
+                 || CAST(doc_id AS VARCHAR)
+                 || ' of this corpus</p><p>' || text || '</p>' AS html
+          FROM documents),
+        blocks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(
+                   regexp_replace(html,
+                     '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->',
+                     ' ', 'g'),
+                   '(?i)</?(?:p|div|td|th|li|h[1-6]|section|article|header|footer|nav|aside|ul|ol|table|tr|blockquote|br|main|figure|figcaption|dl|dt|dd)\b[^>]*>'
+                 ) AS bs
+          FROM built),
+        stats AS (
+          SELECT doc_id,
+                 list_transform(bs, b -> struct_pack(
+                   t := trim(regexp_replace(
+                          replace(replace(replace(replace(replace(replace(
+                            regexp_replace(b, '<[^>]*>', ' ', 'g'),
+                            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                            '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+                          '\s+', ' ', 'g')),
+                   l := trim(regexp_replace(
+                          replace(replace(replace(replace(replace(replace(
+                            regexp_replace(
+                              coalesce(array_to_string(
+                                regexp_extract_all(b,
+                                  '(?is)<a\b[^>]*>(.*?)</a>', 1), ' '), ''),
+                              '<[^>]*>', ' ', 'g'),
+                            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                            '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+                          '\s+', ' ', 'g'))
+                 )) AS st
+          FROM blocks),
+        fin AS (
+          SELECT doc_id,
+                 list_filter(list_filter(st, s -> len(s.t) > 0),
+                   s -> len(s.t) >= 40
+                     AND CAST(len(s.l) AS DOUBLE)
+                         <= 0.3 * CAST(len(s.t) AS DOUBLE)) AS kept
+          FROM stats),
+        mt AS (
+          SELECT doc_id,
+                 coalesce(array_to_string(
+                   list_transform(kept, s -> s.t), chr(10)), '')
+                   AS main_text,
+                 CAST(len(kept) AS BIGINT) AS n_kept
+          FROM fin),
+        tok AS (
+          SELECT doc_id, main_text, n_kept,
+                 list_filter(str_split_regex(trim(main_text), '\s+'),
+                             t -> t <> '') AS toks
+          FROM mt),
+        votes AS (
+          SELECT doc_id, main_text, n_kept, toks,
+            len(list_filter(toks, t -> lower(t) IN
+                ('the','and','of','to','a'))) AS c_en,
+            len(list_filter(toks, t -> lower(t) IN
+                ('le','la','et','de','un'))) AS c_fr,
+            len(list_filter(toks, t -> lower(t) IN
+                ('el','los','y','de','un'))) AS c_es
+          FROM tok)
+        SELECT 'http://w' || CAST(doc_id % 7 AS VARCHAR)
+                 || '.example.com/d/' || CAST(doc_id AS VARCHAR) AS url,
+               CASE WHEN greatest(c_en, c_fr, c_es) = 0 THEN 'und'
+                    WHEN c_en = greatest(c_en, c_fr, c_es) THEN 'en'
+                    WHEN c_fr = greatest(c_en, c_fr, c_es) THEN 'fr'
+                    ELSE 'es' END AS lang_pred,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               md5(main_text) AS fp,
+               n_kept
+        FROM votes
     """
     out["graph_anchor_texts"] = r"""
         WITH links AS (
