@@ -912,6 +912,47 @@ class CrawlEngine:
             F.lit(int(round_no)).alias("round"),
         )
         rows.write.mode("append").parquet(self._nm_dir)
+        self._compact_nm_table()
+
+    def _compact_nm_table(self, max_files: int = 256) -> None:
+        """The 304 log is HISTORY, not state — compaction must keep every
+        row (unlike the freshest-per-key sidecars), so it only merges the
+        O(rounds) per-round file dribble into a bounded file count.
+        Same crash semantics: a kill mid-rewrite loses logged visits,
+        which only means some revisit intervals re-learn — never
+        correctness."""
+        import os as _os
+        import shutil as _sh
+
+        try:
+            files = [
+                f
+                for f in _os.listdir(self._nm_dir)
+                if not f.startswith("_") and not f.startswith(".")
+            ]
+        except OSError:
+            return
+        if len(files) <= max_files:
+            return
+        t = self.spark.read.parquet(self._nm_dir)
+        nbytes = self._nm_bytes() or 0
+        width = max(1, min(64, nbytes // (128 * 1024 * 1024) + 1))
+        tmp = self._nm_dir + ".compact"
+        t.coalesce(int(width)).write.mode("overwrite").parquet(tmp)
+        _sh.rmtree(self._nm_dir, ignore_errors=True)
+        _os.replace(tmp, self._nm_dir)
+
+    def _nm_bytes(self) -> int | None:
+        import os as _os
+
+        try:
+            return sum(
+                e.stat().st_size
+                for e in _os.scandir(self._nm_dir)
+                if e.is_file() and not e.name.startswith(("_", "."))
+            )
+        except OSError:
+            return None
 
     def not_modified_visits(self) -> DataFrame | None:
         """All logged 304 visits ``(url, ts, fetch_id)`` or None —

@@ -228,3 +228,34 @@ def test_engine_conditional_recrawl_e2e(spark, site, server, tmp_path):
     }
     for u in nm_urls:
         assert stats[u] == (2, 0)
+
+
+def test_nm_log_compaction_preserves_every_row(spark, tmp_path):
+    site_ = generate_site(SiteSpec(n_hosts=1, details_per_host=4, limit=4))
+    sdfs = site_to_spark(spark, site_)
+    eng = CrawlEngine(
+        spark, sdfs["pages"], sdfs["seeds"], sdfs["politeness"],
+        EngineConfig(ckpt_dir=str(tmp_path / "ck"), conditional_fetch=True),
+    )
+    import datetime as dt
+
+    for rnd in range(1, 6):
+        fetched = spark.createDataFrame(
+            [(f"http://s/p{i}", dt.datetime(2025, 7, rnd), 304)
+             for i in range(3)],
+            "url string, warc_ts timestamp, status int",
+        )
+        eng._nm_update(fetched, rnd)
+    before = {(r["url"], r["ts"], r["fetch_id"])
+              for r in eng.not_modified_visits().collect()}
+    assert len(before) == 15
+    # force a compaction pass: history (every row), not freshest-per-key
+    eng._compact_nm_table(max_files=0)
+    import os
+
+    files = [f for f in os.listdir(eng._nm_dir)
+             if not f.startswith(("_", "."))]
+    assert len(files) <= 2  # merged into a bounded count
+    after = {(r["url"], r["ts"], r["fetch_id"])
+             for r in eng.not_modified_visits().collect()}
+    assert after == before
