@@ -1028,6 +1028,36 @@ def _dedup_cluster_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster dedup (functions/dedup.py:cluster_keep_best):
+    same connected-components cluster formation as `dedup_cluster_keep_one`
+    (and the same recursive-CTE oracle for the transitive closure), but
+    the kept representative is the highest-quality doc per cluster
+    (smallest id on ties) — keeping an arbitrary near-dup copy discards
+    the curation signal. Quality is a deterministic construction
+    ((doc_id * 7) % 13) so ties and non-min winners both occur. The
+    ranking window runs only over the paired subset; unpaired docs stream
+    through an anti-join."""
+    from crawler_spark.functions.dedup import (
+        cluster_keep_best,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    mod = 4 if docs.count() >= 2000 else 1
+    docs = docs.where(F.col("doc_id") % mod == 0)
+    docs = docs.select(
+        "doc_id", "source", "text",
+        ((F.col("doc_id") * 7) % 13).alias("quality"),
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, block_cols=["source"], threshold=0.62, n=3,
+        id_col="doc_id", text_col="text",
+    )
+    out = cluster_keep_best(docs, pairs, "quality", id_col="doc_id")
+    return out.select("doc_id", "cluster_id", "keep", "quality")
+
+
 def _dedup_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (rolling k-gram window minima, Schleimer et
     al. 2003) — (doc_id, fp) rows, selection replayed exactly by DuckDB."""
@@ -2545,6 +2575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boilerplate": _text_boilerplate,
         "crawl_visits_304_fill": _crawl_visits_304_fill,
         "pipeline_webtext": _pipeline_webtext,
+        "dedup_cluster_keep_best": _dedup_cluster_keep_best,
         "graph_anchor_texts": _graph_anchor_texts,
         "text_pack_sequences": _text_pack_sequences,
         "url_soft404": _url_soft404,
@@ -3624,6 +3655,50 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(c.component, d.doc_id) AS cluster_id,
                (COALESCE(c.component, d.doc_id) = d.doc_id) AS keep
         FROM d0 d LEFT JOIN comp c ON c.id = d.doc_id
+    """
+    out["dedup_cluster_keep_best"] = f"""
+        WITH RECURSIVE d0 AS MATERIALIZED (
+          SELECT doc_id, source, text, (doc_id * 7) % 13 AS quality
+          FROM documents
+          WHERE doc_id % (CASE WHEN (SELECT count(*) FROM documents)
+                                    >= 2000 THEN 4 ELSE 1 END) = 0
+        ),
+        pairs AS MATERIALIZED (
+          WITH g AS (
+            SELECT source, doc_id AS id,
+                   {grams.format(t=norm_t)} AS grams
+            FROM d0 t
+          )
+          SELECT a.id AS id_a, b.id AS id_b
+          FROM g a JOIN g b ON a.source = b.source AND a.id < b.id
+          WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.62
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs
+        ),
+        walk(id, lbl) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.id
+          WHERE w.lbl < e.v
+        ),
+        comp AS (SELECT id, MIN(lbl) AS component FROM walk GROUP BY id),
+        joined AS (
+          SELECT d.doc_id, d.quality,
+                 COALESCE(c.component, d.doc_id) AS cluster_id,
+                 (c.component IS NOT NULL) AS paired
+          FROM d0 d LEFT JOIN comp c ON c.id = d.doc_id)
+        SELECT doc_id, cluster_id,
+               CASE WHEN paired
+                    THEN row_number() OVER (
+                           PARTITION BY cluster_id
+                           ORDER BY quality DESC, doc_id ASC) = 1
+                    ELSE TRUE END AS keep,
+               quality
+        FROM joined
     """
     out["s16_warc_scan"] = """
         WITH d AS (

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from crawler_spark.functions.textstats import normalized
@@ -851,6 +851,45 @@ def near_dup_clusters(
     return out.withColumn("cluster_id", cluster).withColumn(
         "keep", F.col("cluster_id") == F.col(id_col)
     )
+
+
+def cluster_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Quality-aware near-dup dedup: like :func:`near_dup_clusters`, but
+    the kept representative per cluster is the HIGHEST-``quality_col`` doc
+    (smallest id on ties — deterministic), not the smallest id. Keeping an
+    arbitrary copy throws away exactly the signal a curation pipeline
+    computed; boilerplate-heavy or truncated near-dups should lose to
+    their clean sibling.
+
+    Shape at scale: the ranking window runs ONLY over the paired-doc
+    subset (one shuffle of the docs that have a near-dup, keyed by
+    cluster); the usually-dominant unpaired rows stream through a single
+    anti-join with ``keep = true`` and never shuffle on cluster_id.
+    """
+    comp = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
+    comp = comp.select(
+        F.col("id").alias(id_col), F.col("component").alias("cluster_id")
+    )
+    paired = df.join(comp, id_col, "inner")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    best = paired.withColumn("keep", F.row_number().over(w) == 1)
+    unpaired = (
+        df.join(comp.select(id_col), id_col, "left_anti")
+        .withColumn("cluster_id", F.col(id_col))
+        .withColumn("keep", F.lit(True))
+    )
+    cols = [*df.columns, "cluster_id", "keep"]
+    return best.select(*cols).unionByName(unpaired.select(*cols))
 
 
 # ---------------------------------------------------------------------------

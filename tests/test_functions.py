@@ -524,6 +524,33 @@ def test_near_dup_clusters_keep_one(spark):
     }
 
 
+def test_cluster_keep_best(spark):
+    from crawler_spark.functions.dedup import cluster_keep_best
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", q) for i, q in
+         [(0, 2), (1, 9), (2, 9), (3, 1), (4, 7), (5, 3), (6, 3), (7, 0)]],
+        "doc_id long, text string, quality long",
+    )
+    # components: {0,1,2} (best quality 9 tie -> min id 1), {5,6} (tie ->
+    # 5); 3,4,7 unpaired
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in cluster_keep_best(docs, pairs, "quality").collect()
+    }
+    assert rows == {
+        0: (0, False), 1: (0, True), 2: (0, False),  # argmax, tie -> 1
+        3: (3, True), 4: (4, True),
+        5: (5, True), 6: (5, False), 7: (7, True),
+    }
+    # input columns survive alongside cluster_id/keep
+    cols = cluster_keep_best(docs, pairs, "quality").columns
+    assert cols == ["doc_id", "text", "quality", "cluster_id", "keep"]
+
+
 def test_pagerank_matches_numpy_power_iteration(spark):
     """pagerank == dense numpy power iteration of the same model (uniform
     dangling redistribution, d=0.85) on a random graph with dangling nodes
