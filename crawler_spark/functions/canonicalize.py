@@ -106,6 +106,16 @@ def canonicalize_url(
     if not host:
         return None
     host = host.lower().rstrip(".")
+    if not host.isascii():
+        # IDN: a Unicode host and its punycode twin are ONE resource —
+        # normalize to the ASCII (xn--) form the wire actually uses
+        # (RFC 3987 -> RFC 3490 ToASCII; ascii hosts, incl. already-
+        # encoded xn-- labels, pass through untouched so the function
+        # stays idempotent)
+        try:
+            host = host.encode("idna").decode("ascii").lower()
+        except UnicodeError:
+            return None  # unencodable label: not fetchable
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORT.get(scheme):
         netloc = f"{host}:{port}"

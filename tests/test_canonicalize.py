@@ -179,3 +179,20 @@ def test_vectorized_messy_path_equals_pure(url, base):
         got = _canonicalize_batch(s, b, dp)
         want = canonicalize_url(url, base, dp)
         assert got.iloc[0] == want, (url, base, dp, got.iloc[0], want)
+
+
+def test_idn_hosts_converge_to_punycode():
+    from crawler_spark.functions.canonicalize import canonicalize_url as c
+
+    uni = c("http://Bücher.example/x")
+    puny = c("http://xn--bcher-kva.example/x")
+    assert uni == puny == "http://xn--bcher-kva.example/x"
+    # multi-label, non-latin, with normalization work besides the host
+    assert (
+        c("http://münchen.de.:80/a/../b")
+        == "http://xn--mnchen-3ya.de/b"
+    )
+    # idempotent on the encoded form
+    assert c(uni) == uni
+    # ascii hosts untouched
+    assert c("http://plain.example.com/x") == "http://plain.example.com/x"
