@@ -216,3 +216,17 @@ def test_cli_canonical_collapse_flag(spark, inputs, tmp_path, capsys):
     _run(inputs, tmp_path, ["--canonical-collapse", "--no-files"])
     capsys.readouterr()
     assert os.path.isdir(str(tmp_path / "ckpt" / "canonical_aliases"))
+
+
+def test_cli_lang_detect_and_warc_out_flags(spark, inputs, tmp_path, capsys):
+    """--lang-detect and --warc-out thread through in one run: the WARC
+    mirror directory materializes per round (the archive is scan-verified
+    in test_lang_warc_engine; this pins the argv plumbing)."""
+    import os
+
+    warc_dir = str(tmp_path / "warcs")
+    _run(inputs, tmp_path,
+         ["--lang-detect", "--warc-out", warc_dir, "--no-files"])
+    capsys.readouterr()
+    rounds = [d for d in os.listdir(warc_dir) if d.startswith("round=")]
+    assert rounds, "no per-round WARC mirror written"
