@@ -149,7 +149,15 @@ class CatalogCheckpointer:
             fl = self._round_part("fetch_log_delta", round_no)
             row = fl.agg(
                 F.count(F.when(F.col("status") == 200, 1)).alias("ok"),
-                F.count(F.when(F.col("status") != 200, 1)).alias("failed"),
+                # a 304 is a successful visit that cost no transfer,
+                # not a failure (same rule as _round_stats_from_written)
+                F.count(
+                    F.when(
+                        (F.col("status") != 200) & (F.col("status") != 304),
+                        1,
+                    )
+                ).alias("failed"),
+                F.count(F.when(F.col("status") == 304, 1)).alias("nm"),
                 F.coalesce(
                     F.sum(F.when(F.col("status") == 200, F.col("bytes"))),
                     F.lit(0),
@@ -158,6 +166,7 @@ class CatalogCheckpointer:
             stats.update(
                 fetched_ok=int(row["ok"]),
                 fetch_failed=int(row["failed"]),
+                not_modified=int(row["nm"]),
                 bytes_fetched=int(row["bytes"]),
             )
         if "records_delta" in tables:

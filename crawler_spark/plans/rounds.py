@@ -109,7 +109,7 @@ def _round_stats_from_written(lineage: dict) -> dict:
     # n_links count action ever runs).
     n_adds = _footer_rows("frontier_add") if "frontier_add" in lineage else None
     fl = lineage["fetch_log_delta"]
-    n_ok = n_failed = n_bytes = 0
+    n_ok = n_failed = n_bytes = n_304 = 0
     for f in fl["files"]:
         t = pq.read_table(
             os.path.join(fl["path"], f), columns=["status", "bytes"]
@@ -117,12 +117,16 @@ def _round_stats_from_written(lineage: dict) -> dict:
         status = t.column("status").to_numpy(zero_copy_only=False)
         byts = t.column("bytes").to_numpy(zero_copy_only=False)
         ok = status == 200
+        nm = status == 304
         n_ok += int(ok.sum())
-        n_failed += int((~ok).sum())
+        # a 304 is a successful visit that cost no transfer, not a failure
+        n_failed += int((~ok & ~nm).sum())
+        n_304 += int(nm.sum())
         n_bytes += int(np.nan_to_num(byts[ok].astype("float64")).sum())
     return {
         "fetched_ok": n_ok,
         "fetch_failed": n_failed,
+        "not_modified": n_304,
         "bytes_fetched": n_bytes,
         "records_written": n_records,
         "frontier_rows": n_frontier,

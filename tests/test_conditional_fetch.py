@@ -214,6 +214,8 @@ def test_engine_conditional_recrawl_e2e(spark, site, server, tmp_path):
 
     nm = eng2.not_modified_visits()
     assert nm is not None
+    # the round metrics count 304s as not_modified, never as failures
+    assert eng2.ckpt.sum_metric("not_modified") == nm.count()
     nm_urls = {r["url"] for r in nm.select("url").collect()}
     assert nm_urls == {
         r["url"] for r in res1.records.select("url").collect()
