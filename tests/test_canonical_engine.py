@@ -231,3 +231,34 @@ def test_live_fetch_surfaces_redirect_landing(spark):
         assert out[f"{base}/landed"]["final_url"] is None  # no redirect
     finally:
         srv.shutdown()
+
+
+def test_alias_rewrite_broadcast_gate_both_sides(spark, tmp_path, monkeypatch):
+    """The alias-map join broadcasts below the driver-known sidecar byte
+    bound and degrades to a plain (non-broadcast) join past it — plan-
+    asserted on both sides of the gate."""
+    from crawler_spark.plans.rounds import CrawlEngine
+    from crawler_spark.schemas import FRONTIER
+
+    def _plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    eng = _engine(spark, tmp_path, canonical_collapse=True)
+    eng._alias_update(
+        _ok_df(spark, [("http://h0.example.test/alias", _canon("/real"))]),
+        1,
+    )
+    cands = spark.createDataFrame(
+        [(
+            "http://h0.example.test/alias", 0, "h0.example.test",
+            1, 0.0, 0, 1, 0, 0, 1, 0, 1, "record", "c0",
+        )],
+        FRONTIER,
+    )
+    amap = eng._load_alias_map()
+    # small sidecar: broadcast hash join
+    assert "BroadcastHashJoin" in _plan(eng._apply_alias_map(cands, amap))
+    # force the gate shut: the same join must NOT broadcast
+    monkeypatch.setattr(CrawlEngine, "ALIAS_BROADCAST_MAX_BYTES", 0)
+    shut = _plan(eng._apply_alias_map(cands, amap))
+    assert "BroadcastHashJoin" not in shut
