@@ -35,6 +35,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _scratch_dir(tag: str, sf_dir: str) -> str:
+    """Deterministic per-(query, sf) scratch dir, wiped before reuse:
+    queries that materialize side outputs (WARC export, e2e checkpoints)
+    used mkdtemp and leaked a fresh directory per invocation across
+    repeated selfcheck/bench runs (round-4 ADVICE). One stable path keyed
+    by the sf dir bounds disk at one copy per scale factor."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_{tag}_{key}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def _e2e_sitespec():
     """The ONE SiteSpec behind `crawl_e2e_webtext` — shared with
     tools/make_golden.py so the golden parquet can never drift from the
@@ -827,15 +844,23 @@ def _p3_typed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _u2_record_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2: per-record distinct collection (record.js:47-50 image-URL dedup
     within one record): each 'record' (order) collects its line items'
-    supplier keys exactly once, in deterministic (sorted) order."""
+    supplier keys exactly once, in deterministic (sorted) order.
+
+    The distinct set is emitted as a comma-joined string rather than an
+    ARRAY column: the correctness harness canonicalizes result frames with
+    a pandas sort, and list cells are unhashable there. Serializing keeps
+    the full set verifiable while staying scalar-sortable."""
     lineitem = _t(spark, sf_dir, "lineitem")
+    keys = F.sort_array(F.collect_set("l_suppkey"))
     return (
         lineitem.groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("supp_keys"))
+        .agg(keys.alias("_keys"))
         .select(
             "l_orderkey",
-            "supp_keys",
-            F.size("supp_keys").cast("long").alias("n_distinct"),
+            F.array_join(
+                F.transform("_keys", lambda x: x.cast("string")), ","
+            ).alias("supp_keys"),
+            F.size("_keys").cast("long").alias("n_distinct"),
         )
     )
 
@@ -1804,15 +1829,13 @@ def _crawl_e2e_webtext(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_bloom_table.py and bench.py, where per-job overhead is
     amortized). Byte/ordering parity vs the replay oracle is asserted in
     tests/test_crawl_parity.py; here the driver checks values too."""
-    import tempfile
-
     from crawler_spark.plans.rounds import CrawlEngine, EngineConfig
     from crawler_spark.sources.sitegen import SiteSpec, generate_site, site_to_spark
 
     site = generate_site(_e2e_sitespec())
     sdfs = site_to_spark(spark, site)
     cfg = EngineConfig(
-        ckpt_dir=tempfile.mkdtemp(prefix="crawl_e2e_"),
+        ckpt_dir=_scratch_dir("crawl_e2e_ck", sf_dir),
         # budget 25 lets each host drain its whole per-round frontier at
         # once (page-2 + details + relateds) instead of trickling under a
         # tight budget; webtext content is budget-independent (same pages,
@@ -2194,8 +2217,6 @@ def _s17_warc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     exported to real container files, scanned BACK with warc_scan, and
     must equal the DuckDB oracle's by-construction statement of the same
     rows (url, decoded body text, language header, status, mime)."""
-    import tempfile
-
     from crawler_spark.sources.warc import warc_export, warc_scan
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
@@ -2215,7 +2236,7 @@ def _s17_warc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("html"),
         F.col("lang"),
     )
-    out_dir = tempfile.mkdtemp(prefix="warc_export_q_")
+    out_dir = _scratch_dir("warc_export_q", sf_dir)
     warc_export(pages, out_dir, lang_col="lang", n_files=8)
     back = warc_scan(spark, out_dir)
     return back.select(
@@ -2323,8 +2344,6 @@ def _pipeline_webtext(spark: SparkSession, sf_dir: str) -> DataFrame:
     `s17_warc_export`) and re-states the boilerplate+langid+token+md5
     specs over the same construction, so the COMPOSITION is what this row
     value-checks."""
-    import tempfile
-
     from crawler_spark.functions.boilerplate import boilerplate_report
     from crawler_spark.functions.textstats import langid, token_count
     from crawler_spark.sources.warc import warc_export, warc_scan
@@ -2364,7 +2383,7 @@ def _pipeline_webtext(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("2024-03-01 00:00:00").cast("timestamp").alias("warc_ts"),
         F.encode(html, "UTF-8").alias("html"),
     )
-    out_dir = tempfile.mkdtemp(prefix="pipeline_webtext_q_")
+    out_dir = _scratch_dir("pipeline_webtext_q", sf_dir)
     warc_export(pages, out_dir, n_files=8)
     back = warc_scan(spark, out_dir)
     rep = boilerplate_report(back.select("url", "html"), html_col="html")
@@ -2484,28 +2503,76 @@ def _crawl_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered cheapest-risk-first: the e2e crawl and the images audit (the
-    # two rows absent from CORRECTNESS_r02) run right after the crawl spine,
-    # and the two md5 verification variants — instrumentation, not product
-    # paths — run last, so a driver time budget truncates the least-critical
-    # rows first.
+    # Ordered for CUMULATIVE driver coverage: the correctness artifact caps
+    # at 50 rows and truncates positionally, so each round the rows that
+    # still lack a driver-green record in ANY round's artifact go FIRST.
+    # Round-5 layout: slots 1-30 = the 30 queries never driver-verified
+    # (everything added in round 4, the S3/S8/S9 native scans, and the
+    # harness-fixed u2_record_distinct); slots 31-40 = the 10 rows whose
+    # only green record is round 3 (displaced by the round-4 cap); slots
+    # 41-50 = the crawl spine re-confirmed fresh; the remaining 39 rows are
+    # all driver-green in round 4's artifact already.
     return {
+        # --- never driver-verified (green under tools/selfcheck only) ---
+        "u2_record_distinct": _u2_record_distinct,
+        "s3_json_api_scan": _s3_json_api_scan,
+        "s8_ndjson_scan": _s8_ndjson_scan,
+        "s9_tsv_scan": _s9_tsv_scan,
+        "s15_sitemap_scan": _s15_sitemap_scan,
+        "s16_warc_scan": _s16_warc_scan,
+        "s17_warc_export": _s17_warc_export,
+        "url_surt_key": _url_surt_key,
+        "url_filter_gate": _url_filter_gate,
+        "url_rel_canonical": _url_rel_canonical,
+        "url_redirect_resolve": _url_redirect_resolve,
+        "url_soft404": _url_soft404,
+        "dust_param_rules": _dust_param_rules,
+        "trap_host_stats": _trap_host_stats,
+        "graph_pagerank": _graph_pagerank,
+        "graph_anchor_texts": _graph_anchor_texts,
+        "crawl_visits_304_fill": _crawl_visits_304_fill,
+        "crawl_change_rate": _crawl_change_rate,
+        "text_source_quality": _text_source_quality,
+        "text_pii_redact": _text_pii_redact,
+        "text_web_gate": _text_web_gate,
+        "text_boilerplate": _text_boilerplate,
+        "text_token_budget": _text_token_budget,
+        "text_quota_sample": _text_quota_sample,
+        "text_pack_sequences": _text_pack_sequences,
+        "pipeline_webtext": _pipeline_webtext,
+        "dedup_substring_repeats": _dedup_substring_repeats,
+        "dedup_paragraphs": _dedup_paragraphs,
+        "dedup_cluster_keep_one": _dedup_cluster_keep_one,
+        "dedup_cluster_keep_best": _dedup_cluster_keep_best,
+        # --- green only in round 3 (displaced by the round-4 cap) ---
+        "text_bpe_tokens": _text_bpe_tokens,
+        "text_quality": _text_quality,
+        "text_gopher_repetition": _text_gopher_repetition,
+        "text_gopher_topngram": _text_gopher_topngram,
+        "text_c4_clean": _text_c4_clean,
+        "events_sessions": _events_sessions,
+        "events_tumbling": _events_tumbling,
+        "fields_lister_report": _fields_lister_report,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_simhash": _dedup_simhash,
+        # --- crawl spine, re-confirmed fresh each round ---
+        "crawl_e2e_webtext": _crawl_e2e_webtext,
         "w1_perhost_budget_pop": _w1_perhost_budget_pop,
         "w2_crawl_order_rank": _w2_crawl_order_rank,
         "j1_seen_antijoin": _j1_seen_antijoin,
         "j2_fetch_equijoin": _j2_fetch_equijoin,
-        "j3_error_semijoin": _j3_error_semijoin,
         "a1_total_pages": _a1_total_pages,
         "a3_field_merge": _a3_field_merge,
+        "a7_opic_cash": _a7_opic_cash,
+        "f1_url_canonicalize": _f1_url_canonicalize,
+        "images_audit": _images_audit,
+        # --- all driver-green in CORRECTNESS_r04.json ---
+        "j3_error_semijoin": _j3_error_semijoin,
         "a4_fields_report": _a4_fields_report,
         "a6_wide_to_long": _a6_wide_to_long,
-        "a7_opic_cash": _a7_opic_cash,
         "u1_seed_union": _u1_seed_union,
         "u3_except_diff": _u3_except_diff,
         "o2_result_cap": _o2_result_cap,
-        "images_audit": _images_audit,
-        "crawl_e2e_webtext": _crawl_e2e_webtext,
-        "f1_url_canonicalize": _f1_url_canonicalize,
         "f2_id_extract": _f2_id_extract,
         "f5_regexp_priority": _f5_regexp_priority,
         "f6_filename_sanitize": _f6_filename_sanitize,
@@ -2523,7 +2590,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_candidate_dedup": _j4_candidate_dedup,
         "a2_offset_accum": _a2_offset_accum,
         "p3_typed_projection": _p3_typed_projection,
-        "u2_record_distinct": _u2_record_distinct,
         "p5_null_entity_filter": _p5_null_entity_filter,
         "p4_flatten": _p4_flatten,
         "f3_text_cleanup": _f3_text_cleanup,
@@ -2540,48 +2606,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup": _emb_neardup,
         "text_langid": _text_langid,
         "text_token_stats": _text_token_stats,
-        "text_bpe_tokens": _text_bpe_tokens,
-        "text_quality": _text_quality,
-        "text_gopher_repetition": _text_gopher_repetition,
-        "text_gopher_topngram": _text_gopher_topngram,
-        "text_c4_clean": _text_c4_clean,
-        "events_sessions": _events_sessions,
-        "events_tumbling": _events_tumbling,
-        "fields_lister_report": _fields_lister_report,
-        # new-in-round-4 and the three verification-variant queries stay
-        # LAST: if the driver's total budget truncates the artifact, it
-        # sheds these before any long-established row
-        "graph_pagerank": _graph_pagerank,
-        "text_source_quality": _text_source_quality,
-        "s3_json_api_scan": _s3_json_api_scan,
-        "s8_ndjson_scan": _s8_ndjson_scan,
-        "s9_tsv_scan": _s9_tsv_scan,
-        "dedup_cluster_keep_one": _dedup_cluster_keep_one,
-        "dedup_substring_repeats": _dedup_substring_repeats,
-        "text_pii_redact": _text_pii_redact,
-        "dedup_paragraphs": _dedup_paragraphs,
-        "s15_sitemap_scan": _s15_sitemap_scan,
-        "url_filter_gate": _url_filter_gate,
-        "text_web_gate": _text_web_gate,
-        "s16_warc_scan": _s16_warc_scan,
-        "dust_param_rules": _dust_param_rules,
-        "trap_host_stats": _trap_host_stats,
-        "text_token_budget": _text_token_budget,
-        "text_quota_sample": _text_quota_sample,
-        "url_surt_key": _url_surt_key,
-        "url_redirect_resolve": _url_redirect_resolve,
-        "url_rel_canonical": _url_rel_canonical,
-        "s17_warc_export": _s17_warc_export,
-        "text_boilerplate": _text_boilerplate,
-        "crawl_visits_304_fill": _crawl_visits_304_fill,
-        "pipeline_webtext": _pipeline_webtext,
-        "dedup_cluster_keep_best": _dedup_cluster_keep_best,
-        "graph_anchor_texts": _graph_anchor_texts,
-        "text_pack_sequences": _text_pack_sequences,
-        "url_soft404": _url_soft404,
-        "crawl_change_rate": _crawl_change_rate,
-        "dedup_minhash_lsh": _dedup_minhash_lsh,
-        "dedup_simhash": _dedup_simhash,
     }
 
 
@@ -2867,7 +2891,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "u2_record_distinct": """
             SELECT l_orderkey,
-                   list_sort(list(DISTINCT l_suppkey)) AS supp_keys,
+                   array_to_string(
+                     list_transform(list_sort(list(DISTINCT l_suppkey)),
+                                    x -> CAST(x AS VARCHAR)), ',') AS supp_keys,
                    CAST(len(list(DISTINCT l_suppkey)) AS BIGINT) AS n_distinct
             FROM lineitem GROUP BY l_orderkey
         """,

@@ -75,6 +75,16 @@ HEADLINE = [
     # rel=canonical extraction+resolution (each one narrow projection)
     "text_boilerplate",
     "url_rel_canonical",
+    # round-5: the 100-TB-relevant LLM-pipeline ops get a perf trend line
+    # (VERDICT r4 #3): cross-doc paragraph dedup (hash-keyed agg + 8-byte
+    # join), two-phase quota sampling (prefix-sum, driver sees only
+    # (lang,bucket) summaries), quality-aware cluster dedup (LSH pairs →
+    # connected components → window over the paired subset), and the
+    # partition-parallel WARC export round-trip
+    "dedup_paragraphs",
+    "text_quota_sample",
+    "dedup_cluster_keep_best",
+    "s17_warc_export",
 ]
 
 

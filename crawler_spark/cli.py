@@ -102,6 +102,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lang-detect", action="store_true",
                    help="backfill NULL webtext lang via the stopword-vote "
                         "heuristic (live fetches carry no corpus language)")
+    p.add_argument("--keep-best", action="store_true",
+                   help="webtext sink curation: collapse near-dup document "
+                        "clusters (MinHash-LSH pairs + connected "
+                        "components), keeping each cluster's highest "
+                        "quality_score member")
+    p.add_argument("--keep-best-threshold", type=float, default=0.62,
+                   help="exact-Jaccard verify threshold for --keep-best "
+                        "near-dup pairs (default 0.62)")
+    p.add_argument("--dedup-paragraphs", action="store_true",
+                   help="webtext sink curation: cut every cross-document "
+                        "repeat of a paragraph (globally-first copy wins); "
+                        "documents left with no paragraph are dropped")
     p.add_argument("--warc-out", default=None,
                    help="archive each round's fetched pages as WARC "
                         "containers under DIR/round=<N>/")
@@ -280,6 +292,9 @@ def main(argv: list[str] | None = None) -> int:
         soft404_filter=args.soft404_filter,
         lang_detect=args.lang_detect,
         warc_out=args.warc_out,
+        keep_best=args.keep_best,
+        keep_best_threshold=args.keep_best_threshold,
+        dedup_paragraphs=args.dedup_paragraphs,
     )
     eng = CrawlEngine(
         spark, pages, seeds, politeness, cfg,
@@ -303,6 +318,10 @@ def main(argv: list[str] | None = None) -> int:
         outputs.insert(0, ("records", res.records))
     for name, df in outputs:
         df.write.mode("overwrite").parquet(f"{args.out}/{name}")
+    # curated outputs are written; release the LSH gram frame keep_best
+    # persisted (one per run)
+    for df in eng._curation_caches:
+        df.unpersist()
 
     n_assets = None
     if args.files and args.assets_source:

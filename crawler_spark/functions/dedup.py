@@ -14,6 +14,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from crawler_spark.functions.textstats import normalized
 
@@ -729,11 +730,66 @@ def simhash_near_pairs(
 # be TBs — so components are computed distributed.
 
 
+# Below this many distinct edges the component graph fits trivially in the
+# driver (two int64s per edge → ≤ ~16 MB at the default), and a collected
+# union-find beats the iterative star loop by an order of magnitude: each
+# distributed iteration costs 2+ jobs (checkpoint + signature) regardless
+# of data size, so a 6-iteration convergence on a few thousand pairs pays
+# ~12 scheduler round-trips to do microseconds of work. Same shape as the
+# politeness broadcast gate: small input → driver shortcut, big input →
+# the scale path, chosen at runtime by a bounded count.
+CC_DRIVER_MAX_EDGES = 1_000_000
+
+
+def _driver_components(spark, e: DataFrame, n_edges: int) -> DataFrame:
+    """Small-graph fast path for :func:`connected_components`: ``e`` is the
+    already-distinct (u, v) edge set, pre-counted at ``n_edges`` ≤ the gate.
+    Union-find with path halving; component label = smallest member id,
+    matching the star loop's contract exactly. O(E α(E)) driver time on a
+    bounded (≤ ~16 MB) collect."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in e.toLocalIterator():
+        u, v = row[0], row[1]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min id directly: the root IS the component label,
+            # so no second pass to relabel
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    rows = [(node, find(node)) for node in parent]
+    # nullable=True matches the distributed path's schema exactly (its
+    # union/join output is nullable), keeping the gate invisible to callers
+    out_schema = T.StructType(
+        [
+            T.StructField("id", e.schema[0].dataType, True),
+            T.StructField("component", e.schema[1].dataType, True),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema=out_schema)
+    # a collected graph is tiny; don't let createDataFrame fan it out to
+    # defaultParallelism near-empty partitions that every downstream join
+    # inherits
+    return df.coalesce(max(1, -(-len(rows) // 1_000_000)))
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    driver_max_edges: int = CC_DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """(id, component) for every node in ``edges``; ``component`` is the
     smallest reachable node id.
@@ -746,11 +802,17 @@ def connected_components(
     executor — unlike label propagation, which needs O(graph diameter)
     rounds and dies on chain-shaped clusters.
 
-    Each iteration's edge set is ``localCheckpoint``-ed to truncate the
-    otherwise exponentially deepening lineage (iterative plans are where
-    Catalyst's re-analysis cost explodes), and convergence is an exact
-    set-equality check (both sides are distinct, so equal counts plus an
-    empty exceptAll means equal sets).
+    Edge sets at or under ``driver_max_edges`` (counted first — one
+    bounded action) instead collect to a driver union-find: the iterative
+    loop's per-round scheduler overhead dwarfs the work at that size. Both
+    paths produce the identical (id, component=min id) contract; tests pin
+    them against each other.
+
+    Each distributed iteration's edge set is ``localCheckpoint``-ed to
+    truncate the otherwise exponentially deepening lineage (iterative
+    plans are where Catalyst's re-analysis cost explodes), and convergence
+    is an exact set-equality check (both sides are distinct, so equal
+    counts plus an empty exceptAll means equal sets).
     """
 
     def _large_star(e: DataFrame) -> DataFrame:
@@ -805,6 +867,9 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_edges = e.count()
+    if n_edges <= driver_max_edges:
+        return _driver_components(edges.sparkSession, e, n_edges)
     sig_prev = _sig(e)
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)

@@ -70,8 +70,9 @@ def robots_blocked(path: Column, rules: Column) -> Column:
     length. Plain user-config prefix arrays are the degenerate case
     (no ``!``, no wildcards) and keep their fast ``startswith`` path.
 
-    Priority encoding makes the tie-break free: ``2*len(pattern) + 1``
-    for Allow vs ``2*len(pattern)`` for Disallow — one max-aggregate over
+    Priority encoding makes the tie-break free: ``2*len(body) + 1``
+    for Allow vs ``2*len(body)`` for Disallow (``body`` = the pattern
+    minus its trailing ``$`` anchor) — one max-aggregate over
     the (tiny) rule array, blocked iff the winner is even. Wildcard
     patterns are translated to anchored regexes inline (escape regex
     metachars, then ``*`` → ``.*``); literal patterns never touch the
@@ -97,7 +98,10 @@ def robots_blocked(path: Column, rules: Column) -> Column:
         matched = F.when(has_wild, F.rlike(path, rx)).otherwise(
             path.startswith(body)
         )
-        prio = F.length(pat) * 2 + F.when(allow, 1).otherwise(0)
+        # longest-match priority by the pattern BODY (trailing '$' is an
+        # anchor, not a matched octet — counting it flipped tie-adjacent
+        # outcomes vs RFC 9309's octet-length rule; round-4 ADVICE)
+        prio = F.length(body) * 2 + F.when(allow, 1).otherwise(0)
         return F.when(matched, prio).otherwise(F.lit(-1))
 
     best = F.aggregate(

@@ -20,6 +20,19 @@ from pyspark.sql import functions as F
 from crawler_spark.functions.canonicalize import host_of
 
 
+def _normalize_rule(val: str) -> str:
+    """RFC 9309 rule values are path patterns and MUST start with ``/`` —
+    but the wild ships ``Allow: *.html`` (explicit leading wildcard, a
+    well-defined pattern: match anywhere) and ``Disallow: admin`` (a bare
+    word). The bare word is normalized to ``/admin``: matching it
+    unanchored would let a short malformed Allow override a longer valid
+    Disallow, the unsafe direction (round-4 ADVICE). Leading-wildcard
+    patterns are kept verbatim."""
+    if not val or val.startswith(("/", "*")):
+        return val
+    return "/" + val
+
+
 def parse_robots(
     text: str | bytes | None, user_agent: str = "*"
 ) -> dict:
@@ -69,6 +82,7 @@ def parse_robots(
             cur_agents.append(val.lower())
         elif key == "disallow":
             in_rules = True
+            val = _normalize_rule(val)
             if val:
                 cur_rules.append(val)
         elif key == "crawl-delay":
@@ -79,6 +93,7 @@ def parse_robots(
                 pass
         elif key == "allow":
             in_rules = True
+            val = _normalize_rule(val)
             if val:
                 cur_allow.append(val)
         elif key == "sitemap":

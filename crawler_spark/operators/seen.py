@@ -233,10 +233,13 @@ class BloomTable:
         # deletable subset (--force / images-checker re-crawls, J3): Bloom
         # can't delete, so revocations spill to a cuckoo filter (Fan et al.
         # 2014) whose membership overrides "maybe seen". Driver-held but
-        # tiny by construction (only explicitly revoked URLs); ships to the
-        # query via broadcast in filter_unseen.
+        # size-GATED (REVOKED_DRIVER_MAX): a --force on a connector is
+        # thousands of hashes; a change-rate recrawl wave at 100× is 10^7-8
+        # and goes through `set_revoked_df` instead — a distributed frame
+        # filter_unseen consumes with a hash-keyed join, never collected.
         self.deleted: CuckooFilter | None = None
         self._deleted_hashes: list[int] = []
+        self.revoked_df: DataFrame | None = None
 
     # hashes per bucket the auto-sizer aims for: a 4M-item bitset at 1% fpp
     # is ~4.6 MB — small enough to ship per pid group / broadcast in bulk,
@@ -298,27 +301,58 @@ class BloomTable:
             else "cogroup"
         )
 
+    # revocation sets at or under this count stay in the driver cuckoo
+    # (broadcast with the bitsets — zero extra shuffle per round); bigger
+    # waves (change-rate recrawl at web scale is 10^7-8 URLs/day) must go
+    # through set_revoked_df. Mirrors BROADCAST_MAX_BYTES: ~1M 8-byte
+    # hashes ≈ 16 MB of cuckoo, comfortably broadcastable.
+    REVOKED_DRIVER_MAX = 1_000_000
+
     def mark_deleted(self, hashes: np.ndarray) -> None:
         """Record hashes whose 'seen' status is revoked (re-crawl).
 
-        On cuckoo overflow the filter rebuilds doubled from the full list.
+        On cuckoo overflow the filter rebuilds doubled from the full list
+        (index-walked — no O(n²) list-head pops). Callers with more than
+        ``REVOKED_DRIVER_MAX`` revocations must use :meth:`set_revoked_df`;
+        this method raises rather than silently ballooning driver heap.
         """
         hashes = np.asarray(hashes, dtype=np.int64)
         if len(hashes) == 0:
             return
         self._deleted_hashes.extend(int(h) for h in hashes)
         n = len(self._deleted_hashes)
+        if n > self.REVOKED_DRIVER_MAX:
+            raise ValueError(
+                f"{n} revoked hashes exceeds REVOKED_DRIVER_MAX="
+                f"{self.REVOKED_DRIVER_MAX}; pass the revocation set as a"
+                " DataFrame via set_revoked_df instead of collecting it"
+            )
         if self.deleted is None:
             self.deleted = CuckooFilter(max(64, 2 * n))
         todo = [int(h) for h in hashes]
-        while todo:
-            h = todo[0]
-            if self.deleted.add(h):
-                todo.pop(0)
+        i = 0
+        while i < len(todo):
+            if self.deleted.add(todo[i]):
+                i += 1
                 continue
-            # overflow → rebuild doubled from the complete deleted list
+            # overflow → rebuild doubled, re-adding the complete deleted
+            # list from the top (fresh filter, so every add lands once)
             self.deleted = CuckooFilter(self.deleted.n_buckets * 2)
-            todo = list(self._deleted_hashes)
+            todo = self._deleted_hashes
+            i = 0
+
+    def set_revoked_df(self, revoked: DataFrame) -> None:
+        """Distributed revocation set (one ``url_hash`` BIGINT column) for
+        waves too large for the driver cuckoo. ``filter_unseen`` routes any
+        candidate whose hash appears here to the suspect path with a
+        hash-keyed join (AQE broadcasts it when it turns out small); the
+        exact confirm against the caller's revocation-filtered seen view
+        then decides — the same safe direction the cuckoo uses. The frame
+        is evaluated once per round; callers should hand in a persisted or
+        parquet-backed frame so lineage doesn't recompute the wave."""
+        self.revoked_df = revoked.select(
+            F.col("url_hash").cast("long").alias("url_hash")
+        )
 
     # -- version bookkeeping ------------------------------------------------
     def _vdir(self, version: int) -> str:
@@ -536,13 +570,34 @@ class BloomTable:
         if strategy == "broadcast":
             flagged = self._flag_broadcast(
                 spark, candidates, bloom_df, cuckoo_payload, hash_col
-            ).persist()
+            )
         elif strategy == "cogroup":
             flagged = self._flag_cogroup(
                 spark, candidates, bloom_df, cuckoo_payload, hash_col
-            ).persist()
+            )
         else:
             raise ValueError(f"unknown strategy {strategy!r}")
+        if self.revoked_df is not None:
+            # large revocation wave (set_revoked_df): a hash-keyed left join
+            # routes revoked candidates to the SUSPECT path — same safe
+            # direction as the cuckoo (the exact confirm decides), but
+            # distributed: nothing about the wave ever sits in driver heap.
+            # AQE turns this into a broadcast join when the wave is small.
+            rv = self.revoked_df.select(
+                F.col("url_hash").alias("__rv_h"),
+                F.lit(True).alias("__rv"),
+            ).dropDuplicates(["__rv_h"])
+            flagged = (
+                flagged.join(
+                    rv, F.col(hash_col) == F.col("__rv_h"), "left"
+                )
+                .withColumn(
+                    "__maybe",
+                    F.col("__maybe") | F.coalesce(F.col("__rv"), F.lit(False)),
+                )
+                .drop("__rv_h", "__rv")
+            )
+        flagged = flagged.persist()
         if cache_registry is not None:
             cache_registry.append(flagged)
         fresh = flagged.where(~F.col("__maybe")).drop("__maybe")

@@ -258,6 +258,24 @@ class EngineConfig:
     # visit would make the frontier re-pop it forever.
     soft404_filter: bool = False
     soft404_short_chars: int = 400
+    # opt-in webtext curation at run() end (mirrors soft404_filter's
+    # sink-stage opt-in shape, but runs on the ASSEMBLED corpus, where
+    # cross-document dedup is well-defined — a per-round pass could never
+    # see a dup whose twin committed three rounds earlier). Both are
+    # recomputed deterministically from the committed deltas, so
+    # resume/exactly-once round semantics are untouched.
+    #
+    # keep_best: near-dup clusters (MinHash-LSH banded pairs → distributed
+    # connected components) keep only the highest-quality_score member —
+    # the curation a training-data pipeline wants at the sink.
+    keep_best: bool = False
+    keep_best_threshold: float = 0.62
+    # dedup_paragraphs: cross-document paragraph dedup — a paragraph
+    # survives only at its globally-first (url_hash, pos) occurrence;
+    # every later copy is cut and the survivors are rejoined in document
+    # order (functions/dedup.paragraph_dedup — hash-keyed aggregation,
+    # no pair join). Applied AFTER keep_best when both are on.
+    dedup_paragraphs: bool = False
     # opt-in language backfill on the webtext sink: live fetches carry no
     # corpus language (lang is NULL), so the input_hint shape loses its
     # lang column exactly when crawling for real. When on, NULL lang is
@@ -411,6 +429,10 @@ class CrawlEngine:
         self._nm_dir = _os.path.join(
             self.cfg.ckpt_dir, "not_modified_visits"
         )
+        # persisted frames created by _curate_webtext (one LSH gram frame
+        # per run when keep_best is on); the caller unpersists after the
+        # curated outputs materialize
+        self._curation_caches: list = []
         bloom_root = _os.path.join(self.cfg.ckpt_dir, "blooms")
         if self.cfg.bloom_partitions is None:
             # auto: adopt the persisted partition count (resume keeps a
@@ -695,13 +717,32 @@ class CrawlEngine:
             # both redirected AND declares a canonical keeps only the
             # rel=canonical row (the deeper target; also makes the
             # freshest-per-url read deterministic within a round).
-            redirects = ok.where(
-                F.col("final_url").isNotNull()
-                & (F.col("final_url") != F.col("url"))
-            ).select(
-                "url",
-                F.col("final_url").alias("canonical"),
-                F.lit(int(round_no)).alias("updated_round"),
+            # The landing URL is canonicalized like every other alias
+            # target: a Location header can carry an uppercase host, a
+            # default port, or dot-segments, and storing it raw would give
+            # the same resource a different xxhash64 seen-key than its
+            # link-discovered form (round-4 ADVICE).
+            from crawler_spark.functions.canonicalize import (
+                canonicalize_urls_udf,
+            )
+
+            _canon_final = canonicalize_urls_udf(frozenset())
+            redirects = (
+                ok.where(
+                    F.col("final_url").isNotNull()
+                    & (F.col("final_url") != F.col("url"))
+                )
+                .select(
+                    "url",
+                    _canon_final(
+                        F.col("final_url"), F.col("url")
+                    ).alias("canonical"),
+                    F.lit(int(round_no)).alias("updated_round"),
+                )
+                .where(
+                    F.col("canonical").isNotNull()
+                    & (F.col("canonical") != F.col("url"))
+                )
             )
             aliases = aliases.unionByName(
                 redirects.join(
@@ -973,6 +1014,63 @@ class CrawlEngine:
         return t.select(
             "url", "ts", F.col("round").cast("long").alias("fetch_id")
         )
+
+    def _curate_webtext(self, webtext: DataFrame) -> DataFrame:
+        """Opt-in corpus curation on the assembled webtext (cfg.keep_best /
+        cfg.dedup_paragraphs — see EngineConfig). Runs keep_best FIRST
+        (drop whole near-dup documents, keeping each cluster's highest
+        quality_score member), then paragraph dedup over the survivors
+        (globally-first (url_hash, pos) copy of each paragraph wins;
+        documents whose every paragraph lost are dropped entirely — an
+        all-duplicate page IS a duplicate). Both stages are deterministic
+        recomputations over the committed deltas: kill/resume re-derives
+        the identical curated view.
+
+        Scale shape: MinHash-LSH banded pairs (no cross join) → connected
+        components → a ranking window over the PAIRED subset only;
+        paragraph dedup is one hash aggregation keyed by the paragraph's
+        xxhash64 plus an 8-byte equi-join back. The LSH stage persists one
+        per-doc gram frame per run; it is registered in
+        ``self._curation_caches`` for the caller to unpersist after the
+        curated outputs materialize (the CLI does)."""
+        cfg = self.cfg
+        cols = list(webtext.columns)
+        out = webtext
+        if cfg.keep_best:
+            from crawler_spark.functions.dedup import (
+                cluster_keep_best,
+                minhash_lsh_pairs,
+            )
+            from crawler_spark.functions.textstats import quality_score
+
+            keyed = out.withColumn(
+                "__wid", url_hash(F.col("url"))
+            ).withColumn("__q", quality_score(F.col("text")))
+            pairs = minhash_lsh_pairs(
+                keyed,
+                threshold=cfg.keep_best_threshold,
+                id_col="__wid",
+                text_col="text",
+                cache_registry=self._curation_caches,
+            )
+            best = cluster_keep_best(keyed, pairs, "__q", id_col="__wid")
+            out = best.where(F.col("keep")).select(*cols)
+        if cfg.dedup_paragraphs:
+            from crawler_spark.functions.dedup import paragraph_dedup
+
+            keyed = out.withColumn("__wid", url_hash(F.col("url")))
+            rep = paragraph_dedup(keyed, id_col="__wid", text_col="text")
+            out = (
+                keyed.join(
+                    rep.where(F.col("n_kept") > 0).select(
+                        F.col("id").alias("__wid"), "dedup_text"
+                    ),
+                    "__wid",
+                )
+                .withColumn("text", F.col("dedup_text"))
+                .select(*cols)
+            )
+        return out
 
     def _load_robots_table(self) -> DataFrame | None:
         import os as _os
@@ -1331,11 +1429,37 @@ class CrawlEngine:
             # "auto" as well: delta commits can engage mid-run there.
             if cfg.frontier_storage in ("delta", "auto"):
                 pending_add_rows = rows
-            # revoked-seen hashes go to the table's cuckoo override
-            _rc = [r["url_hash"] for r in recrawl_hashes.collect()]
+            # revoked-seen hashes: size-gated. Small waves (--force on a
+            # connector, images recheck — thousands) collect into the
+            # table's driver cuckoo, which rides the existing bitset
+            # broadcast for free. Big waves (change-rate recrawl at web
+            # scale is 10^7-8 URLs/day) NEVER collect: they persist as a
+            # bucket-partitioned parquet sidecar that filter_unseen
+            # consumes with a distributed hash-keyed join — the exact same
+            # shape seen_delta already uses.
+            n_rc = recrawl_hashes.count()
             if frontier_rows is not None:
-                frontier_rows += len(_rc)
-            self.bloom_table.mark_deleted(np.array(_rc, dtype=np.int64))
+                frontier_rows += n_rc
+            if n_rc <= BloomTable.REVOKED_DRIVER_MAX:
+                _rc = [r["url_hash"] for r in recrawl_hashes.collect()]
+                self.bloom_table.mark_deleted(np.array(_rc, dtype=np.int64))
+            else:
+                import os as _os
+
+                rv_dir = _os.path.join(cfg.ckpt_dir, "_revoked_sidecar")
+                (
+                    recrawl_hashes.select("url_hash")
+                    .repartition(
+                        self.bloom_table.n_partitions,
+                        F.pmod(
+                            F.col("url_hash"),
+                            F.lit(self.bloom_table.n_partitions),
+                        ),
+                    )
+                    .write.mode("overwrite")
+                    .parquet(rv_dir)
+                )
+                self.bloom_table.set_revoked_df(spark.read.parquet(rv_dir))
 
         # live robots acquisition: effective politeness from any prior
         # probes, then a run-start wave over seed (+ recrawl) hosts so the
@@ -1747,7 +1871,18 @@ class CrawlEngine:
                 # learn rel=canonical declarations from this round's
                 # bytes; rewrites apply from the NEXT round's candidates
                 self._alias_update(ok, round_no)
+            # the round's seen additions: every 200 body, PLUS — under
+            # conditional fetch — every 304 answer. A 304 confirms the
+            # stored copy is current, so the URL is seen again; without
+            # this, a recrawl-revoked URL answering 304 stayed permanently
+            # unseen (304s land in `dead` via split_retries) and every
+            # later rediscovery re-fetched it for another 304 (round-4
+            # ADVICE).
+            seen_round = ok.select("url_hash")
             if cfg.conditional_fetch and cfg.fetch_mode == "live":
+                seen_round = seen_round.union(
+                    fetched.where(F.col("status") == 304).select("url_hash")
+                )
                 # persist this round's response validators; the next
                 # revisit of these URLs goes out conditional
                 self._validators_update(ok, round_no)
@@ -2186,9 +2321,7 @@ class CrawlEngine:
                 amap = self._load_alias_map()
                 if amap is not None:
                     cands = self._apply_alias_map(cands, amap)
-            seen_plus = seen.select("url_hash").union(
-                ok.select("url_hash")
-            )
+            seen_plus = seen.select("url_hash").union(seen_round)
             bloom_now = bloom_enabled(seen_count)
             bloom_v = (
                 self.bloom_table.latest_version() if bloom_now else None
@@ -2220,7 +2353,7 @@ class CrawlEngine:
                     strategy=self.bloom_table.pick_strategy(seen_count),
                 )
                 fresh = fresh.join(
-                    _b(ok.select(F.col("url_hash").alias("__ok_h"))),
+                    _b(seen_round.select(F.col("url_hash").alias("__ok_h"))),
                     fresh["url_hash"] == F.col("__ok_h"),
                     "left_anti",
                 )
@@ -2326,7 +2459,7 @@ class CrawlEngine:
                 shrink = (lambda df: df)
             commit_t0 = _time.time()
             tables = {
-                "seen_delta": shrink(ok.select("url_hash")),
+                "seen_delta": shrink(seen_round),
                 "records_delta": shrink(records_out),
                 "webtext_delta": shrink(webtext_out),
                 "fetch_log_delta": shrink(fetch_log),
@@ -2516,9 +2649,13 @@ class CrawlEngine:
             d = self.ckpt.load_all_deltas(spark, name)
             return d if d is not None else self._empty(schema)
 
+        webtext = _delta("webtext_delta", schemas.WEBTEXT)
+        if cfg.keep_best or cfg.dedup_paragraphs:
+            webtext = self._curate_webtext(webtext)
+
         return CrawlResult(
             records=_delta("records_delta", schemas.RECORDS),
-            webtext=_delta("webtext_delta", schemas.WEBTEXT),
+            webtext=webtext,
             url_seen=_delta("seen_delta", schemas.URL_SEEN),
             fetch_log=_delta("fetch_log_delta", schemas.FETCH_LOG),
             rounds=round_no,

@@ -80,6 +80,27 @@ def test_cli_no_records_no_files(spark, inputs, tmp_path, capsys):
     assert os.path.isdir(f"{out}/webtext")
 
 
+def test_cli_curation_flags(spark, inputs, tmp_path, capsys):
+    """--keep-best / --dedup-paragraphs argv plumbing: the flags thread
+    into EngineConfig and the curated webtext parquet lands (semantics are
+    value-tested in test_curation_engine; this pins the CLI surface). On a
+    dup-free fixture both passes must be no-ops — same rows as baseline."""
+    base_out = _run(inputs, tmp_path, ["--no-files"])
+    capsys.readouterr()
+    cur_out = _run(
+        inputs, tmp_path / "cur",
+        ["--no-files", "--keep-best", "--keep-best-threshold", "0.62",
+         "--dedup-paragraphs"],
+    )
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    base_wt = spark.read.parquet(f"{base_out}/webtext")
+    cur_wt = spark.read.parquet(f"{cur_out}/webtext")
+    assert stats["webtext"] == cur_wt.count()
+    assert sorted(r["url"] for r in cur_wt.collect()) == sorted(
+        r["url"] for r in base_wt.collect()
+    )
+
+
 def test_cli_force_recrawls(spark, inputs, tmp_path, capsys):
     """--force (base.js:165): a second run over the same inputs re-crawls
     everything instead of no-op'ing against the seen set."""

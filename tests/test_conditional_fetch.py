@@ -231,6 +231,27 @@ def test_engine_conditional_recrawl_e2e(spark, site, server, tmp_path):
     for u in nm_urls:
         assert stats[u] == (2, 0)
 
+    # a 304 answer confirms the stored copy: its URL must RE-ENTER the
+    # seen set (round-4 ADVICE — without this, a recrawl-revoked URL
+    # answering 304 stayed permanently unseen and every later run that
+    # rediscovered a link to it re-fetched it for another 304)
+    from crawler_spark.functions.canonicalize import url_hash as _uh
+
+    seen_hashes = {r["url_hash"] for r in res2.url_seen.collect()}
+    rec_hashes = {
+        r["h"]
+        for r in res1.records.select(_uh(F.col("url")).alias("h")).collect()
+    }
+    assert rec_hashes <= seen_hashes, "304-answered URLs absent from seen"
+    # and a third run over the same checkpoint issues ZERO requests for
+    # them (frontier resumes exhausted; nothing re-candidates a seen URL)
+    third_start = len(log)
+    CrawlEngine(
+        spark, None, sdfs["seeds"], sdfs["politeness"], cfg,
+        connectors=site["connectors"],
+    ).run()
+    assert log[third_start:] == [], "seen 304 URLs were re-fetched"
+
 
 def test_nm_log_compaction_preserves_every_row(spark, tmp_path):
     site_ = generate_site(SiteSpec(n_hosts=1, details_per_host=4, limit=4))

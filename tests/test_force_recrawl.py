@@ -93,6 +93,93 @@ def test_force_does_not_refetch_within_run(spark, tmp_path):
     assert len(fetched) == len(set(fetched)), "URL fetched twice under force"
 
 
+def test_selective_recrawl_distributed_sidecar(spark, tmp_path, monkeypatch):
+    """Same selective-recrawl semantics as above, but with the driver-cuckoo
+    gate forced to 0 so the revocation wave takes the DISTRIBUTED path: a
+    bucket-partitioned parquet sidecar consumed by filter_unseen's
+    hash-keyed join. The driver cuckoo must stay unused and parity must be
+    byte-identical to the cuckoo path."""
+    import os
+
+    from crawler_spark.operators.seen import BloomTable
+
+    monkeypatch.setattr(BloomTable, "REVOKED_DRIVER_MAX", 0)
+    site = generate_site(SPEC)
+    sdfs = site_to_spark(spark, site)
+    ck = str(tmp_path / "ckd")
+    first = _engine(spark, sdfs, ck).run()
+    n_first = first.records.count()
+    rounds_first = first.rounds
+
+    recrawl = spark.createDataFrame(RECRAWL, "url string, connector_id string")
+    eng = _engine(spark, sdfs, ck)
+    second = eng.run(recrawl=recrawl)
+    new_fetches = second.fetch_log.where(
+        (F.col("round") >= rounds_first) & (F.col("status") == 200)
+    ).select("url").collect()
+    assert sorted(r["url"] for r in new_fetches) == sorted(u for u, _ in RECRAWL)
+    assert second.records.count() == n_first + len(RECRAWL)
+    # structural: the wave never reached the driver cuckoo, and the sidecar
+    # parquet exists bucket-partitioned under the checkpoint dir
+    assert eng.bloom_table.deleted is None
+    assert eng.bloom_table.revoked_df is not None
+    assert os.path.isdir(os.path.join(ck, "_revoked_sidecar"))
+
+    third = _engine(spark, sdfs, ck).run()
+    assert third.records.count() == second.records.count()
+
+
+def test_mark_deleted_raises_over_gate(tmp_path, monkeypatch):
+    import numpy as np
+
+    from crawler_spark.operators.seen import BloomTable
+
+    bt = BloomTable(str(tmp_path / "b"), n_partitions=4)
+    monkeypatch.setattr(BloomTable, "REVOKED_DRIVER_MAX", 10)
+    with pytest.raises(ValueError, match="set_revoked_df"):
+        bt.mark_deleted(np.arange(11, dtype=np.int64))
+
+
+def test_revoked_df_million_hashes_distributed(spark, tmp_path):
+    """A ~10^6-hash revocation wave through set_revoked_df: filter_unseen
+    must admit exactly (fresh ∪ revoked-seen) with the wave living only in
+    executors — no driver cuckoo, no collect of the wave."""
+    from crawler_spark.operators.seen import BloomTable
+
+    h = lambda c: F.xxhash64(c.cast("string"))  # noqa: E731
+    seen = spark.range(0, 4_000_000, 2).select(
+        h(F.col("id")).alias("url_hash")
+    )
+    revoked = spark.range(0, 4_000_000, 4).select(
+        h(F.col("id")).alias("url_hash")
+    )
+    cands = spark.range(0, 20_000).select(
+        F.col("id"), h(F.col("id")).alias("url_hash")
+    )
+    bt = BloomTable(str(tmp_path / "blooms_rv"), n_partitions=8)
+    bt.build(seen, version=0)
+    bt.set_revoked_df(revoked)
+    assert bt.deleted is None
+    # caller contract: the seen view passed in is revocation-filtered
+    # (exactly what the engine's load_all_deltas anti-join produces)
+    seen_minus = seen.join(
+        revoked.select(F.col("url_hash").alias("__r")),
+        F.col("url_hash") == F.col("__r"),
+        "left_anti",
+    )
+    reg = []
+    got = {
+        r["id"]
+        for r in bt.filter_unseen(
+            cands, seen_minus, version=0, cache_registry=reg
+        ).collect()
+    }
+    want = {i for i in range(20_000) if i % 2 == 1 or i % 4 == 0}
+    assert got == want
+    for f in reg:
+        f.unpersist()
+
+
 def test_fresh_start_wipes_stale_rounds(spark, tmp_path):
     """run(resume=False) over an existing checkpoint removes the old run's
     committed rounds: the assembled outputs contain ONLY the new run's

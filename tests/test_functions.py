@@ -461,8 +461,10 @@ def _uf_components(n_nodes, edges):
 
 
 def test_connected_components_random_graphs(spark):
-    """Property: large-star/small-star components == union-find on random
-    graphs (chains, cliques, stars, isolated pairs all arise at n=60)."""
+    """Property: components == union-find on random graphs (chains,
+    cliques, stars, isolated pairs all arise at n=60) — on BOTH the
+    size-gated driver fast path (default) and the distributed large-star/
+    small-star loop (gate forced off), which must agree exactly."""
     import random
 
     from crawler_spark.functions.dedup import connected_components
@@ -478,29 +480,49 @@ def test_connected_components_random_graphs(spark):
         if not edges:
             continue
         df = spark.createDataFrame(edges, "id_a long, id_b long")
-        got = {
-            (r["id"], r["component"])
-            for r in connected_components(df).collect()
-        }
         ref = _uf_components(n, edges)
         touched = {u for e in edges for u in e}
         want = {(x, ref[x]) for x in touched}
-        assert got == want, f"trial {trial}: {got ^ want}"
+        for gate in (1_000_000, 0):  # driver union-find / star loop
+            got = {
+                (r["id"], r["component"])
+                for r in connected_components(
+                    df, driver_max_edges=gate
+                ).collect()
+            }
+            assert got == want, f"trial {trial} gate {gate}: {got ^ want}"
 
 
 def test_connected_components_chain(spark):
     """A chain is label propagation's worst case (O(n) rounds); the
-    alternating algorithm must close it in O(log^2 n)."""
+    alternating algorithm must close it in O(log^2 n). Gate forced off so
+    the distributed loop (not the driver shortcut) is what's tested."""
     from crawler_spark.functions.dedup import connected_components
 
     n = 64
     df = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
     )
-    out = connected_components(df, max_iter=20).collect()
+    out = connected_components(df, max_iter=20, driver_max_edges=0).collect()
     assert {(r["id"], r["component"]) for r in out} == {
         (i, 0) for i in range(n)
     }
+
+
+def test_connected_components_driver_gate_schema_parity(spark):
+    """The two paths must return identical schema AND rows so the gate is
+    invisible to callers (near_dup_clusters joins on the result)."""
+    from crawler_spark.functions.dedup import connected_components
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (5, 5), (7, 3)], "id_a long, id_b long"
+    )
+    fast = connected_components(df)
+    slow = connected_components(df, driver_max_edges=0)
+    assert fast.schema == slow.schema
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, slow.collect())
+    )
 
 
 def test_near_dup_clusters_keep_one(spark):

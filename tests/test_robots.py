@@ -228,6 +228,31 @@ def test_rfc_regex_metachars_are_literal(spark):
     assert not got["/p11axz"] and not got["/q"]
 
 
+def test_parse_normalizes_bare_word_rules():
+    """RFC 9309 rule values must start with '/'; the wild ships bare words
+    ('Disallow: admin') and leading-wildcard patterns ('Allow: *.html').
+    Bare words normalize to '/'-anchored; explicit wildcards stay verbatim
+    (round-4 ADVICE: unanchored bare words could allow-override a longer
+    valid disallow)."""
+    p = parse_robots(
+        b"User-agent: *\nDisallow: admin\nAllow: *.html\nDisallow: /x\n"
+    )
+    assert p["disallow"] == ["/admin", "/x"]
+    assert p["allow"] == ["*.html"]
+
+
+def test_rfc_priority_excludes_dollar_anchor(spark):
+    """'$' is an anchor, not a matched octet: '!/a/pub' (allow, 6 octets)
+    must beat '/a/pub$' (disallow, 6 octets + anchor) on the allow-wins
+    tie-break — counting the '$' made the disallow 'longer' and flipped
+    the outcome."""
+    got = _blocked(spark, ["/a/pub$", "!/a/pub"], ["/a/pub"])
+    assert not got["/a/pub"]
+    # and the anchor itself still works
+    got = _blocked(spark, ["/a/pub$"], ["/a/pub", "/a/pubx"])
+    assert got["/a/pub"] and not got["/a/pubx"]
+
+
 def test_allow_rules_flow_through_politeness_tables(spark):
     from crawler_spark.operators.robots import politeness_from_robots
 
