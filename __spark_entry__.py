@@ -1298,10 +1298,13 @@ def _text_web_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_avg_tok=3.5,
         max_avg_tok=5.5,
     )
+    # reasons emit comma-joined (rule order is fixed on both sides): the
+    # driver harness's pandas sort cannot hash list cells — same
+    # serialization contract as u2_record_distinct
     return docs.select(
         "doc_id",
         token_count(t).cast("long").alias("n_tokens"),
-        reasons.alias("reasons"),
+        F.array_join(reasons, ",").alias("reasons"),
         (F.size(reasons) == 0).alias("keep"),
     )
 
@@ -3246,7 +3249,8 @@ def oracle_sql() -> dict[str, str]:
                   CASE WHEN atl < 3.5 OR atl > 5.5 THEN 'weird_tokens' END],
                   x -> x IS NOT NULL) AS reasons
               FROM m)
-            SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, reasons,
+            SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                   coalesce(array_to_string(reasons, ','), '') AS reasons,
                    (len(reasons) = 0) AS keep
             FROM r
         """,
