@@ -36,19 +36,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _scratch_dir(tag: str, sf_dir: str) -> str:
-    """Deterministic per-(query, sf) scratch dir, wiped before reuse:
-    queries that materialize side outputs (WARC export, e2e checkpoints)
-    used mkdtemp and leaked a fresh directory per invocation across
-    repeated selfcheck/bench runs (round-4 ADVICE). One stable path keyed
-    by the sf dir bounds disk at one copy per scale factor."""
+    """Deterministic per-(query, sf, process) scratch dir, wiped before
+    reuse and removed at interpreter exit: queries that materialize side
+    outputs (WARC export, e2e checkpoints) used mkdtemp and leaked a fresh
+    directory per invocation across repeated selfcheck/bench runs
+    (round-4 ADVICE). One stable path per process bounds disk at one copy
+    per scale factor, and the pid component keeps concurrent harness
+    processes (e.g. selfcheck + bench at the same sf) from rmtree'ing each
+    other's live checkpoint dirs mid-query; atexit reclaims the copy so
+    repeated processes still never accumulate."""
+    import atexit
     import hashlib
     import shutil
     import tempfile
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = os.path.join(tempfile.gettempdir(), f"spark_graft_{tag}_{key}")
+    d = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_{tag}_{key}_{os.getpid()}"
+    )
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
     return d
 
 

@@ -318,6 +318,11 @@ def main(argv: list[str] | None = None) -> int:
         outputs.insert(0, ("records", res.records))
     for name, df in outputs:
         df.write.mode("overwrite").parquet(f"{args.out}/{name}")
+    if args.keep_best or args.dedup_paragraphs:
+        # the stats block below re-counts res.webtext; under curation that
+        # plan is the whole keep_best/paragraph pipeline, so count the
+        # parquet just written instead of recomputing the LSH stages
+        res.webtext = spark.read.parquet(f"{args.out}/webtext")
     # curated outputs are written; release the LSH gram frame keep_best
     # persisted (one per run)
     for df in eng._curation_caches:

@@ -243,6 +243,43 @@ def canonicalize_urls_udf(drop_params: frozenset[str] = frozenset()):
     return _canon
 
 
+def canonicalize_urls_by_connector_udf(
+    params_by_connector: dict[str, frozenset],
+):
+    """(url, base, connector_id) -> canonical url, applying each row's own
+    connector ``drop_params`` — the exact set ``extract_links`` used for
+    that row's link-discovered URLs, so an alias target (3xx landing,
+    rel=canonical href) canonicalizes to the identical xxhash64 seen-key
+    as its link-discovered form. Rows whose connector is unknown (or a
+    NULL connector_id) fall back to no param stripping.
+
+    When no connector strips params at all, this degrades to the plain
+    single-set UDF — no per-batch groupby cost on the common path."""
+    if not any(params_by_connector.values()):
+
+        @pandas_udf(StringType())
+        def _canon_plain(
+            url: pd.Series, base: pd.Series, connector_id: pd.Series
+        ) -> pd.Series:
+            return _canonicalize_batch(url, base, frozenset())
+
+        return _canon_plain
+
+    @pandas_udf(StringType())
+    def _canon(
+        url: pd.Series, base: pd.Series, connector_id: pd.Series
+    ) -> pd.Series:
+        res = pd.Series(index=url.index, dtype="object")
+        for cid, idx in url.index.groupby(connector_id.fillna("")).items():
+            dp = params_by_connector.get(cid, frozenset())
+            res.loc[idx] = _canonicalize_batch(
+                url.loc[idx], base.loc[idx], dp
+            )
+        return res
+
+    return _canon
+
+
 def url_host(url: Column) -> Column:
     """Host column. Pure Spark SQL (stays in whole-stage codegen):
     ``parse_url`` handles scheme://host[:port]/..."""

@@ -731,14 +731,18 @@ def simhash_near_pairs(
 
 
 # Below this many distinct edges the component graph fits trivially in the
-# driver (two int64s per edge → ≤ ~16 MB at the default), and a collected
-# union-find beats the iterative star loop by an order of magnitude: each
-# distributed iteration costs 2+ jobs (checkpoint + signature) regardless
-# of data size, so a 6-iteration convergence on a few thousand pairs pays
-# ~12 scheduler round-trips to do microseconds of work. Same shape as the
-# politeness broadcast gate: small input → driver shortcut, big input →
-# the scale path, chosen at runtime by a bounded count.
-CC_DRIVER_MAX_EDGES = 1_000_000
+# driver, and a collected union-find beats the iterative star loop by an
+# order of magnitude: each distributed iteration costs 2+ jobs (checkpoint
+# + signature) regardless of data size, so a 6-iteration convergence on a
+# few thousand pairs pays ~12 scheduler round-trips to do microseconds of
+# work. The gate budgets PYTHON-side cost, not raw bytes: 200k edges can
+# touch 400k nodes → a ~400k-entry dict + row list (tens of MB of CPython
+# objects) and one createDataFrame pickle pass — still milliseconds-cheap,
+# while 1M+ edges would put hundreds of MB of boxed ints on the driver for
+# a job the star loop runs comfortably. Same shape as the politeness
+# broadcast gate: small input → driver shortcut, big input → the scale
+# path, chosen at runtime by a bounded count.
+CC_DRIVER_MAX_EDGES = 200_000
 
 
 def _driver_components(spark, e: DataFrame, n_edges: int) -> DataFrame:
@@ -746,7 +750,8 @@ def _driver_components(spark, e: DataFrame, n_edges: int) -> DataFrame:
     already-distinct (u, v) edge set, pre-counted at ``n_edges`` ≤ the gate.
     Union-find with path halving; component label = smallest member id,
     matching the star loop's contract exactly. O(E α(E)) driver time on a
-    bounded (≤ ~16 MB) collect."""
+    single bounded collect (one job — toLocalIterator would run one
+    sequential job per shuffle partition for a frame this small)."""
     parent: dict = {}
 
     def find(x):
@@ -757,7 +762,7 @@ def _driver_components(spark, e: DataFrame, n_edges: int) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for row in e.toLocalIterator():
+    for row in e.collect():
         u, v = row[0], row[1]
         parent.setdefault(u, u)
         parent.setdefault(v, v)

@@ -319,14 +319,17 @@ class BloomTable:
         hashes = np.asarray(hashes, dtype=np.int64)
         if len(hashes) == 0:
             return
-        self._deleted_hashes.extend(int(h) for h in hashes)
-        n = len(self._deleted_hashes)
+        # gate BEFORE recording: an over-gate wave must leave the table
+        # untouched, so the caller can reroute it through set_revoked_df
+        # and still mark_deleted small waves on this instance afterwards
+        n = len(self._deleted_hashes) + len(hashes)
         if n > self.REVOKED_DRIVER_MAX:
             raise ValueError(
                 f"{n} revoked hashes exceeds REVOKED_DRIVER_MAX="
                 f"{self.REVOKED_DRIVER_MAX}; pass the revocation set as a"
                 " DataFrame via set_revoked_df instead of collecting it"
             )
+        self._deleted_hashes.extend(int(h) for h in hashes)
         if self.deleted is None:
             self.deleted = CuckooFilter(max(64, 2 * n))
         todo = [int(h) for h in hashes]

@@ -721,22 +721,41 @@ class CrawlEngine:
             # target: a Location header can carry an uppercase host, a
             # default port, or dot-segments, and storing it raw would give
             # the same resource a different xxhash64 seen-key than its
-            # link-discovered form (round-4 ADVICE).
+            # link-discovered form (round-4 ADVICE). Canonicalization uses
+            # the row's OWN connector drop_params — the set extract_links
+            # applied to this connector's discovered URLs — otherwise a
+            # Location carrying a dropped param (e.g. ?width=5 under
+            # drop_params={'width'}) would store an alias keyed differently
+            # from the link-discovered form and re-fetch the resource.
             from crawler_spark.functions.canonicalize import (
+                canonicalize_urls_by_connector_udf,
                 canonicalize_urls_udf,
             )
 
-            _canon_final = canonicalize_urls_udf(frozenset())
-            redirects = (
-                ok.where(
-                    F.col("final_url").isNotNull()
-                    & (F.col("final_url") != F.col("url"))
+            landed = ok.where(
+                F.col("final_url").isNotNull()
+                & (F.col("final_url") != F.col("url"))
+            )
+            if self.connectors and "connector_id" in ok.columns:
+                _canon_by_conn = canonicalize_urls_by_connector_udf(
+                    {
+                        cid: c.drop_params
+                        for cid, c in self.connectors.items()
+                    }
                 )
-                .select(
+                canon_col = _canon_by_conn(
+                    F.col("final_url"),
+                    F.col("url"),
+                    F.col("connector_id"),
+                )
+            else:
+                canon_col = canonicalize_urls_udf(frozenset())(
+                    F.col("final_url"), F.col("url")
+                )
+            redirects = (
+                landed.select(
                     "url",
-                    _canon_final(
-                        F.col("final_url"), F.col("url")
-                    ).alias("canonical"),
+                    canon_col.alias("canonical"),
                     F.lit(int(round_no)).alias("updated_round"),
                 )
                 .where(
@@ -1035,7 +1054,24 @@ class CrawlEngine:
         curated outputs materialize (the CLI does)."""
         cfg = self.cfg
         cols = list(webtext.columns)
-        out = webtext
+        # freshest-per-url fold FIRST: the assembled delta log can carry
+        # several rows per URL (a selective recrawl appends a fresh
+        # webtext_delta row while the stale one remains), and both curation
+        # stages key by url_hash — without the fold, paragraph_dedup would
+        # interleave the stale and fresh copies' paragraphs into one
+        # dedup_text and fan it back out to duplicate rows, and keep_best's
+        # quality window would tie between same-id copies
+        # nondeterministically. warc_ts descending picks the live copy;
+        # the text-hash tiebreak keeps equal-timestamp folds deterministic.
+        w = Window.partitionBy(url_hash(F.col("url"))).orderBy(
+            F.col("warc_ts").desc_nulls_last(),
+            F.xxhash64(F.col("text")).asc(),
+        )
+        out = (
+            webtext.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
         if cfg.keep_best:
             from crawler_spark.functions.dedup import (
                 cluster_keep_best,

@@ -196,3 +196,60 @@ def test_idn_hosts_converge_to_punycode():
     assert c(uni) == uni
     # ascii hosts untouched
     assert c("http://plain.example.com/x") == "http://plain.example.com/x"
+
+
+def test_by_connector_udf_applies_each_rows_params(spark):
+    """canonicalize_urls_by_connector_udf strips each row's OWN connector
+    drop_params (the set extract_links used for that connector), with
+    unknown / NULL connector ids falling back to no stripping — so a 3xx
+    landing URL gets the identical seen-key as its link-discovered form."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.functions.canonicalize import (
+        canonicalize_urls_by_connector_udf,
+    )
+
+    rows = [
+        ("http://H0.Example.test/img?width=5&x=1", "http://h0.example.test/", "c_drop"),
+        ("http://h0.example.test/img?width=5&x=1", "http://h0.example.test/", "c_keep"),
+        ("http://h0.example.test/img?width=5", "http://h0.example.test/", "c_unknown"),
+        ("http://h0.example.test/img?width=5", "http://h0.example.test/", None),
+    ]
+    df = spark.createDataFrame(rows, "u string, b string, cid string")
+    canon = canonicalize_urls_by_connector_udf(
+        {"c_drop": frozenset({"width"}), "c_keep": frozenset()}
+    )
+    got = {
+        (r["cid"], r["c"])
+        for r in df.select(
+            "cid", canon(F.col("u"), F.col("b"), F.col("cid")).alias("c")
+        ).collect()
+    }
+    assert ("c_drop", "http://h0.example.test/img?x=1") in got
+    assert ("c_keep", "http://h0.example.test/img?width=5&x=1") in got
+    assert ("c_unknown", "http://h0.example.test/img?width=5") in got
+    assert (None, "http://h0.example.test/img?width=5") in got
+
+
+def test_by_connector_udf_no_params_fast_path(spark):
+    """All-empty drop_params degrades to the plain canonicalizer (same
+    outputs, no per-batch groupby)."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.functions.canonicalize import (
+        canonicalize_urls_by_connector_udf,
+        canonicalize_urls_udf,
+    )
+
+    df = spark.createDataFrame(
+        [("http://A.b/x/../y?q=1", None, "c0"), ("/rel", "http://a.b/d/", None)],
+        "u string, b string, cid string",
+    )
+    by_conn = canonicalize_urls_by_connector_udf({"c0": frozenset()})
+    plain = canonicalize_urls_udf(frozenset())
+    got = df.select(
+        by_conn(F.col("u"), F.col("b"), F.col("cid")).alias("a"),
+        plain(F.col("u"), F.col("b")).alias("p"),
+    ).collect()
+    for r in got:
+        assert r["a"] == r["p"]

@@ -140,3 +140,34 @@ def test_content_filter_keep_parity(spark, tmp_path):
     # the filter actually split the corpus: some visited pages unwritten
     n_visited = res.fetch_log.where("status = 200").count()
     assert 0 < len(got) < n_visited
+
+
+def test_url_seen_set_parity(engine_result, oracle, site, spark):
+    """north_rule: 'the final URL-seen set must match the reference's
+    output under the same seed list and politeness budget'. The
+    reference's seen mechanism is the per-record written-file
+    short-circuit (record.js:135-138 via base.js) — it covers RECORD urls
+    only; search/list pages are re-fetched every run by design. The
+    engine's url_seen is its frontier-dedup superset, so parity is:
+    restricted to record urls it equals the oracle's seen set exactly,
+    and the complement is precisely the search pagination pages the
+    frontier tracked."""
+    from pyspark.sql import functions as F
+
+    pages = {r.url: r.html for r in site["pages"].itertuples()}
+    urls = spark.createDataFrame(
+        [(u,) for u in pages], "url string"
+    ).select("url", F.xxhash64("url").alias("h"))
+    got = {
+        r["url"]
+        for r in engine_result.url_seen.join(
+            urls, engine_result.url_seen.url_hash == urls.h
+        ).select("url").collect()
+    }
+    # every engine-seen hash resolved to a site url (no phantom hashes)
+    assert engine_result.url_seen.count() == len(got)
+    record_seen = {u for u in got if "/search" not in u}
+    assert record_seen == oracle.url_seen
+    assert got - record_seen == {
+        u for u in pages if "/search" in u and u in got
+    }

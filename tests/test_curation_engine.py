@@ -132,3 +132,48 @@ def test_both_flags_compose(spark, tmp_path):
     # survivors finds no cross-doc repeat and drops nothing further
     assert len({a, b} & got) == 1
     assert res.webtext.count() == len(got)
+
+
+def test_curation_folds_recrawled_duplicate_rows(spark, tmp_path):
+    """The assembled delta log can carry several webtext rows per URL (a
+    selective recrawl appends a fresh row while the stale delta remains);
+    curation must fold to one freshest row per URL first — otherwise
+    paragraph_dedup would interleave the copies' paragraphs into one text
+    and fan it back out to duplicate rows."""
+    from crawler_spark.sources.sitegen import SiteSpec, generate_site
+
+    site = generate_site(SiteSpec(n_hosts=1, details_per_host=8, limit=4))
+    sdfs = site_to_spark(spark, site)
+    ck = str(tmp_path / "ckr")
+    cfg = EngineConfig(ckpt_dir=ck, default_budget=10)
+    first = CrawlEngine(
+        spark, sdfs["pages"], sdfs["seeds"], sdfs["politeness"], cfg
+    ).run()
+    target = first.webtext.select("url").orderBy("url").first()["url"]
+
+    recrawl = spark.createDataFrame(
+        [(target, "c0")], "url string, connector_id string"
+    )
+    eng2 = CrawlEngine(
+        spark, sdfs["pages"], sdfs["seeds"], sdfs["politeness"],
+        EngineConfig(ckpt_dir=ck, default_budget=10, dedup_paragraphs=True),
+    )
+    second = eng2.run(recrawl=recrawl)
+
+    # the raw delta log holds two rows for the recrawled URL...
+    raw = eng2.ckpt.load_all_deltas(spark, "webtext_delta")
+    assert raw.where(F.col("url") == target).count() == 2
+    # ...but the curated view folds to exactly one row per URL
+    wt = second.webtext
+    dup_urls = (
+        wt.groupBy("url").count().where(F.col("count") > 1).collect()
+    )
+    assert dup_urls == []
+    assert wt.where(F.col("url") == target).count() == 1
+    # and the surviving text is a clean single copy (no interleaving):
+    # identical to the first run's extraction for that URL
+    want = {
+        r["text"] for r in first.webtext.where(F.col("url") == target).collect()
+    }
+    got = {r["text"] for r in wt.where(F.col("url") == target).collect()}
+    assert got == want

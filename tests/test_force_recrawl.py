@@ -198,3 +198,25 @@ def test_fresh_start_wipes_stale_rounds(spark, tmp_path):
     # resume after the fresh run continues IT (no new fetches needed)
     again = _engine(spark, sdfs, ck).run()
     assert again.records.count() == n
+
+
+def test_mark_deleted_over_gate_leaves_table_intact(tmp_path, monkeypatch):
+    """An over-gate wave must be rejected WITHOUT being recorded: the
+    caller reroutes it through set_revoked_df, and later small --force
+    waves on the same instance must still fit under the gate."""
+    import numpy as np
+
+    from crawler_spark.operators.seen import BloomTable
+
+    bt = BloomTable(str(tmp_path / "b2"), n_partitions=4)
+    monkeypatch.setattr(BloomTable, "REVOKED_DRIVER_MAX", 10)
+    with pytest.raises(ValueError, match="set_revoked_df"):
+        bt.mark_deleted(np.arange(11, dtype=np.int64))
+    # rejected hashes were NOT recorded
+    assert bt._deleted_hashes == []
+    assert bt.deleted is None
+    # a small follow-up wave still lands in the cuckoo
+    bt.mark_deleted(np.array([101, 102], dtype=np.int64))
+    assert sorted(bt._deleted_hashes) == [101, 102]
+    assert bt.deleted is not None
+    assert bt.deleted.contains(101) and bt.deleted.contains(102)
