@@ -37,7 +37,13 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "6000000"))
 # scaling runs need enough per-core compute that fixed per-stage overheads
 # (session spin-up amortized out, Python worker fork, bloom broadcast) don't
-# mask the scaling signal
+# mask the scaling signal. A 10M variant was measured in round 5 to test
+# whether the ~6 s fixed per-leg cost (Amdahl fit of the 6M legs) was
+# biasing the ratio down — on this box the bigger input moved single-pair
+# ratios DOWN as often as up (2.64 at 10M vs 2.99–3.39 at 6M the same
+# hour): hour-scale box noise dominates input-size effects, so the size
+# stays at 6M and the estimator (median of interleaved pairs) carries the
+# noise instead.
 N_URLS_SCALING = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_URLS", "6000000"))
 # scaling efficiency = min-of-K wall times per core count, runs interleaved
 # (4,16),(4,16),…: a loaded benchmark box only ever ADDS wall time, so the

@@ -240,6 +240,14 @@ class BloomTable:
         self.deleted: CuckooFilter | None = None
         self._deleted_hashes: list[int] = []
         self.revoked_df: DataFrame | None = None
+        # version → (total_bits, broadcast payload | None): bitsets are
+        # immutable per version (build/update write a NEW version dir and
+        # prune the old), so the round loop's flag stage pays the metadata
+        # agg + the bitset collect once per rebuild, not twice per round.
+        # Only the current version is ever held (cleared on build/update),
+        # and the payload is only kept under BROADCAST_MAX_BYTES, so the
+        # cache is bounded by the same gate as the broadcast itself.
+        self._payload_cache: dict[int, tuple[int, dict | None]] = {}
 
     # hashes per bucket the auto-sizer aims for: a 4M-item bitset at 1% fpp
     # is ~4.6 MB — small enough to ship per pid group / broadcast in bulk,
@@ -422,6 +430,30 @@ class BloomTable:
         # loads the bitset table every round)
         return spark.read.schema(self.SCHEMA).parquet(self._vdir(version))
 
+    def _broadcast_payload(
+        self, spark: SparkSession, version: int
+    ) -> tuple[int, dict | None]:
+        """(total_bits, {pid: (bits, n_bits, n_hashes)} | None) for
+        ``v{version}``, driver-cached per version. The payload is None past
+        the broadcast gate (cogroup territory — collecting it would defeat
+        the gate). Two driver-side jobs (a metadata agg and the bitset
+        collect) move from every filter_unseen call to once per rebuild."""
+        hit = self._payload_cache.get(version)
+        if hit is not None:
+            return hit
+        bloom_df = self.load(spark, version)
+        total_bits = bloom_df.agg(F.sum("n_bits")).first()[0] or 0
+        payload = None
+        if total_bits // 8 <= self.BROADCAST_MAX_BYTES:
+            payload = {
+                int(r["partition_id"]): (
+                    bytes(r["bits"]), int(r["n_bits"]), int(r["n_hashes"])
+                )
+                for r in bloom_df.collect()
+            }
+        self._payload_cache = {version: (total_bits, payload)}
+        return total_bits, payload
+
     def _prune(self, keep_from: int) -> None:
         import os
         import shutil
@@ -459,6 +491,7 @@ class BloomTable:
         )
         self._write_meta(version)
         self._prune(version - 1)
+        self._payload_cache.clear()
 
     def update(
         self, spark: SparkSession, from_version: int, delta: DataFrame,
@@ -508,6 +541,7 @@ class BloomTable:
         )
         self._write_meta(version)
         self._prune(version - 1)
+        self._payload_cache.clear()
 
     # -- query ---------------------------------------------------------------
     # total bitset bytes up to which the flag stage broadcasts the bitsets
@@ -555,15 +589,14 @@ class BloomTable:
         spark = candidates.sparkSession
         if deleted is None:
             deleted = self.deleted
-        bloom_df = self.load(spark, version)
         cuckoo_payload = (
             (deleted.to_bytes(), deleted.n_buckets)
             if deleted is not None
             else None
         )
 
+        total_bits, payload = self._broadcast_payload(spark, version)
         if strategy == "auto":
-            total_bits = bloom_df.agg(F.sum("n_bits")).first()[0] or 0
             strategy = (
                 "broadcast"
                 if total_bits // 8 <= self.BROADCAST_MAX_BYTES
@@ -571,12 +604,22 @@ class BloomTable:
             )
 
         if strategy == "broadcast":
+            if payload is None:
+                # explicit strategy override past the gate: collect
+                # uncached (the gate exists precisely so auto never does)
+                payload = {
+                    int(r["partition_id"]): (
+                        bytes(r["bits"]), int(r["n_bits"]), int(r["n_hashes"])
+                    )
+                    for r in self.load(spark, version).collect()
+                }
             flagged = self._flag_broadcast(
-                spark, candidates, bloom_df, cuckoo_payload, hash_col
+                spark, candidates, payload, cuckoo_payload, hash_col
             )
         elif strategy == "cogroup":
             flagged = self._flag_cogroup(
-                spark, candidates, bloom_df, cuckoo_payload, hash_col
+                spark, candidates, self.load(spark, version),
+                cuckoo_payload, hash_col,
             )
         else:
             raise ValueError(f"unknown strategy {strategy!r}")
@@ -659,18 +702,13 @@ class BloomTable:
         )
 
     def _flag_broadcast(
-        self, spark, candidates, bloom_df, cuckoo_payload, hash_col
+        self, spark, candidates, payload, cuckoo_payload, hash_col
     ) -> DataFrame:
         """Broadcast the (bounded) bitsets; flag map-side — no candidate
-        shuffle. The collect here is gated by BROADCAST_MAX_BYTES."""
+        shuffle. ``payload`` arrives pre-collected (and version-cached) from
+        :meth:`_broadcast_payload`, gated by BROADCAST_MAX_BYTES."""
         from pyspark.sql.functions import pandas_udf
 
-        payload = {
-            int(r["partition_id"]): (
-                bytes(r["bits"]), int(r["n_bits"]), int(r["n_hashes"])
-            )
-            for r in bloom_df.collect()
-        }
         bc = spark.sparkContext.broadcast((payload, cuckoo_payload))
         P = self.n_partitions
 
