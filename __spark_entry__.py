@@ -51,9 +51,29 @@ def _scratch_dir(tag: str, sf_dir: str) -> str:
     import tempfile
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_{tag}_{key}_{os.getpid()}"
-    )
+    tmp = tempfile.gettempdir()
+    # sweep siblings left by DEAD processes: atexit never runs on
+    # SIGKILL/OOM, and each process only rmtree's its own pid-suffixed
+    # path — without this, every killed harness run would strand one
+    # copy forever and the disk bound would silently regress to
+    # one-copy-per-kill
+    prefix = f"spark_graft_{tag}_{key}_"
+    try:
+        for name in os.listdir(tmp):
+            if not name.startswith(prefix):
+                continue
+            pid_s = name[len(prefix):]
+            if not pid_s.isdigit() or int(pid_s) == os.getpid():
+                continue
+            try:
+                os.kill(int(pid_s), 0)  # liveness probe only
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+            except OSError:
+                pass  # alive (EPERM) or unprobeable: leave it
+    except OSError:
+        pass
+    d = os.path.join(tmp, prefix + str(os.getpid()))
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
     atexit.register(shutil.rmtree, d, ignore_errors=True)

@@ -316,6 +316,14 @@ class BloomTable:
     # hashes ≈ 16 MB of cuckoo, comfortably broadcastable.
     REVOKED_DRIVER_MAX = 1_000_000
 
+    @property
+    def n_revoked_driver(self) -> int:
+        """Hashes already held by the driver cuckoo — callers gating a new
+        wave against ``REVOKED_DRIVER_MAX`` must add this (the gate in
+        :meth:`mark_deleted` is cumulative, so a per-wave check alone
+        would pass a second wave that the method then rejects)."""
+        return len(self._deleted_hashes)
+
     def mark_deleted(self, hashes: np.ndarray) -> None:
         """Record hashes whose 'seen' status is revoked (re-crawl).
 
@@ -445,14 +453,22 @@ class BloomTable:
         total_bits = bloom_df.agg(F.sum("n_bits")).first()[0] or 0
         payload = None
         if total_bits // 8 <= self.BROADCAST_MAX_BYTES:
-            payload = {
-                int(r["partition_id"]): (
-                    bytes(r["bits"]), int(r["n_bits"]), int(r["n_hashes"])
-                )
-                for r in bloom_df.collect()
-            }
+            payload = self._collect_payload(bloom_df)
         self._payload_cache = {version: (total_bits, payload)}
         return total_bits, payload
+
+    @staticmethod
+    def _collect_payload(bloom_df: DataFrame) -> dict:
+        """Collect the bitset table into the broadcastable
+        ``{pid: (bits, n_bits, n_hashes)}`` shape — the ONE place the
+        payload layout is defined (cached path and explicit-broadcast
+        override both call it)."""
+        return {
+            int(r["partition_id"]): (
+                bytes(r["bits"]), int(r["n_bits"]), int(r["n_hashes"])
+            )
+            for r in bloom_df.collect()
+        }
 
     def _prune(self, keep_from: int) -> None:
         import os
@@ -595,24 +611,26 @@ class BloomTable:
             else None
         )
 
-        total_bits, payload = self._broadcast_payload(spark, version)
+        # payload is resolved only on the branches that consume it: an
+        # explicit strategy="cogroup" call (rounds.py passes
+        # pick_strategy(seen_count) precisely to skip per-round driver
+        # jobs) must not pay the n_bits metadata agg, let alone pin an
+        # unused <=64MB bitset collect in the payload cache
         if strategy == "auto":
+            total_bits, payload = self._broadcast_payload(spark, version)
             strategy = (
                 "broadcast"
                 if total_bits // 8 <= self.BROADCAST_MAX_BYTES
                 else "cogroup"
             )
+        elif strategy == "broadcast":
+            _, payload = self._broadcast_payload(spark, version)
 
         if strategy == "broadcast":
             if payload is None:
                 # explicit strategy override past the gate: collect
                 # uncached (the gate exists precisely so auto never does)
-                payload = {
-                    int(r["partition_id"]): (
-                        bytes(r["bits"]), int(r["n_bits"]), int(r["n_hashes"])
-                    )
-                    for r in self.load(spark, version).collect()
-                }
+                payload = self._collect_payload(self.load(spark, version))
             flagged = self._flag_broadcast(
                 spark, candidates, payload, cuckoo_payload, hash_col
             )

@@ -1476,7 +1476,15 @@ class CrawlEngine:
             n_rc = recrawl_hashes.count()
             if frontier_rows is not None:
                 frontier_rows += n_rc
-            if n_rc <= BloomTable.REVOKED_DRIVER_MAX:
+            # gate CUMULATIVELY: the cuckoo keeps prior waves (a second
+            # run(recrawl=...) on the same engine adds to it), and
+            # mark_deleted raises past the combined total — a per-wave
+            # check would crash that second run instead of falling back
+            # to the sidecar branch below
+            if (
+                n_rc + self.bloom_table.n_revoked_driver
+                <= BloomTable.REVOKED_DRIVER_MAX
+            ):
                 _rc = [r["url_hash"] for r in recrawl_hashes.collect()]
                 self.bloom_table.mark_deleted(np.array(_rc, dtype=np.int64))
             else:

@@ -168,6 +168,12 @@ def test_url_seen_set_parity(engine_result, oracle, site, spark):
     assert engine_result.url_seen.count() == len(got)
     record_seen = {u for u in got if "/search" not in u}
     assert record_seen == oracle.url_seen
-    assert got - record_seen == {
-        u for u in pages if "/search" in u and u in got
+    # the search-page complement must equal the pagination pages the
+    # ORACLE's sequential replay fetched — an independent source (the
+    # previous comparison against a filter of `got` itself was a
+    # tautology that an engine tracking zero search pages also passed)
+    oracle_search = {
+        u for u in oracle.fetches if "/search" in u and u in pages
     }
+    assert got - record_seen == oracle_search
+    assert oracle_search  # non-vacuous: the spec generates pagination

@@ -129,6 +129,44 @@ def test_selective_recrawl_distributed_sidecar(spark, tmp_path, monkeypatch):
     assert third.records.count() == second.records.count()
 
 
+def test_second_wave_over_cumulative_gate_takes_sidecar(
+    spark, tmp_path, monkeypatch
+):
+    """Two recrawl waves on the SAME engine, each under the per-wave gate
+    but over it combined: the engine must gate cumulatively (the cuckoo
+    keeps wave 1) and route wave 2 to the distributed sidecar instead of
+    crashing on mark_deleted's cumulative ValueError."""
+    import os
+
+    from crawler_spark.operators.seen import BloomTable
+
+    monkeypatch.setattr(BloomTable, "REVOKED_DRIVER_MAX", 3)
+    site = generate_site(SPEC)
+    sdfs = site_to_spark(spark, site)
+    ck = str(tmp_path / "ckcum")
+    n_first = _engine(spark, sdfs, ck).run().records.count()
+
+    eng = _engine(spark, sdfs, ck)
+    wave_a = spark.createDataFrame(RECRAWL, "url string, connector_id string")
+    second = eng.run(recrawl=wave_a)
+    assert second.records.count() == n_first + len(RECRAWL)
+    assert eng.bloom_table.n_revoked_driver == len(RECRAWL)  # cuckoo path
+
+    wave_b = spark.createDataFrame(
+        [
+            ("http://h0.example.test/record/1", "c0"),
+            ("http://h1.example.test/record/4", "c1"),
+        ],
+        "url string, connector_id string",
+    )
+    third = eng.run(recrawl=wave_b)  # 2 + 2 > 3: must NOT raise
+    assert third.records.count() == n_first + len(RECRAWL) + 2
+    # wave 2 went distributed; wave 1 stays in the driver cuckoo
+    assert eng.bloom_table.n_revoked_driver == len(RECRAWL)
+    assert eng.bloom_table.revoked_df is not None
+    assert os.path.isdir(os.path.join(ck, "_revoked_sidecar"))
+
+
 def test_mark_deleted_raises_over_gate(tmp_path, monkeypatch):
     import numpy as np
 

@@ -175,6 +175,30 @@ def test_result_cap_compiles_to_take_ordered(spark):
         assert "TakeOrderedAndProject" in plan, q
 
 
+def test_scratch_dir_sweeps_dead_pid_leftovers(tmp_path, monkeypatch):
+    """_scratch_dir reclaims siblings stranded by SIGKILLed harness runs
+    (their atexit never ran) while leaving live-pid siblings alone."""
+    import hashlib
+    import os
+    import subprocess
+    import tempfile
+
+    import __spark_entry__ as entry_mod
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    p = subprocess.Popen(["true"])
+    p.wait()  # reaped: p.pid is now a dead pid
+    key = hashlib.md5(b"/root/testdata/sfX").hexdigest()[:8]
+    stale = tmp_path / f"spark_graft_t_{key}_{p.pid}"
+    stale.mkdir()
+    live = tmp_path / f"spark_graft_t_{key}_1"  # pid 1 is always alive
+    live.mkdir()
+    d = entry_mod._scratch_dir("t", "/root/testdata/sfX")
+    assert not stale.exists()
+    assert live.exists()
+    assert os.path.isdir(d)
+
+
 def test_decontaminate_broadcasts_benchmark(spark):
     """The benchmark gram set must BROADCAST (map-side probe); a
     sort-merge join would shuffle the full corpus gram table."""
@@ -231,6 +255,16 @@ def test_bloom_table_filter_strategies(spark, tmp_path):
     plan2 = _executed_plan(out2)
     assert "FlatMapCoGroupsInPandas" in plan2
     assert {r["url_hash"] for r in out2.collect()} == want
+
+    # an EXPLICIT cogroup call (rounds.py passes pick_strategy() precisely
+    # to skip per-round driver jobs) must not run the broadcast-payload
+    # metadata agg, let alone pin a bitset collect it never reads
+    bt2 = BloomTable.adopt(str(tmp_path / "b"))
+    out3 = bt2.filter_unseen(
+        cands, seen, version=0, cache_registry=[], strategy="cogroup"
+    )
+    assert {r["url_hash"] for r in out3.collect()} == want
+    assert bt2._payload_cache == {}
 
 
 def test_politeness_broadcast_gate_both_sides(spark):
