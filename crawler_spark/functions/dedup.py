@@ -745,13 +745,13 @@ def simhash_near_pairs(
 CC_DRIVER_MAX_EDGES = 200_000
 
 
-def _driver_components(spark, e: DataFrame, n_edges: int) -> DataFrame:
+def _driver_components(spark, e: DataFrame) -> DataFrame:
     """Small-graph fast path for :func:`connected_components`: ``e`` is the
-    already-distinct (u, v) edge set, pre-counted at ``n_edges`` ≤ the gate.
-    Union-find with path halving; component label = smallest member id,
-    matching the star loop's contract exactly. O(E α(E)) driver time on a
-    single bounded collect (one job — toLocalIterator would run one
-    sequential job per shuffle partition for a frame this small)."""
+    already-distinct (u, v) edge set, probed ≤ the gate by the caller.
+    Union-find with full path compression; component label = smallest
+    member id, matching the star loop's contract exactly. O(E α(E)) driver
+    time on a single bounded collect (one job — toLocalIterator would run
+    one sequential job per shuffle partition for a frame this small)."""
     parent: dict = {}
 
     def find(x):
@@ -775,11 +775,22 @@ def _driver_components(spark, e: DataFrame, n_edges: int) -> DataFrame:
             parent[rv] = ru
     rows = [(node, find(node)) for node in parent]
     # nullable=True matches the distributed path's schema exactly (its
-    # union/join output is nullable), keeping the gate invisible to callers
+    # union/join output is nullable), keeping the gate invisible to
+    # callers. BOTH output columns draw values from BOTH input columns
+    # (every node appears as id; any node can be a component root), so the
+    # field type is the u∪v common type — exactly what the star loop's
+    # members.union(roots) would widen to (e.g. int edges joined to bigint
+    # edges must not emit an int 'id' field holding bigint-origin nodes).
+    common = (
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .schema[0]
+        .dataType
+    )
     out_schema = T.StructType(
         [
-            T.StructField("id", e.schema[0].dataType, True),
-            T.StructField("component", e.schema[1].dataType, True),
+            T.StructField("id", common, True),
+            T.StructField("component", common, True),
         ]
     )
     df = spark.createDataFrame(rows, schema=out_schema)
@@ -872,9 +883,12 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_edges = e.count()
-    if n_edges <= driver_max_edges:
-        return _driver_components(edges.sparkSession, e, n_edges)
+    # bounded gate probe: limit(max+1).count() early-terminates once the
+    # limit is hit, instead of a full count the scale path would then
+    # recompute inside _sig anyway
+    probe = e.limit(driver_max_edges + 1).count()
+    if probe <= driver_max_edges:
+        return _driver_components(edges.sparkSession, e)
     sig_prev = _sig(e)
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)

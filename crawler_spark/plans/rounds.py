@@ -690,15 +690,46 @@ class CrawlEngine:
         extraction is a JVM regexp over the already-scanned bytes; only
         pages WITH a differing declaration produce rows (typically a small
         fraction of the batch), so the sidecar is O(aliased pages), never
-        O(frontier)."""
-        from crawler_spark.operators.redirects import extract_rel_canonical
+        O(frontier).
 
+        BOTH alias sources — rel=canonical hrefs here and 3xx landings
+        below — canonicalize the target with the row's OWN connector
+        drop_params (the set extract_links applied to this connector's
+        discovered URLs): an alias target carrying a dropped param (e.g.
+        ?width=5 under drop_params={'width'}) would otherwise be stored
+        under a different xxhash64 seen-key than its link-discovered form
+        and the collapse would miss, re-fetching the resource."""
+        from crawler_spark.functions.canonicalize import (
+            canonicalize_urls_by_connector_udf,
+            canonicalize_urls_udf,
+            rel_canonical_href,
+        )
+
+        per_conn = bool(self.connectors) and "connector_id" in ok.columns
+        if per_conn:
+            _canon_by_conn = canonicalize_urls_by_connector_udf(
+                {cid: c.drop_params for cid, c in self.connectors.items()}
+            )
+
+            def canon_col(target, base):
+                return _canon_by_conn(target, base, F.col("connector_id"))
+
+        else:
+            _canon_default = canonicalize_urls_udf(frozenset())
+
+            def canon_col(target, base):
+                return _canon_default(target, base)
+
+        html = F.col("body")
+        if dict(ok.dtypes).get("body") == "binary":
+            html = F.decode(html, "UTF-8")
         aliases = (
-            extract_rel_canonical(
-                ok.select("url", "body"),
-                html_col="body",
-                url_col="url",
-                out_col="__canon",
+            ok.select(
+                "url", "body",
+                *(["connector_id"] if per_conn else []),
+            )
+            .withColumn(
+                "__canon", canon_col(rel_canonical_href(html), F.col("url"))
             )
             .where(
                 F.col("__canon").isNotNull()
@@ -718,44 +749,22 @@ class CrawlEngine:
             # rel=canonical row (the deeper target; also makes the
             # freshest-per-url read deterministic within a round).
             # The landing URL is canonicalized like every other alias
-            # target: a Location header can carry an uppercase host, a
-            # default port, or dot-segments, and storing it raw would give
-            # the same resource a different xxhash64 seen-key than its
-            # link-discovered form (round-4 ADVICE). Canonicalization uses
-            # the row's OWN connector drop_params — the set extract_links
-            # applied to this connector's discovered URLs — otherwise a
-            # Location carrying a dropped param (e.g. ?width=5 under
-            # drop_params={'width'}) would store an alias keyed differently
-            # from the link-discovered form and re-fetch the resource.
-            from crawler_spark.functions.canonicalize import (
-                canonicalize_urls_by_connector_udf,
-                canonicalize_urls_udf,
-            )
-
+            # target (same per-connector canon_col as the rel=canonical
+            # rows above): a Location header can carry an uppercase host,
+            # a default port, dot-segments, or a connector-dropped param,
+            # and storing it raw would give the same resource a different
+            # xxhash64 seen-key than its link-discovered form (round-4
+            # ADVICE).
             landed = ok.where(
                 F.col("final_url").isNotNull()
                 & (F.col("final_url") != F.col("url"))
             )
-            if self.connectors and "connector_id" in ok.columns:
-                _canon_by_conn = canonicalize_urls_by_connector_udf(
-                    {
-                        cid: c.drop_params
-                        for cid, c in self.connectors.items()
-                    }
-                )
-                canon_col = _canon_by_conn(
-                    F.col("final_url"),
-                    F.col("url"),
-                    F.col("connector_id"),
-                )
-            else:
-                canon_col = canonicalize_urls_udf(frozenset())(
-                    F.col("final_url"), F.col("url")
-                )
             redirects = (
                 landed.select(
                     "url",
-                    canon_col.alias("canonical"),
+                    canon_col(
+                        F.col("final_url"), F.col("url")
+                    ).alias("canonical"),
                     F.lit(int(round_no)).alias("updated_round"),
                 )
                 .where(

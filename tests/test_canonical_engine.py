@@ -170,6 +170,48 @@ def test_e2e_alias_rewrite_suppresses_alias_fetch(spark, tmp_path):
     assert got == set(base_urls) - {alias_url}
 
 
+def test_rel_canonical_uses_connector_drop_params(spark, tmp_path):
+    """A rel=canonical target carrying a connector-dropped param must be
+    stored canonicalized with that row's OWN connector drop_params — the
+    same rule 3xx landings follow — so the alias keys match the
+    link-discovered form's seen-key instead of re-fetching the resource."""
+    from crawler_spark.operators.extract import ConnectorConfig
+
+    site = generate_site(SiteSpec(n_hosts=2, details_per_host=12, limit=4))
+    sdfs = site_to_spark(spark, site)
+    eng = CrawlEngine(
+        spark,
+        sdfs["pages"],
+        sdfs["seeds"],
+        sdfs["politeness"],
+        EngineConfig(ckpt_dir=str(tmp_path / "ck"), canonical_collapse=True),
+        connectors={
+            "c0": ConnectorConfig(
+                connector_id="c0", drop_params=frozenset({"width"})
+            ),
+            "c1": ConnectorConfig(connector_id="c1"),
+        },
+    )
+    ok = spark.createDataFrame(
+        [
+            ("http://s.test/a", bytearray(_canon("/img?width=5").encode()),
+             "c0"),
+            ("http://s.test/b", bytearray(_canon("/img?width=5").encode()),
+             "c1"),
+        ],
+        "url string, body binary, connector_id string",
+    )
+    eng._alias_update(ok, 1)
+    got = {
+        r["url"]: r["canonical_final"]
+        for r in eng._load_alias_map().collect()
+    }
+    assert got == {
+        "http://s.test/a": "http://s.test/img",  # width dropped for c0
+        "http://s.test/b": "http://s.test/img?width=5",  # kept for c1
+    }
+
+
 def test_alias_update_learns_redirect_landings(spark, tmp_path):
     eng = _engine(spark, tmp_path, canonical_collapse=True)
     ok = spark.createDataFrame(

@@ -523,6 +523,18 @@ def test_connected_components_driver_gate_schema_parity(spark):
     assert sorted(map(tuple, fast.collect())) == sorted(
         map(tuple, slow.collect())
     )
+    # mixed src/dst dtypes: both output columns draw values from BOTH
+    # input columns, so the driver path must widen to the u∪v common type
+    # exactly like the star loop's members.union(roots) does
+    mixed = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a int, id_b long"
+    )
+    fast_m = connected_components(mixed)
+    slow_m = connected_components(mixed, driver_max_edges=0)
+    assert fast_m.schema == slow_m.schema
+    assert sorted(map(tuple, fast_m.collect())) == sorted(
+        map(tuple, slow_m.collect())
+    )
 
 
 def test_near_dup_clusters_keep_one(spark):
