@@ -4,7 +4,7 @@ Every entry in ``queries()`` exercises one operator family from
 ``SURVEY.md §2`` (the ✦-marked inventory) through the *engine's own
 modules* (``crawler_spark.*``), over the driver-generated synthetic
 tables at ``sf_dir``. ``oracle_sql()`` holds the DuckDB-equivalent ANSI
-SQL for EVERY key (78/78): hash-dependent pipelines run md5 variants both
+SQL for EVERY key (89/89): hash-dependent pipelines run md5 variants both
 engines compute identically (MinHash/SimHash), approximate searches run
 at deterministic or provably-exact anchors (coordinate-sign LSH; IVF at
 nprobe == n_cells), and the iterative crawl loop is checked against a
@@ -33,6 +33,79 @@ _GOLDEN_PARQUET = os.path.join(
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _size_adaptive_sample(docs, hi_mod: int, lo_mod: int = 1):
+    """Verification-cost sampling CONTRACT shared with the DuckDB oracles
+    (each hardcodes ``CASE WHEN count(*) >= 2000 THEN hi ELSE lo``): keep
+    doc_ids ≡ 0 (mod ``hi_mod``) when the documents table has ≥2000 rows,
+    else (mod ``lo_mod``). One Python definition pins the threshold and
+    moduli the five verification-heavy dedup oracles re-state in SQL."""
+    mod = hi_mod if docs.count() >= 2000 else lo_mod
+    return docs.where(F.col("doc_id") % mod == 0)
+
+
+def _field_values(lbl: str):
+    """``values`` array of the FIRST field struct whose label == ``lbl``
+    over the extractor's ``fields array<struct<label,values>>`` output —
+    the one struct-lookup definition shared by the S3/S4/S5 scan queries
+    (each oracle re-states it in SQL; one Python definition keeps its
+    null/ordering semantics from diverging per query)."""
+    return F.try_element_at(
+        F.filter(F.col("fields"), lambda f: f.getField("label") == lbl),
+        F.lit(1),
+    ).getField("values")
+
+
+def _field_value(lbl: str):
+    """First value of the first ``lbl``-labelled field (NULL-safe at both
+    hops) — see :func:`_field_values`."""
+    return F.try_element_at(_field_values(lbl), F.lit(1))
+
+
+def _boiler_html():
+    """The ONE synthetic boilerplate-page construction (nav + script +
+    comment + link farm + kept prose blocks over columns ``doc_id``,
+    ``text``), shared by `text_boilerplate` and `pipeline_webtext` — their
+    DuckDB oracles re-state it in SQL, so all four sites must move in
+    lockstep; keeping the Python pair as one definition halves the ways a
+    tweak can silently desynchronize a query from its oracle twin."""
+    ks = F.col("doc_id").cast("string")
+    farm = F.concat(
+        F.lit('<div><a href="/t/1">tag one '),
+        ks,
+        F.lit('</a> <a href="/t/2">tag two '),
+        ks,
+        F.lit('</a> <a href="/t/3">tag three '),
+        ks,
+        F.lit("</a></div>"),
+    )
+    return F.concat(
+        F.lit('<nav><a href="/">Home</a> <a href="/a">About</a></nav>'),
+        F.lit("<script>var x = 'boilerplate noise that must vanish';"
+              "</script>"),
+        F.lit("<!-- comment long enough to pass the length bar -->"),
+        farm,
+        F.lit("<p>Warp &amp; weft &quot;figured&quot; velvet block kept "
+              "for doc "),
+        ks,
+        F.lit(" of this corpus</p><p>"),
+        F.col("text"),
+        F.lit("</p>"),
+    )
+
+
+def _atomic_write(path: str, content: str) -> None:
+    """Write-then-os.replace so concurrent harness processes (selfcheck +
+    bench — the same scenario _scratch_dir pid-suffixes for) never observe
+    a truncated fixture mid-rewrite: a plain open('w') truncates first,
+    and a reader racing that window sees an empty/partial file and fails
+    parity spuriously. Readers always see a complete before-or-after
+    version; last writer wins."""
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "w") as fh:
+        fh.write(content)
+    os.replace(tmp, path)
 
 
 def _scratch_dir(tag: str, sf_dir: str) -> str:
@@ -69,8 +142,12 @@ def _scratch_dir(tag: str, sf_dir: str) -> str:
                 os.kill(int(pid_s), 0)  # liveness probe only
             except ProcessLookupError:
                 shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
-            except OSError:
-                pass  # alive (EPERM) or unprobeable: leave it
+            except (OSError, OverflowError):
+                # alive (EPERM), unprobeable, or a digit suffix past the
+                # C pid range (any process can drop names in /tmp — an
+                # uncaught OverflowError here would abort every scratch
+                # query): leave it
+                pass
     except OSError:
         pass
     d = os.path.join(tmp, prefix + str(os.getpid()))
@@ -559,13 +636,7 @@ def _s4_msearch_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("jc").alias("connector_id"),
     )
     recs = details.mapInPandas(extract_records_batch_for(cfg), RECORD_OUT_SCHEMA)
-    field_val = lambda lbl: F.try_element_at(
-        F.try_element_at(
-            F.filter(F.col("fields"), lambda f: f.getField("label") == lbl),
-            F.lit(1),
-        ).getField("values"),
-        F.lit(1),
-    )
+    field_val = _field_value
     r = recs.select(
         F.regexp_extract("url", r"/notice/7\.1\.(\d+)", 1)
         .cast("long").alias("doc_id"),
@@ -651,13 +722,7 @@ def _s5_graphql_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("pm").alias("connector_id"),
     )
     recs = details.mapInPandas(extract_records_batch_for(cfg), RECORD_OUT_SCHEMA)
-    field_val = lambda lbl: F.try_element_at(
-        F.try_element_at(
-            F.filter(F.col("fields"), lambda f: f.getField("label") == lbl),
-            F.lit(1),
-        ).getField("values"),
-        F.lit(1),
-    )
+    field_val = _field_value
     r = recs.select(
         F.col("record_id").cast("long").alias("doc_id"),
         field_val("title").alias("title"),
@@ -1023,8 +1088,7 @@ def _dedup_substring_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_spark.functions.dedup import substring_repeats
 
     docs = _t(spark, sf_dir, "documents")
-    mod = 4 if docs.count() >= 2000 else 1
-    docs = docs.where(F.col("doc_id") % mod == 0)
+    docs = _size_adaptive_sample(docs, 4)
     return substring_repeats(docs, min_len=50)
 
 
@@ -1070,8 +1134,7 @@ def _dedup_cluster_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    mod = 4 if docs.count() >= 2000 else 1
-    docs = docs.where(F.col("doc_id") % mod == 0)
+    docs = _size_adaptive_sample(docs, 4)
     pairs = ngram_jaccard_pairs(
         docs, block_cols=["source"], threshold=0.62, n=3,
         id_col="doc_id", text_col="text",
@@ -1097,8 +1160,7 @@ def _dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    mod = 4 if docs.count() >= 2000 else 1
-    docs = docs.where(F.col("doc_id") % mod == 0)
+    docs = _size_adaptive_sample(docs, 4)
     docs = docs.select(
         "doc_id", "source", "text",
         ((F.col("doc_id") * 7) % 13).alias("quality"),
@@ -1157,8 +1219,7 @@ def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_spark.functions.dedup import minhash_lsh_pairs_md5
 
     docs = _t(spark, sf_dir, "documents")
-    mod = 10 if docs.count() >= 2000 else 2
-    docs = docs.where(F.col("doc_id") % mod == 0)
+    docs = _size_adaptive_sample(docs, 10, 2)
     return minhash_lsh_pairs_md5(
         docs, n_hashes=16, bands=4, shingle_n=4, threshold=0.7
     )
@@ -1176,8 +1237,7 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_spark.functions.dedup import simhash_near_pairs_md5
 
     docs = _t(spark, sf_dir, "documents")
-    mod = 4 if docs.count() >= 2000 else 1
-    docs = docs.where(F.col("doc_id") % mod == 0)
+    docs = _size_adaptive_sample(docs, 4)
     return simhash_near_pairs_md5(docs, max_hamming=6)
 
 
@@ -1394,10 +1454,7 @@ def _s3_json_api_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("vj").alias("connector_id"),
     )
     recs = details.mapInPandas(extract_records_batch_for(cfg), RECORD_OUT_SCHEMA)
-    field_vals = lambda lbl: F.try_element_at(
-        F.filter(F.col("fields"), lambda f: f.getField("label") == lbl),
-        F.lit(1),
-    ).getField("values")
+    field_vals = _field_values
     r = recs.select(
         F.regexp_extract("url", r"/obj/a(\d+)", 1).cast("long").alias("doc_id"),
         F.size("fields").alias("n_fields"),
@@ -1425,14 +1482,16 @@ def _s8_ndjson_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in _t(spark, sf_dir, "region").collect()
     )
     path = "/tmp/crawler_spark_s8.ndjson"
-    with open(path, "w") as fh:
-        for k, name in rows:
-            fh.write(
-                _json.dumps(
-                    {"r_regionkey": k,
-                     "meta": {"name": name, "name_len": len(name)}}
-                ) + "\n"
-            )
+    _atomic_write(
+        path,
+        "".join(
+            _json.dumps(
+                {"r_regionkey": k,
+                 "meta": {"name": name, "name_len": len(name)}}
+            ) + "\n"
+            for k, name in rows
+        ),
+    )
     df = spark.read.schema(
         "r_regionkey long, meta struct<name:string,name_len:long>"
     ).json(path)
@@ -1452,10 +1511,11 @@ def _s9_tsv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in _t(spark, sf_dir, "nation").collect()
     )
     path = "/tmp/crawler_spark_s9.tsv"
-    with open(path, "w") as fh:
-        fh.write("n_nationkey\tn_name\tn_regionkey\n")
-        for k, name, rk in rows:
-            fh.write(f"{k}\t{name}\t{rk}\n")
+    _atomic_write(
+        path,
+        "n_nationkey\tn_name\tn_regionkey\n"
+        + "".join(f"{k}\t{name}\t{rk}\n" for k, name, rk in rows),
+    )
     return (
         spark.read.option("sep", "\t")
         .option("header", "true")
@@ -2295,30 +2355,7 @@ def _text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     k = F.col("doc_id")
-    ks = k.cast("string")
-    farm = F.concat(
-        F.lit('<div><a href="/t/1">tag one '),
-        ks,
-        F.lit('</a> <a href="/t/2">tag two '),
-        ks,
-        F.lit('</a> <a href="/t/3">tag three '),
-        ks,
-        F.lit("</a></div>"),
-    )
-    html = F.concat(
-        F.lit('<nav><a href="/">Home</a> <a href="/a">About</a></nav>'),
-        F.lit("<script>var x = 'boilerplate noise that must vanish';"
-              "</script>"),
-        F.lit("<!-- comment long enough to pass the length bar -->"),
-        farm,
-        F.lit("<p>Warp &amp; weft &quot;figured&quot; velvet block kept "
-              "for doc "),
-        ks,
-        F.lit(" of this corpus</p><p>"),
-        F.col("text"),
-        F.lit("</p>"),
-    )
-    pages = docs.select(k.alias("doc_id"), html.alias("html"))
+    pages = docs.select(k.alias("doc_id"), _boiler_html().alias("html"))
     out = boilerplate_report(pages, html_col="html")
     return out.select(
         "doc_id",
@@ -2382,28 +2419,7 @@ def _pipeline_webtext(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     k = F.col("doc_id")
     ks = k.cast("string")
-    farm = F.concat(
-        F.lit('<div><a href="/t/1">tag one '),
-        ks,
-        F.lit('</a> <a href="/t/2">tag two '),
-        ks,
-        F.lit('</a> <a href="/t/3">tag three '),
-        ks,
-        F.lit("</a></div>"),
-    )
-    html = F.concat(
-        F.lit('<nav><a href="/">Home</a> <a href="/a">About</a></nav>'),
-        F.lit("<script>var x = 'boilerplate noise that must vanish';"
-              "</script>"),
-        F.lit("<!-- comment long enough to pass the length bar -->"),
-        farm,
-        F.lit("<p>Warp &amp; weft &quot;figured&quot; velvet block kept "
-              "for doc "),
-        ks,
-        F.lit(" of this corpus</p><p>"),
-        F.col("text"),
-        F.lit("</p>"),
-    )
+    html = _boiler_html()
     pages = docs.select(
         F.concat(
             F.lit("http://w"),
