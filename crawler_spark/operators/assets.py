@@ -35,21 +35,34 @@ def image_targets(records: DataFrame) -> DataFrame:
     """records → one row per (record, image index): url + local filename.
 
     ``posexplode`` preserves the in-record image order that names files
-    ``<id>_<index>.jpg`` (A5).
+    ``<id>_<index>.jpg`` (A5). When the records carry a ``connector_id``,
+    filenames are namespaced ``<connector_id>/<id>_<index>.jpg`` — the
+    reference writes each museum's downloads into its own directory
+    (base.js:124-138), and a flat namespace would let two connectors'
+    records with the same id collide on filename, where the within-run
+    filename dedup silently discards one record's image.
     """
-    return records.select(
+    has_conn = "connector_id" in records.columns
+    base = records.select(
+        *(["connector_id"] if has_conn else []),
         F.col("id").alias("record_id"),
         F.posexplode("images").alias("img_idx", "img"),
-    ).select(
+    )
+    fname = F.concat(
+        filenamify(F.col("record_id")),
+        F.lit("_"),
+        F.col("img_idx").cast("string"),
+        F.lit(".jpg"),
+    )
+    if has_conn:
+        fname = F.concat(
+            filenamify(F.col("connector_id")), F.lit("/"), fname
+        )
+    return base.select(
         "record_id",
         "img_idx",
         F.col("img.url").alias("url"),
-        F.concat(
-            filenamify(F.col("record_id")),
-            F.lit("_"),
-            F.col("img_idx").cast("string"),
-            F.lit(".jpg"),
-        ).alias("filename"),
+        fname.alias("filename"),
     )
 
 

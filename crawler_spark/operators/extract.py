@@ -146,6 +146,17 @@ def select(root: Node, selector: str) -> list[Node]:
 # config rows (north_star); this dataclass is the per-connector "program".
 
 
+def _content_keep(cfg: "ConnectorConfig", by_label: dict) -> bool:
+    """P2 content predicate (risd-museum.js:77-87 — keep only records whose
+    configured field contains the substring, e.g. "silk"). The ONE keep
+    rule every detail extractor applies; a semantics change (e.g.
+    case-insensitive label match) must not drift per extractor."""
+    if not (cfg.content_filter_label and cfg.content_filter_substr):
+        return True
+    vals = by_label.get(cfg.content_filter_label, [])
+    return any(cfg.content_filter_substr in v.lower() for v in vals)
+
+
 @dataclass(frozen=True)
 class SecondaryFetch:
     """One typed secondary-fetch hop (gallica.js:83-148).
@@ -360,7 +371,11 @@ def extract_search_json(
         )
         if u:
             urls.append(u)
-    return (int(total) if isinstance(total, (int, float)) else None), urls
+    return (
+        int(total)
+        if isinstance(total, (int, float)) and not isinstance(total, bool)
+        else None
+    ), urls
 
 
 def extract_detail_json(
@@ -440,10 +455,7 @@ def extract_detail_json(
         if u:
             related.append(u)
 
-    keep = True
-    if cfg.content_filter_label and cfg.content_filter_substr:
-        vals = by_label.get(cfg.content_filter_label, [])
-        keep = any(cfg.content_filter_substr in v.lower() for v in vals)
+    keep = _content_keep(cfg, by_label)
 
     return {
         "title": title,
@@ -553,11 +565,7 @@ def extract_detail(
         if u:
             related.append(u)
 
-    keep = True
-    if cfg.content_filter_label and cfg.content_filter_substr:
-        # risd-museum.js:77-87 — keep only records whose field contains "silk"
-        vals = by_label.get(cfg.content_filter_label, [])
-        keep = any(cfg.content_filter_substr in v.lower() for v in vals)
+    keep = _content_keep(cfg, by_label)
 
     return {
         "title": title,
@@ -758,7 +766,9 @@ def _msearch_hits(data: dict) -> tuple[int | None, list[dict]]:
         if isinstance(h, dict) and isinstance(h.get("_source"), dict)
     ]
     return (
-        int(total) if isinstance(total, (int, float)) else None
+        int(total)
+        if isinstance(total, (int, float)) and not isinstance(total, bool)
+        else None
     ), sources
 
 
@@ -898,10 +908,7 @@ def extract_detail_es_msearch(
             if u and u not in related:
                 related.append(u)
 
-    keep = True
-    if cfg.content_filter_label and cfg.content_filter_substr:
-        vals = by_label.get(cfg.content_filter_label, [])
-        keep = any(cfg.content_filter_substr in v.lower() for v in vals)
+    keep = _content_keep(cfg, by_label)
 
     return {
         "title": title,
@@ -947,7 +954,9 @@ def _graphql_entities(data: dict) -> tuple[int | None, list[dict]]:
         if isinstance(e, dict)
     ]
     return (
-        int(total) if isinstance(total, (int, float)) else None
+        int(total)
+        if isinstance(total, (int, float)) and not isinstance(total, bool)
+        else None
     ), entities
 
 
@@ -1030,14 +1039,13 @@ def extract_detail_graphql(
 
     related: list[str] = []
     for href in ent.get("related", []) or []:
+        if not isinstance(href, str):
+            continue  # same guard as the json/search extractors
         u = canonicalize_url(href, base_url, cfg.drop_params)
         if u:
             related.append(u)
 
-    keep = True
-    if cfg.content_filter_label and cfg.content_filter_substr:
-        vals = by_label.get(cfg.content_filter_label, [])
-        keep = any(cfg.content_filter_substr in v.lower() for v in vals)
+    keep = _content_keep(cfg, by_label)
 
     return {
         "title": title,

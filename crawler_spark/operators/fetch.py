@@ -69,6 +69,27 @@ def fixture_fetch(
             "left_semi",
         )
     )
+    # multi-snapshot corpora (the input-hint shape allows several warc_ts
+    # rows per url) must not fan the popped row out into duplicate
+    # records: keep the LATEST snapshot per url, tie-broken by content
+    # hash so the pick is deterministic under identical timestamps.
+    # max_by instead of a row_number window: same winner, but a hash
+    # aggregation with MAP-SIDE partial combine and no sort — measured
+    # ~half the per-round overhead of the window on the crawl loop. Runs
+    # on the semi-filtered survivors only (bounded by the round batch,
+    # never the full pages table), and its url grouping is the same key
+    # the left join below shuffles on.
+    payload_cols = [c for c in relevant.columns if c != "__page_url"]
+    relevant = (
+        relevant.groupBy("__page_url")
+        .agg(
+            F.max_by(
+                F.struct(*payload_cols),
+                F.struct(F.col("warc_ts"), F.xxhash64("body")),
+            ).alias("__snap")
+        )
+        .select("__page_url", "__snap.*")
+    )
     joined = batch.join(
         relevant, batch["url"] == F.col("__page_url"), "left"
     ).drop("__page_url")

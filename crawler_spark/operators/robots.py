@@ -101,24 +101,42 @@ def parse_robots(
     flush()
 
     ua = user_agent.lower()
-    best: tuple[int, list[str], list[str], float | None] | None = None
-    for agents, rules, allow, delay in groups:
+
+    def _score(a: str) -> int | None:
+        # prefix match (as documented): 'spark' must NOT capture
+        # 'crawler-spark' the way substring containment did — that made
+        # the crawler obey another bot's group over its own '*' fallback
+        if a == "*":
+            return 0
+        if a and ua.startswith(a):
+            return len(a)
+        return None
+
+    best_score: int | None = None
+    for agents, _rules, _allow, _delay in groups:
         for a in agents:
-            if a == "*":
-                score = 0
-            elif a and a in ua:
-                score = len(a)
-            else:
-                continue
-            if best is None or score > best[0]:
-                best = (score, rules, allow, delay)
-    if best is None:
+            s = _score(a)
+            if s is not None and (best_score is None or s > best_score):
+                best_score = s
+    if best_score is None:
         return {"disallow": [], "allow": [], "crawl_delay_ms": None}
+    # RFC 9309 §2.2.1: ALL groups at the winning specificity combine —
+    # sites routinely ship two 'User-agent: *' sections and taking only
+    # the first silently dropped the later one's Disallow rules
+    out_rules: list[str] = []
+    out_allow: list[str] = []
+    out_delay: float | None = None
+    for agents, rules, allow, delay in groups:
+        if any(_score(a) == best_score for a in agents):
+            out_rules.extend(rules)
+            out_allow.extend(allow)
+            if out_delay is None and delay is not None:
+                out_delay = delay  # first declared delay wins
     return {
-        "disallow": list(best[1]),
-        "allow": list(best[2]),
+        "disallow": out_rules,
+        "allow": out_allow,
         "crawl_delay_ms": (
-            int(best[3] * 1000) if best[3] is not None else None
+            int(out_delay * 1000) if out_delay is not None else None
         ),
     }
 
@@ -148,9 +166,9 @@ def politeness_from_robots(
                 host = host_of(url)
                 if not host:
                     continue
-                parsed = parse_robots(
-                    bytes(body) if body is not None else None, user_agent
-                )
+                # parse_robots accepts str OR bytes — a bytes() wrapper
+                # here crashed on pages tables carrying html as string
+                parsed = parse_robots(body, user_agent)
                 out["host"].append(host)
                 out["crawl_delay_ms"].append(
                     parsed["crawl_delay_ms"]

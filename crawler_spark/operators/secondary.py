@@ -251,9 +251,15 @@ def live_secondary_batch(
     connector-configured enrichment endpoints fetched unconditionally by
     the reference (gallica.js:83-148), like image assets — they are never
     frontier candidates."""
-    batch = wave.withColumn(
-        "host", F.regexp_extract("url", r"https?://([^/]+)", 1)
-    ).withColumn("kind", F.lit("secondary"))
+    from crawler_spark.functions.canonicalize import url_host
+
+    # canonical host key (parse_url HOST, lowercased, port/userinfo
+    # stripped) — a raw authority regexp disagreed with the politeness
+    # table's host for ported/uppercased URLs, missing the delay join and
+    # hammering the host with no delay
+    batch = wave.withColumn("host", url_host(F.col("url"))).withColumn(
+        "kind", F.lit("secondary")
+    )
     if politeness is not None:
         delays = politeness.select(
             F.col("host").alias("__d_host"), F.col("crawl_delay_ms")

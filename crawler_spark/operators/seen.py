@@ -90,8 +90,16 @@ class BloomFilter:
         return self.bits.tobytes()
 
     @classmethod
-    def from_bytes(cls, data: bytes, n_bits: int, n_hashes: int) -> "BloomFilter":
-        return cls(n_bits, n_hashes, np.frombuffer(data, dtype=np.uint8).copy())
+    def from_bytes(
+        cls, data: bytes, n_bits: int, n_hashes: int, writable: bool = True
+    ) -> "BloomFilter":
+        # writable=False returns a zero-copy READONLY view: the flag paths
+        # reconstruct filters per Arrow batch purely for maybe_contains,
+        # and an unconditional .copy() there pays a multi-MB memcpy per
+        # batch for bitsets near the 64 MB broadcast cap (numpy raises if
+        # a write ever sneaks onto the view, so the contract is enforced)
+        buf = np.frombuffer(data, dtype=np.uint8)
+        return cls(n_bits, n_hashes, buf.copy() if writable else buf)
 
 
 class CuckooFilter:
@@ -166,13 +174,16 @@ class CuckooFilter:
         return self.table.tobytes()
 
     @classmethod
-    def from_bytes(cls, data: bytes, n_buckets: int) -> "CuckooFilter":
+    def from_bytes(
+        cls, data: bytes, n_buckets: int, writable: bool = True
+    ) -> "CuckooFilter":
         cf = cls(n_buckets)
-        cf.table = (
-            np.frombuffer(data, dtype=np.uint16)
-            .reshape(n_buckets, cls.SLOTS)
-            .copy()
+        table = np.frombuffer(data, dtype=np.uint16).reshape(
+            n_buckets, cls.SLOTS
         )
+        # see BloomFilter.from_bytes: readonly view for the per-batch
+        # contains_many paths, copy only where the caller mutates
+        cf.table = table.copy() if writable else table
         return cf
 
     def delete(self, h: int) -> bool:
@@ -696,7 +707,8 @@ class BloomTable:
             else:
                 row = bloom_pdf.iloc[0]
                 bf = BloomFilter.from_bytes(
-                    bytes(row["bits"]), int(row["n_bits"]), int(row["n_hashes"])
+                    row["bits"], int(row["n_bits"]), int(row["n_hashes"]),
+                    writable=False,
                 )
                 maybe = bf.maybe_contains(arr)
             raw = bc.value
@@ -708,7 +720,7 @@ class BloomTable:
                 # hash skip the confirm and re-fetch it (the unsafe
                 # direction this module promises never happens); true
                 # revocations still come out new from the exact confirm.
-                cf = CuckooFilter.from_bytes(*raw)
+                cf = CuckooFilter.from_bytes(*raw, writable=False)
                 maybe |= cf.contains_many(arr)
             return cand_pdf.assign(__maybe=maybe)
 
@@ -740,13 +752,15 @@ class BloomTable:
                 raw = blooms_raw.get(int(pid))
                 if raw is None:
                     continue
-                bf = BloomFilter.from_bytes(*raw)
+                bf = BloomFilter.from_bytes(*raw, writable=False)
                 m = pids == pid
                 out[m] = bf.maybe_contains(arr[m])
             if cuckoo_raw is not None:
                 # revocation hit → suspect (exact confirm decides); see
                 # _flag_cogroup for why forcing fresh here would be unsafe
-                cf = CuckooFilter.from_bytes(*cuckoo_raw)
+                cf = CuckooFilter.from_bytes(
+                    *cuckoo_raw, writable=False
+                )
                 out |= cf.contains_many(arr)
             return pd.Series(out)
 

@@ -70,6 +70,34 @@ def test_image_targets_naming(spark, records):
     assert rows[("rec2", 1)] == "rec2_1.jpg"
 
 
+def test_image_targets_connector_namespacing(spark):
+    """Two connectors' records with the same id must not collide on
+    filename (the reference writes each museum's downloads into its own
+    directory, base.js:124-138): with a connector_id column, filenames are
+    namespaced <connector_id>/<id>_<idx>.jpg."""
+    from pyspark.sql import Row
+
+    from crawler_spark.operators.assets import image_targets
+
+    def img(url):
+        return Row(
+            id=None, url=url, title=None, description=None, author=None,
+            license=None,
+        )
+
+    recs = spark.createDataFrame(
+        [
+            Row(id="123", connector_id="a", images=[img("http://x/1.jpg")]),
+            Row(id="123", connector_id="b", images=[img("http://y/1.jpg")]),
+        ],
+        "id string, connector_id string, images array<struct<id:string,"
+        "url:string,title:string,description:string,author:string,"
+        "license:string>>",
+    )
+    fnames = {r["filename"] for r in image_targets(recs).collect()}
+    assert fnames == {"a/123_0.jpg", "b/123_0.jpg"}
+
+
 def test_fetch_assets_validation_and_skip(spark, records, source):
     from crawler_spark.operators.assets import fetch_assets, image_targets
 

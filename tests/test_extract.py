@@ -164,6 +164,46 @@ def test_extractors_never_raise_on_jsonish():
             assert isinstance(rec["text"], str)
 
 
+def test_total_bool_rejected_and_nonstring_related_skipped():
+    """``"total": true`` must not parse as count 1 (int(True)) in any of
+    the three typed search paths, and a non-string entry in a GraphQL
+    entity's related list is skipped — not an AttributeError that kills
+    the whole Arrow batch."""
+    import json
+
+    from crawler_spark.operators.extract import (
+        SYNTH,
+        extract_detail_graphql,
+        extract_search_es_msearch,
+        extract_search_graphql,
+        extract_search_json,
+    )
+
+    t, _ = extract_search_json(
+        json.dumps({"total": True, "records": []}), "http://h/s", SYNTH
+    )
+    assert t is None
+    t, _ = extract_search_es_msearch(
+        json.dumps({"responses": [{"hits": {"total": True, "hits": []}}]}),
+        "http://h/s",
+        SYNTH,
+    )
+    assert t is None
+    t, _ = extract_search_graphql(
+        json.dumps({"data": {"nodeQuery": {"count": True, "entities": []}}}),
+        "http://h/s",
+        SYNTH,
+    )
+    assert t is None
+
+    rec = extract_detail_graphql(
+        json.dumps({"title": "T", "related": [123, None, "/ok"]}),
+        "http://h/r/1",
+        SYNTH,
+    )
+    assert rec["related"] == ["http://h/ok"]
+
+
 def test_detail_json_number_semantics():
     """The fields-list JSON path stringifies numbers like JS String(value)
     too (vam.js:74-76): 1.0 → '1', non-integral floats unchanged."""

@@ -33,6 +33,31 @@ def test_fetch_join_broadcasts_batch_not_pages(spark, tmp_path):
     assert plan.count("SortMergeJoin") == 0
 
 
+def test_fetch_multi_snapshot_no_fanout(spark):
+    """A Common-Crawl-style pages table with several warc_ts snapshots per
+    url must not fan the popped row out into duplicate records: the LATEST
+    snapshot wins, deterministically."""
+    from datetime import datetime
+
+    from crawler_spark.operators.fetch import fixture_fetch
+
+    pages = spark.createDataFrame(
+        [
+            ("http://h/1", b"old", datetime(2024, 1, 1)),
+            ("http://h/1", b"new", datetime(2024, 6, 1)),
+            ("http://h/2", b"only", datetime(2024, 1, 1)),
+        ],
+        "url string, html binary, warc_ts timestamp",
+    )
+    batch = spark.createDataFrame(
+        [("http://h/1", 0), ("http://h/2", 0)], "url string, attempts int"
+    )
+    rows = fixture_fetch(batch, pages, batch_bound=2).collect()
+    assert len(rows) == 2  # one row per popped url, never per snapshot
+    by_url = {r["url"]: bytes(r["body"]) for r in rows}
+    assert by_url == {"http://h/1": b"new", "http://h/2": b"only"}
+
+
 def test_fetch_broadcast_gate_both_sides(spark):
     """The batch-URL broadcast is hinted only under a driver-known row
     bound that fits BROADCAST_MAX_BYTES — a host-unbounded batch must NOT

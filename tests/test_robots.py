@@ -45,6 +45,47 @@ def test_parse_edge_cases():
     assert p["disallow"] == ["/x"]
 
 
+def test_parse_merges_same_specificity_groups():
+    """RFC 9309 §2.2.1: ALL groups matching at the winning specificity
+    combine — sites routinely ship two 'User-agent: *' sections and the
+    later one's rules must not be dropped."""
+    p = parse_robots(
+        b"User-agent: *\nDisallow: /a\n\n"
+        b"User-agent: *\nDisallow: /admin\nCrawl-delay: 3\n"
+    )
+    assert p["disallow"] == ["/a", "/admin"]
+    assert p["crawl_delay_ms"] == 3000  # first DECLARED delay wins
+    # merging is per-specificity: a specific match does not absorb '*'
+    p2 = parse_robots(ROBOTS, user_agent="crawler-spark/0.1")
+    assert "/admin/" not in p2["disallow"]
+
+
+def test_parse_prefix_not_substring_match():
+    """A group for another bot ('spark') must not capture 'crawler-spark'
+    via substring containment; the '*' group applies instead."""
+    p = parse_robots(
+        b"User-agent: spark\nDisallow: /theirs\n\n"
+        b"User-agent: *\nDisallow: /generic\n",
+        user_agent="crawler-spark",
+    )
+    assert p["disallow"] == ["/generic"]
+
+
+def test_politeness_from_robots_string_html(spark):
+    """pages tables may carry html as string (extract_rel_canonical
+    branches on it); the robots parser must not crash on that shape."""
+    rb = spark.createDataFrame(
+        [(
+            "http://h.test/robots.txt",
+            "User-agent: *\nDisallow: /x\nCrawl-delay: 1\n",
+        )],
+        "url string, html string",
+    )
+    rows = politeness_from_robots(rb).collect()
+    assert rows[0]["disallow"] == ["/x"]
+    assert rows[0]["crawl_delay_ms"] == 1000
+
+
 def test_politeness_from_robots_and_engine_enforcement(spark, tmp_path):
     from crawler_spark.plans.rounds import CrawlEngine, EngineConfig
     from crawler_spark.sources.sitegen import (
