@@ -217,6 +217,14 @@ class Checkpointer:
     def compact(self, spark: SparkSession, name: str, upto: int) -> None:
         """Fold deltas of rounds ≤ ``upto`` into one table (distributed
         read+write, nothing on the driver); prune older compacts."""
+        # repeating an already-covered horizon is a no-op, not a
+        # read-and-overwrite of the same upto=K path (Spark refuses to
+        # overwrite a path it is reading from; a retry wrapper or second
+        # maintenance caller would crash — or worse on stores without
+        # that guard)
+        prev = self.compacted_upto(name)
+        if prev is not None and upto <= prev:
+            return
         df = self.load_all_deltas(spark, name, upto=upto, use_compact=True)
         if df is None:
             return
@@ -252,6 +260,16 @@ class Checkpointer:
         if len(snaps) <= max(1, keep_intervals):
             return None
         horizon = snaps[-keep_intervals]
+        # crash-safe ordering (same as the CatalogCheckpointer twin):
+        # record the horizon FIRST — atomically — then delete. A kill
+        # mid-rmtree otherwise leaves a half-deleted snapshot dir that
+        # has_table still reports present, with no horizon on disk to
+        # refuse the truncated read on resume.
+        expiry = os.path.join(self.root, "frontier_expiry.json")
+        tmp = expiry + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"resume_horizon": horizon}, fh)
+        os.replace(tmp, expiry)
         for r in self.committed_rounds():
             if r >= horizon:
                 continue
@@ -259,8 +277,6 @@ class Checkpointer:
                 p = os.path.join(self.round_dir(r), t)
                 if os.path.isdir(p):
                     shutil.rmtree(p, ignore_errors=True)
-        with open(os.path.join(self.root, "frontier_expiry.json"), "w") as fh:
-            json.dump({"resume_horizon": horizon}, fh)
         return horizon
 
     def frontier_horizon(self) -> int | None:

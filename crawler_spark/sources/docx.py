@@ -52,8 +52,26 @@ def docx_to_html(data: bytes) -> str:
     except KeyError:
         pass
 
+    # ownership map: ElementTree's subtree iter() would pull a NESTED
+    # table's rows/cells into the outer grid (and emit the inner table a
+    # second time as its own <table>), garbling colspans and vMerge
+    # resolution. Each tr/tc is attributed to its NEAREST tbl/tr ancestor;
+    # nested-table text still flattens into the owning cell via
+    # tc.iter(w:t), mammoth-ishly.
+    parents = {c: p for p in doc.iter() for c in p}
+
+    def _nearest(el, tag):
+        p = parents.get(el)
+        while p is not None:
+            if p.tag == tag:
+                return p
+            p = parents.get(p)
+        return None
+
     out: list[str] = []
     for tbl in doc.iter(_W + "tbl"):
+        if _nearest(tbl, _W + "tbl") is not None:
+            continue  # nested table: content belongs to its owning cell
         # pass 1: grid-position every cell and resolve vertical merges the
         # way mammoth does — a w:vMerge val="restart" cell opens a span,
         # continuation cells (w:vMerge with no val / val="continue") in the
@@ -62,9 +80,13 @@ def docx_to_html(data: bytes) -> str:
         # (el-tesoro.js:73-81 keys its image branch on that attribute)
         grid_rows: list[list[dict]] = []
         for tr in tbl.iter(_W + "tr"):
+            if _nearest(tr, _W + "tbl") is not tbl:
+                continue  # a nested table's row
             col = 0
             cells: list[dict] = []
             for tc in tr.iter(_W + "tc"):
+                if _nearest(tc, _W + "tr") is not tr:
+                    continue  # a nested table's cell
                 span = tc.find(f"{_W}tcPr/{_W}gridSpan")
                 # a <w:gridSpan/> with no w:val means 1 (mammoth's default);
                 # int(None) would crash the whole Arrow batch

@@ -468,15 +468,24 @@ def generate_site(spec: SiteSpec):
         if h in spec.msearch_hosts or h in spec.graphql_hosts:
             is_msearch = h in spec.msearch_hosts
             n_details = spec.details_per_host
+            # related ids start past BOTH the historical base and the
+            # detail range: with details_per_host >= 91 (msearch) / 901
+            # (graphql) the fixed bases collided with detail refs,
+            # emitting the same /notice/ URL twice with different bodies
+            # (a duplicate-row pages table → nondeterministic parity)
             if is_msearch:
+                rel_base = max(90, n_details)
                 refs = [f"7.{h}.{i}" for i in range(1, n_details + 1)]
                 rel_refs = [
-                    f"7.{h}.{90 + j}" for j in range(1, spec.related_per_host + 1)
+                    f"7.{h}.{rel_base + j}"
+                    for j in range(1, spec.related_per_host + 1)
                 ]
             else:
+                rel_base = max(900, n_details)
                 refs = [str(i) for i in range(1, n_details + 1)]
                 rel_refs = [
-                    str(900 + j) for j in range(1, spec.related_per_host + 1)
+                    str(rel_base + j)
+                    for j in range(1, spec.related_per_host + 1)
                 ]
             for rid in refs + rel_refs:
                 # under related_first_page_only the related→related edge is

@@ -81,7 +81,11 @@ def write_warc_record(
         b"WARC-Date: " + date.encode("ascii"),
     ]
     if url is not None:
-        head.append(b"WARC-Target-URI: " + url.encode("ascii"))
+        # UTF-8, not ascii: canonical URLs IDNA-encode only the host —
+        # non-ASCII path/query characters pass through verbatim and an
+        # ascii encode here crashed the export task on any such URL.
+        # warc_scan decodes headers as UTF-8, so the URI round-trips.
+        head.append(b"WARC-Target-URI: " + url.encode("utf-8"))
     head.append(b"Content-Type: " + content_type.encode("ascii"))
     head.append(b"Content-Length: " + str(len(payload)).encode("ascii"))
     return _CRLF.join(head) + _CRLF + _CRLF + payload + _CRLF + _CRLF
@@ -192,21 +196,34 @@ def warc_export(
                 d = dict(zip(pdf.columns, r))
                 url = d[names["url"]]
                 ts = d[names["ts"]]
-                date = (
-                    pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ")
-                    if ts is not None
-                    else "1970-01-01T00:00:00Z"
-                )
+                # pd.isna, not `is not None`: a NULL warc_ts arrives as
+                # NaT, which passed the None check and crashed strftime.
+                # Sub-second timestamps keep their microseconds (the
+                # documented scan∘export identity must not truncate);
+                # whole seconds keep the compact historical format.
+                if ts is None or pd.isna(ts):
+                    date = "1970-01-01T00:00:00Z"
+                else:
+                    t = pd.Timestamp(ts)
+                    fmt = (
+                        "%Y-%m-%dT%H:%M:%S.%fZ"
+                        if t.microsecond
+                        else "%Y-%m-%dT%H:%M:%SZ"
+                    )
+                    date = t.strftime(fmt)
                 body = d[names["body"]]
                 body = bytes(body) if body is not None else b""
                 mime = (
                     d.get(names["mime"]) if names["mime"] else None
                 ) or "text/html"
                 lang = d.get(names["lang"]) if names["lang"] else None
-                status = int(
-                    (d.get(names["status"]) if names["status"] else None)
-                    or 200
+                status_raw = (
+                    d.get(names["status"]) if names["status"] else None
                 )
+                # nullable int arrives as NaN (truthy!) — int(NaN) raises
+                if status_raw is None or pd.isna(status_raw):
+                    status_raw = 200
+                status = int(status_raw)
                 reason = "OK" if status == 200 else "Not Found" if (
                     status == 404
                 ) else "Status"
@@ -248,6 +265,25 @@ def warc_export(
     manifest_rows = sel.mapInPandas(
         _write, "warc_file string, n_records long, n_bytes long"
     ).collect()
+    # reclaim container files this export did not produce (a previous
+    # larger or crashed export's parts): warc_scan globs *.warc* — stale
+    # parts would otherwise resurface as rows the manifest never
+    # describes, silently breaking the scan∘export identity. Runs after
+    # every new part landed (atomic renames), before the manifest flips.
+    keep = {r["warc_file"] for r in manifest_rows}
+    for name in os.listdir(path):
+        stale_part = (
+            name.startswith("part-")
+            and (name.endswith(".warc") or name.endswith(".warc.gz"))
+            and name not in keep
+        )
+        # a SIGKILLed task's un-renamed temp also matches scan's *.warc*
+        orphan_tmp = name.startswith("part-") and ".inprogress-" in name
+        if stale_part or orphan_tmp:
+            try:
+                os.remove(os.path.join(path, name))
+            except OSError:
+                pass
     spark = df.sparkSession
     manifest = spark.createDataFrame(
         manifest_rows or [],
@@ -296,8 +332,8 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
             if not sep:
                 raise ValueError(f"malformed WARC header line: {line!r}")
             headers[k.strip().lower().decode("ascii")] = v.strip().decode(
-                "ascii", "replace"
-            )
+                "utf-8", "replace"
+            )  # UTF-8 values: non-ASCII Target-URIs round-trip (writer twin)
         try:
             length = int(headers["content-length"])
         except (KeyError, ValueError):

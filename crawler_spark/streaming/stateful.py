@@ -53,12 +53,33 @@ _STATE_SCHEMA = StructType(
 )
 
 
-def _session_fn(gap_ms: int):
+def _session_fn(gap_ms: int, session_tz: str):
     def fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
         (host,) = key
         wm = state.getCurrentWatermarkMs()
+
+        def _epoch_ms(series: pd.Series) -> pd.Series:
+            # Arrow hands the batch naive timestamps in the SESSION
+            # timezone, while getCurrentWatermarkMs() is true UTC epoch —
+            # a raw astype('int64') would skew every close/timeout
+            # decision by the tz offset on non-UTC sessions. Localize
+            # with never-raise DST handling, then take the true epoch.
+            if series.dt.tz is None:
+                series = series.dt.tz_localize(
+                    session_tz, ambiguous=True, nonexistent="shift_forward"
+                )
+            return series.astype("int64")
+
+        def _local_ts(ms: int) -> pd.Timestamp:
+            # inverse mapping for emitted rows (Spark reinterprets naive
+            # results in the session timezone)
+            return (
+                pd.Timestamp(ms, unit="ms", tz="UTC")
+                .tz_convert(session_tz)
+                .tz_localize(None)
+            )
 
         # open intervals from state + this batch's points, re-merged on the
         # event-time gap. Merging is NOT a close decision: an interval
@@ -74,7 +95,7 @@ def _session_fn(gap_ms: int):
             for pdf in pdfs:
                 intervals.extend(
                     [int(v) // 1_000_000] * 2 + [1]
-                    for v in pdf["discovered_ts"].astype("int64")
+                    for v in _epoch_ms(pdf["discovered_ts"])
                 )
         intervals.sort(key=lambda iv: (iv[0], iv[1]))
         merged: list[list[int]] = []
@@ -103,12 +124,8 @@ def _session_fn(gap_ms: int):
         yield pd.DataFrame(
             {
                 "host": [host] * len(closed),
-                "session_start": [
-                    pd.Timestamp(s0, unit="ms") for s0, _, _ in closed
-                ],
-                "session_end": [
-                    pd.Timestamp(e0, unit="ms") for _, e0, _ in closed
-                ],
+                "session_start": [_local_ts(s0) for s0, _, _ in closed],
+                "session_end": [_local_ts(e0) for _, e0, _ in closed],
                 "n_candidates": [n0 for _, _, n0 in closed],
             }
         )
@@ -129,14 +146,21 @@ def host_sessions(
     """
     n, unit = gap.split()
     gap_ms = int(n) * {"seconds": 1000, "minutes": 60_000}[unit.rstrip("s") + "s"]
+    session_tz = (
+        candidates.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+        or "UTC"
+    )
     return (
         candidates.withWatermark("discovered_ts", watermark)
         .groupBy("host")
         .applyInPandasWithState(
-            _session_fn(gap_ms),
+            _session_fn(gap_ms, session_tz),
             outputStructType=SESSION_SCHEMA,
             stateStructType=_STATE_SCHEMA,
-            outputMode="update",
+            # append, not update: a closed session is emitted exactly once
+            # and never revised, and update mode made the result
+            # unwritable to the module's own parquet/file sinks
+            outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

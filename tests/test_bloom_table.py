@@ -122,6 +122,16 @@ def test_compaction_invisible_to_readers(spark, tmp_path):
         r["url_hash"] for r in ck.load_all_deltas(spark, "seen_delta").collect()
     }
     assert got5 == set(range(60))
+    # repeating an already-covered horizon is a no-op, not a
+    # read-and-overwrite of the same upto=K path (Spark refuses to
+    # overwrite a path it is also reading from)
+    ck.compact(spark, "seen_delta", upto=5)
+    ck.compact(spark, "seen_delta", upto=4)
+    assert ck.compacted_upto("seen_delta") == 5
+    again = {
+        r["url_hash"] for r in ck.load_all_deltas(spark, "seen_delta").collect()
+    }
+    assert again == set(range(60))
 
 
 def test_engine_resumes_with_missing_stale_blooms(spark, tmp_path):

@@ -246,6 +246,51 @@ def test_s10_docx_vmerge_rowspan(spark, tmp_path):
     assert len(out) == 1 and out[0]["n_images"] == 1
 
 
+def test_s10_docx_nested_table_not_flattened():
+    """A table nested inside a cell must not leak its rows/cells into the
+    outer grid nor be emitted again as a standalone <table>; its text
+    flattens into the owning cell (mammoth-ish)."""
+    import io
+    import zipfile
+
+    from crawler_spark.sources.docx import docx_to_html
+
+    W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    inner = (
+        "<w:tbl><w:tr><w:tc><w:p><w:r><w:t>inner</w:t></w:r></w:p>"
+        "</w:tc></w:tr></w:tbl>"
+    )
+    doc = (
+        f'<w:document xmlns:w="{W}"><w:body><w:tbl>'
+        "<w:tr><w:tc><w:p><w:r><w:t>outer</w:t></w:r></w:p>"
+        f"{inner}</w:tc>"
+        "<w:tc><w:p><w:r><w:t>val</w:t></w:r></w:p></w:tc></w:tr>"
+        "</w:tbl></w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", doc)
+    html = docx_to_html(buf.getvalue())
+    assert html.count("<table>") == 1  # inner tbl not re-emitted
+    assert html.count("<tr>") == 1  # inner row not pulled into the grid
+    assert html.count("<td") == 2  # inner cell not pulled into the row
+    assert "outerinner" in html  # nested text flattens into its cell
+
+
+def test_sitegen_large_msearch_no_ref_collision():
+    """detail refs and related refs must stay disjoint at any
+    details_per_host — at >= 91 the fixed related base used to collide,
+    emitting duplicate /notice/ URLs with different bodies."""
+    from crawler_spark.sources.sitegen import SiteSpec, generate_site
+
+    site = generate_site(SiteSpec(
+        n_hosts=1, details_per_host=95, limit=10, related_per_host=3,
+        msearch_hosts=(0,),
+    ))
+    urls = list(site["pages"]["url"])
+    assert len(urls) == len(set(urls))
+
+
 def test_s10_real_docx_roundtrip(spark, tmp_path):
     """End-to-end over a REAL .docx: stdlib zip/XML conversion → state
     machine → records, embedded image surfaced as a data URI."""

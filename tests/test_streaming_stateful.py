@@ -23,7 +23,7 @@ def _run_once(spark, src_dir, ckpt, name):
         sessions.writeStream.foreachBatch(
             lambda df, _eid: got.extend(df.collect())
         )
-        .outputMode("update")
+        .outputMode("append")
         .option("checkpointLocation", str(ckpt))
         .trigger(availableNow=True)
         .start()
@@ -61,6 +61,44 @@ def test_host_sessions_close_on_event_time_gap(spark, tmp_path):
     assert rows["h1"]["n_candidates"] == 1
 
 
+def test_host_sessions_nonutc_session_timezone(spark, tmp_path):
+    """Close/timeout decisions compare event epochs to the UTC watermark
+    (getCurrentWatermarkMs); a non-UTC session timezone must not skew
+    them by the offset — the same two-batch scenario must close the same
+    sessions with the same wall-clock values as the UTC run."""
+    from datetime import datetime
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    # UTC+9: under the old naive astype('int64'), event epochs read 9h
+    # LATER than truth, so end+gap stays ahead of the (true-UTC)
+    # watermark and the session never closes — this test then hangs on
+    # an empty second batch instead of emitting the session
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        src = tmp_path / "src_tz"
+        src.mkdir()
+        ckpt = tmp_path / "ckpt_tz"
+        _write_batch(src, [
+            {"host": "h0", "discovered_ts": "2026-01-01 00:00:00"},
+            {"host": "h0", "discovered_ts": "2026-01-01 00:00:10"},
+        ])
+        assert _run_once(spark, src, ckpt, "tz_run1") == []
+        _write_batch(src, [
+            {"host": "h0", "discovered_ts": "2026-01-01 00:05:00"},
+        ])
+        out = _run_once(spark, src, ckpt, "tz_run2")
+        assert len(out) == 1
+        h0 = out[0]
+        assert h0["n_candidates"] == 2
+        # collect() renders driver-local (UTC) naive datetimes: Tokyo
+        # 2026-01-01 00:00(+10s) == 2025-12-31 15:00(+10s) UTC — the
+        # correct instants, proving the session-tz localization round-trip
+        assert h0["session_start"] == datetime(2025, 12, 31, 15, 0, 0)
+        assert h0["session_end"] == datetime(2025, 12, 31, 15, 0, 10)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
 def test_late_event_within_watermark_bridges_session(spark, tmp_path):
     """A session must close on the WATERMARK passing end+gap, not on merely
     observing a later event: with gap=30s and watermark=80s, an event at
@@ -85,7 +123,7 @@ def test_late_event_within_watermark_bridges_session(spark, tmp_path):
             sessions.writeStream.foreachBatch(
                 lambda df, _eid: got.extend(df.collect())
             )
-            .outputMode("update")
+            .outputMode("append")
             .option("checkpointLocation", str(ckpt))
             .trigger(availableNow=True)
             .start()

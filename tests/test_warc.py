@@ -194,6 +194,59 @@ def test_warc_export_roundtrip(spark, tmp_path):
         assert r["mime"] == "text/html"
 
 
+def test_warc_export_nulls_unicode_and_subseconds(spark, tmp_path):
+    """NULL warc_ts (NaT) and NULL status must not crash the export task;
+    non-ASCII URL paths and sub-second timestamps must round-trip through
+    the archive."""
+    from datetime import datetime
+
+    from crawler_spark.sources.warc import warc_export
+
+    rows = [
+        ("http://h.example/récord/1",
+         datetime(2024, 5, 1, 12, 0, 0, 500000), b"<p>a</p>", 200),
+        ("http://h.example/p/2", None, b"<p>b</p>", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, status int"
+    )
+    out = str(tmp_path / "exp_nulls")
+    warc_export(df, out, status_col="status", n_files=1)
+    got = {r["url"]: r for r in warc_scan(spark, out).collect()}
+    assert set(got) == {"http://h.example/récord/1", "http://h.example/p/2"}
+    r1 = got["http://h.example/récord/1"]
+    assert r1["warc_ts"] == datetime(2024, 5, 1, 12, 0, 0, 500000)
+    r2 = got["http://h.example/p/2"]
+    assert r2["warc_ts"] == datetime(1970, 1, 1)  # NULL ts → epoch default
+    assert r2["status"] == 200  # NULL status → 200, not int(NaN)
+
+
+def test_warc_export_cleans_stale_parts(spark, tmp_path):
+    """Re-exporting the same path with fewer files must not leave the
+    previous run's extra containers behind — warc_scan globs *.warc* and
+    stale parts would resurface rows the manifest never describes."""
+    import os
+
+    from datetime import datetime
+
+    from crawler_spark.sources.warc import warc_export
+
+    def mk(n):
+        return spark.createDataFrame(
+            [(f"http://h/p/{i}", datetime(2024, 1, 1), b"<p>x</p>")
+             for i in range(n)],
+            "url string, warc_ts timestamp, html binary",
+        )
+
+    out = str(tmp_path / "exp_stale")
+    warc_export(mk(40), out, n_files=4)
+    assert warc_scan(spark, out).count() == 40
+    warc_export(mk(10), out, n_files=2)
+    files = [f for f in os.listdir(out) if f.endswith(".warc.gz")]
+    assert len(files) == 2  # parts 2..3 from the first run reclaimed
+    assert warc_scan(spark, out).count() == 10
+
+
 def test_warc_export_deterministic_and_idempotent(spark, tmp_path):
     from datetime import datetime
 
