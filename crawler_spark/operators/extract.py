@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from html import unescape
 from html.parser import HTMLParser
 from typing import Iterator
 
@@ -94,11 +95,184 @@ class _TreeBuilder(HTMLParser):
             self.cur.children.append(data)
 
 
+# ---------------------------------------------------------------------------
+# Fast-path tokenizer. HTML parsing is the engine's hottest Python loop (the
+# stdlib tokenizer alone is ~80% of parse time; every fetched page goes
+# through it), so well-formed common-case markup takes a single-regex-per-tag
+# scan that emits the EXACT event stream ``HTMLParser(convert_charrefs=True)``
+# would for the same input — including its no-``close()`` quirks (incomplete
+# trailing constructs and possibly-split trailing charrefs stay buffered,
+# i.e. dropped). Anything the strict patterns don't accept (tolerant-parser
+# territory: malformed attrs, ``<![`` marked sections, truncated start tags)
+# returns None and the caller re-parses with the stdlib builder, so the fast
+# path can only ever be a same-answer shortcut, never a semantic fork.
+# Differential fuzz + fixture tests pin the equivalence
+# (tests/test_extract_fastpath.py).
+
+# strict start tag: name + simply-shaped attrs only; anything else must NOT
+# match (falls back), and anything that DOES match is tokenized identically
+# by html.parser's tolerant regexes
+_FAST_STARTTAG = re.compile(
+    r'<([a-zA-Z][-.a-zA-Z0-9:_]*)'
+    r'((?:\s+[^\s/>=\'"][^\s/>=]*'
+    r"(?:\s*=\s*(?:'[^']*'|\"[^\"]*\"|[^>\s'\"=][^>\s'\"]*|(?=[\s>])))?"
+    r')*)'
+    r'\s*(/?)>'
+)
+_FAST_ATTR = re.compile(
+    r'\s+([^\s/>=\'"][^\s/>=]*)'
+    r"(\s*=\s*('[^']*'|\"[^\"]*\"|[^>\s'\"=][^>\s'\"]*|))?"
+)
+_FAST_ENDTAG = re.compile(r'</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>')  # endtagfind
+# html.parser's own tolerant pieces, mirrored for the endtag fallback
+_TAGFIND_TOLERANT = re.compile(r'([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*')
+_COMMENT_CLOSE = re.compile(r'--\s*>')  # _markupbase._commentclose
+_AMP_TAIL = re.compile(r'[\s;]')
+_CDATA_CLOSE = {
+    "script": re.compile(r'</\s*script\s*>', re.I),
+    "style": re.compile(r'</\s*style\s*>', re.I),
+}
+
+
+def _fast_parse(html: str) -> Node | None:
+    """One-pass strict tokenizer building the same tree ``_TreeBuilder``
+    would; None = input needs the tolerant stdlib parser."""
+    root = Node("#root", {}, None)
+    cur = root
+    i, n = 0, len(html)
+    cdata_tag: str | None = None
+    while i < n:
+        if cdata_tag is not None:
+            # only a full ``</script\s*>`` leaves CDATA mode; content is raw
+            # (never unescaped); EOF inside stays buffered — dropped
+            m = _CDATA_CLOSE[cdata_tag].search(html, i)
+            if m is None:
+                return root
+            if i < m.start():
+                cur.children.append(html[i : m.start()])
+            node: Node | None = cur
+            while node is not None and node.tag != cdata_tag:
+                node = node.parent
+            if node is not None and node.parent is not None:
+                cur = node.parent
+            cdata_tag = None
+            i = m.end()
+            continue
+        j = html.find("<", i)
+        if j < 0:
+            # goahead()'s split-charref guard: a '&' in the last 34 chars
+            # with no [\s;] after it keeps the whole tail buffered
+            amppos = html.rfind("&", max(i, n - 34))
+            if amppos >= 0 and not _AMP_TAIL.search(html, amppos):
+                return root
+            if i < n:
+                cur.children.append(unescape(html[i:n]))
+            return root
+        if i < j:
+            cur.children.append(unescape(html[i:j]))
+        i = j
+        c = html[i + 1] if i + 1 < n else ""
+        if c.isascii() and c.isalpha():
+            m = _FAST_STARTTAG.match(html, i)
+            if m is None:
+                return None  # tolerant/truncated start tag
+            tag = m.group(1).lower()
+            blob = m.group(2)
+            attrs: dict[str, str] = {}
+            if blob:
+                pos, bl = 0, len(blob)
+                while pos < bl:
+                    am = _FAST_ATTR.match(blob, pos)
+                    if am is None or am.end() == pos:
+                        return None  # blob re-parse must consume exactly
+                    val = am.group(3)
+                    if am.group(2) is None:
+                        val = ""
+                    elif val and (
+                        val[0] == "'" == val[-1] or val[0] == '"' == val[-1]
+                    ):
+                        val = val[1:-1]
+                    if val:
+                        val = unescape(val)
+                    attrs[am.group(1).lower()] = val
+                    pos = am.end()
+            node = Node(tag, attrs, cur)
+            cur.children.append(node)
+            if not m.group(3):  # not self-closing
+                if tag not in _VOID:
+                    cur = node
+                if tag in _CDATA_CLOSE:
+                    cdata_tag = tag
+            i = m.end()
+        elif c == "/":
+            m = _FAST_ENDTAG.match(html, i)
+            if m is not None:
+                tag = m.group(1).lower()
+                node = cur
+                while node is not None and node.tag != tag:
+                    node = node.parent
+                if node is not None and node.parent is not None:
+                    cur = node.parent
+                i = m.end()
+                continue
+            # parse_endtag's tolerant branches, mirrored
+            if html.find(">", i + 1) < 0:
+                return root  # incomplete endtag at EOF: buffered, dropped
+            nm = _TAGFIND_TOLERANT.match(html, i + 2)
+            if nm is not None:
+                tag = nm.group(1).lower()
+                node = cur
+                while node is not None and node.tag != tag:
+                    node = node.parent
+                if node is not None and node.parent is not None:
+                    cur = node.parent
+                i = html.find(">", nm.end()) + 1
+            elif html.startswith("</>", i):
+                i += 3
+            else:
+                g = html.find(">", i + 2)  # bogus comment, handler is no-op
+                if g < 0:
+                    return root
+                i = g + 1
+        elif c == "!":
+            if html.startswith("<!--", i):
+                m = _COMMENT_CLOSE.search(html, i + 4)
+                if m is None:
+                    return root  # unterminated comment: buffered, dropped
+                i = m.end()
+            elif html.startswith("<![", i):
+                return None  # marked section: _markupbase territory
+            elif html[i : i + 9].lower() == "<!doctype":
+                g = html.find(">", i + 9)
+                if g < 0:
+                    return root
+                i = g + 1
+            else:  # bogus comment
+                g = html.find(">", i + 2)
+                if g < 0:
+                    return root
+                i = g + 1
+        elif c == "?":
+            g = html.find(">", i + 2)  # parse_pi, handler is no-op
+            if g < 0:
+                return root
+            i = g + 1
+        elif i + 1 < n:
+            cur.children.append("<")
+            i += 1
+        else:
+            return root  # lone trailing '<' dropped
+    return root
+
+
 def parse_html(html: bytes | str | None, encoding: str = "utf-8") -> Node:
     if html is None:
         html = ""
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode(encoding, errors="replace")
+    root = _fast_parse(html)
+    if root is not None:
+        return root
     b = _TreeBuilder()
     b.feed(html)
     return b.root
