@@ -113,7 +113,11 @@ class _TreeBuilder(HTMLParser):
 # match (falls back), and anything that DOES match is tokenized identically
 # by html.parser's tolerant regexes
 _FAST_STARTTAG = re.compile(
-    r'<([a-zA-Z][-.a-zA-Z0-9:_]*)'
+    # the lookahead pins the tag-name boundary to stdlib's: tagfind_tolerant
+    # names absorb any char except [\t\n\r\f />\x00] — including non-ASCII
+    # whitespace like \xa0 that `\s+` below would instead treat as an attr
+    # separator — so a name not followed by an ASCII terminator must bail
+    r'<([a-zA-Z][-.a-zA-Z0-9:_]*)(?=[\t\n\r\f />])'
     r'((?:\s+[^\s/>=\'"][^\s/>=]*'
     r"(?:\s*=\s*(?:'[^']*'|\"[^\"]*\"|[^>\s'\"=][^>\s'\"]*|(?=[\s>])))?"
     r')*)'

@@ -105,6 +105,13 @@ HAND_CASES = [
     # unicode + non-ascii tag starts
     "<é>not a tag</é>",
     "<p>ünïcode &eacute;</p>",
+    # non-ASCII whitespace: allowed INSIDE stdlib tag names (tagfind only
+    # excludes \t\n\r\f />\x00) but matched by \s — boundary must bail
+    "<a\xa0b=c>x</a>",
+    "<a\vb=c>x</a>",
+    "<a \xa0b=c>x</a>",
+    "<a b=c\xa0d=e>y</a>",
+    "<p\x1cq>z</p\x1cq>",
 ]
 
 
@@ -168,6 +175,6 @@ def test_fuzz_fragment_compositions(parts, cut):
 
 
 @settings(max_examples=200, deadline=None)
-@given(st.text(alphabet="<>&;/='\"abAB \n-!?#x", max_size=80))
+@given(st.text(alphabet="<>&;/='\"abAB \n-!?#x\xa0\v\x1c\x85", max_size=80))
 def test_fuzz_tag_soup(html):
     _assert_equiv(html)
