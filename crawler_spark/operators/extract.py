@@ -302,19 +302,54 @@ def _match_simple(node: Node, sel: str) -> bool:
     return True
 
 
+def _parse_simple(sel: str) -> tuple[str | None, str | None, str | None]:
+    """``sel`` → (tag, cls, nid), split exactly like ``_match_simple``
+    ('#' first, then '.', both on the remaining left part)."""
+    cls = None
+    nid = None
+    rest = sel
+    if "#" in rest:
+        rest, nid = rest.split("#", 1)
+    if "." in rest:
+        rest, cls = rest.split(".", 1)
+    return rest or None, cls, nid
+
+
 def select(root: Node, selector: str) -> list[Node]:
     """Descendant-combinator CSS subset: ``div.field td.value`` etc.
-    Document order, like cheerio."""
-    parts = selector.split()
+    Document order, like cheerio.
+
+    Hot path (runs once per selector per record page): the selector parses
+    once up front instead of per node, and the subtree walk is an explicit
+    pre-order stack in ``Node.iter()``'s exact order rather than nested
+    generators."""
     current = [root]
-    for part in parts:
+    for part in selector.split():
+        tag, cls, nid = _parse_simple(part)
         nxt: list[Node] = []
         seen: set[int] = set()
         for base in current:
-            for n in base.iter():
-                if id(n) not in seen and _match_simple(n, part):
+            # children are only str|Node; strings pop cheap (C-level slice
+            # reversal beats a filtering genexpr per node)
+            stack = base.children[::-1]
+            while stack:
+                n = stack.pop()
+                if type(n) is str:
+                    continue
+                if (
+                    id(n) not in seen
+                    and (tag is None or n.tag == tag)
+                    and (nid is None or n.attrs.get("id") == nid)
+                    and (
+                        cls is None
+                        or cls in (n.attrs.get("class") or "").split()
+                    )
+                ):
                     nxt.append(n)
                     seen.add(id(n))
+                kids = n.children
+                if kids:
+                    stack += kids[::-1]
         current = nxt
     return current
 
