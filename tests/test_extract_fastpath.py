@@ -112,6 +112,24 @@ HAND_CASES = [
     "<a \xa0b=c>x</a>",
     "<a b=c\xa0d=e>y</a>",
     "<p\x1cq>z</p\x1cq>",
+    # uppercase tags close case-insensitively on both paths
+    "<A HREF=X>x</A >",
+    # marked sections are _markupbase territory — fast path must bail
+    "<![CDATA[raw]]>tail",
+    "<![IGNORE[x]]>t",
+    # HTMLParser's doctype rule is first-'>' (parse_html_declaration),
+    # NOT markupbase's quote/subset-aware scan — equivalence by sharing it
+    '<!DOCTYPE html PUBLIC "-//W3C//DTD//EN" "http://a/x>y.dtd"><p>hi</p>',
+    "<!DOCTYPE html [ <!ENTITY f 'x'> ]><p>s</p>",
+    # NUL: excluded from stdlib tag names (tagfind char class) but not \s
+    "<p\x00q>z</p\x00q>",
+    "<a href=\x00>n</a>",
+    # attr value containing '=' (tolerant unquoted-value territory)
+    "<v w=x=y>t</v>",
+    # charrefs inside CDATA content stay raw
+    "<script>a&amp;b</script>",
+    # back-to-back CDATA elements re-enter and leave mode cleanly
+    "<style>@import 'x.css';</style><style>p{}</style>",
 ]
 
 
