@@ -87,6 +87,31 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
             continue
+        # The DRIVER harness canonicalizes result frames with a pandas
+        # sort before hashing — a column whose cells are unhashable /
+        # unorderable there (list, dict, mixed types) dies with a
+        # TypeError even when the values are right (round 4's only red
+        # row, u2_record_distinct ARRAY<BIGINT>, failed exactly this
+        # way). Replicate that sort so the incompatibility fails HERE.
+        try:
+            import pandas as _pd
+
+            _pdf = _pd.DataFrame(
+                [[r[c] for c in scols] for r in srows[:1000]],
+                columns=scols,
+            )
+            if len(_pdf):
+                _pdf.sort_values(by=list(_pdf.columns), kind="mergesort")
+                for _c in _pdf.columns:
+                    _pdf[_c].factorize()
+        except Exception as e:
+            failures.append(name)
+            print(
+                f"FAIL {name}: driver-harness canonicalization would die "
+                f"on this result frame: {type(e).__name__}: {e} — emit "
+                f"scalar-sortable columns (serialize arrays/structs)"
+            )
+            continue
         if name not in oracles:
             print(f"ok   {name}: rows-only, {len(srows)} rows "
                   f"({time.time()-t0:.1f}s)")
