@@ -499,6 +499,13 @@ def main() -> None:
         eff_median = round(ratios[len(ratios) // 2] / 4.0, 3)
         bt4, bt16 = min(pair_list, key=lambda p: p[0] + 4.0 * p[1])
         eff = round(bt4 / bt16 / 4.0, 3)
+        if eff > 1.0:
+            # physicality guard: >1.0 N→4N on identical plans is
+            # impossible — it means THAT pair's 4-core leg was the
+            # contaminated one (slow t4, clean t16 minimizes core-time
+            # too), violating the picker's one-sided-noise premise. The
+            # median over all pairs is the honest read in that regime.
+            eff = min(eff_median, 1.0)
         urls = urls_popped  # macro_round's own count — no duplicated formula
         scaling = {
             "n_urls": N_URLS_SCALING,
